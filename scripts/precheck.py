@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local differential oracle pre-check (SURVEY.md §5.2 layer 1).
+
+Replays the driver's t2 gate: for each parquet result that graft.Verify
+wrote, run the declared oracle SQL in DuckDB over the same testdata
+parquet and compare strictly (columns sorted by name, rows in produced
+order, exact value equality). Run AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`.
+
+Usage: python3 scripts/precheck.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return repr(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = 0
+    failures = []
+    for name in sorted(oracle):
+        res_dir = os.path.join(out_dir, name)
+        files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
+        if not files:
+            failures.append((name, "no spark result parquet"))
+            n_fail += 1
+            continue
+        try:
+            spark_df = con.execute(
+                "SELECT * FROM read_parquet(?)", [files]).fetchdf()
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"exec error: {e}"))
+            n_fail += 1
+            continue
+        s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+        if s_cols != d_cols:
+            failures.append((name, f"columns differ: spark={s_cols} duck={d_cols}"))
+            n_fail += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            failures.append((name, f"rows differ: spark={len(spark_df)} duck={len(duck_df)}"))
+            n_fail += 1
+            continue
+        spark_df, duck_df = spark_df[s_cols], duck_df[s_cols]
+        mismatch = None
+        for i in range(len(spark_df)):
+            for c in s_cols:
+                a, b = norm(spark_df[c].iloc[i].tolist() if hasattr(spark_df[c].iloc[i], "tolist") else spark_df[c].iloc[i]), \
+                       norm(duck_df[c].iloc[i].tolist() if hasattr(duck_df[c].iloc[i], "tolist") else duck_df[c].iloc[i])
+                if a != b:
+                    mismatch = f"row {i} col {c}: spark={a} duck={b}"
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            failures.append((name, mismatch))
+            n_fail += 1
+        else:
+            n_pass += 1
+            print(f"  OK   {name} ({len(spark_df)} rows)")
+
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    print(f"precheck: {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
