@@ -45,6 +45,10 @@ object Det {
   /** Round an order-dependent double accumulation for stable comparison. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Integer sum pinned to long — DuckDB widens integer sums to HUGEINT
+    * (which pandas renders as float); cast both engines to bigint. */
+  def lsum(c: Column): Column = sum(c).cast("long")
+
   /** DuckDB SQL twins — identical decimal-then-double pipeline. */
   object Sql {
     def dec(col: String): String = s"cast($col as decimal(12,2))"
@@ -53,5 +57,6 @@ object Det {
     def davgDec(e: String): String = s"cast(sum($e) as double) / count($e)"
     def davg(col: String): String = davgDec(s"cast($col as decimal(18,4))")
     def r4(e: String): String = s"round($e, 4)"
+    def lsum(e: String): String = s"cast(sum($e) as bigint)"
   }
 }

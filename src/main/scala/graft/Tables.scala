@@ -17,7 +17,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      // read natively. Read it as raw nanos and truncate to micros with
+      // integer division (`div`, not `/` — ns epoch values exceed 2^53,
+      // double division would lose precision). Truncation matches
+      // DuckDB's `cast(ts_ns as timestamp)` semantics exactly.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for `spark.sql` entry points). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,388 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1–2.3, §2.6, §2.7 — scans, sources/sinks, filters,
+  * projections, every join variant, sorts/top-k, set operations.
+  *
+  * Scale posture per operator class:
+  *  - Scans: column projection + predicates reach the parquet reader
+  *    (Catalyst `ColumnPruning`/`PushDownPredicates`) — verified via
+  *    explain in the test suite.
+  *  - Joins: equi-joins shuffle on their keys (sort-merge) or broadcast
+  *    when one side is a small dim (`broadcast()` hint on part/region/
+  *    nation). Non-equi conditions ride on an equi key wherever one
+  *    exists so we never fall into a cartesian plan on big inputs.
+  *  - As-of join: union + running-window formulation — one shuffle by
+  *    key, NO quadratic join (the naive join+filter+row_number explodes
+  *    on M:N at 100 TB).
+  *  - Top-k: `orderBy().limit(k)` → `TakeOrderedAndProjectExec` (per-
+  *    partition heap + driver merge of k·partitions rows, never a full
+  *    sort).
+  */
+object Relational {
+
+  // ---- §2.1 scans / sources / sinks -------------------------------------
+
+  /** Full scan of lineitem, 4-column projection, stable total order.
+    * Reference analogue: `Connection.quick(select …)` SQL forwarding
+    * [pub: desdb/desdb.py — SURVEY §0 citation grades]. */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+      // lineitem has NO unique key in this corpus (even (orderkey,
+      // linenumber) repeats) — total order needs every output column
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+  }
+
+  /** Synthetic integer source (1..1000 inclusive-exclusive range). */
+  def sourceRange(spark: SparkSession, sfDir: String): DataFrame =
+    spark.range(1, 1001).agg(
+      count(lit(1)).as("n_rows"),
+      Det.lsum(col("id")).as("total"))
+
+  /** Scan → CSV sink → CSV source with explicit schema → aggregate.
+    * Proves sink/source parity: the oracle computes the same aggregate
+    * straight off the original parquet. */
+  def sinkCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sink_csv_${java.util.UUID.randomUUID()}"
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("l_returnflag", StringType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum($"l_quantity").as("sum_qty"),
+        Det.dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Same parity proof through JSON lines. */
+  def sinkJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sink_json_${java.util.UUID.randomUUID()}"
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    spark.read.schema(schema).json(dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  // ---- §2.2 filter / project / cast -------------------------------------
+
+  /** Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
+    * All of it reaches the parquet scan as pushed filters. */
+  def filterPredicates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .filter($"l_quantity".between(10, 30)
+        && $"l_returnflag".isin("A", "N")
+        && ($"l_linestatus".like("F%") || $"l_discount" < 0.05)
+        && !($"l_tax" > 0.07)
+        && $"l_shipdate".isNotNull)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag", $"l_linestatus")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag", $"l_linestatus")
+  }
+
+  /** Computed projections: arithmetic, aliasing, CASE WHEN.
+    * Per-row double arithmetic is IEEE-identical across engines — no
+    * decimal detour needed (contrast with aggregation, see Det). */
+  def projectCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        when($"o_totalprice" > 300000, "big")
+          .when($"o_totalprice" > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        ($"o_totalprice" * 0.1).as("tithe"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Casts: double→decimal(12,2), string-digits→int, timestamp→date.
+    * Reference analogue: the Oracle-type→NumPy-dtype mapping in
+    * `quick(array=True)` [pub: desdb/desdb.py]. */
+  def castDecimal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        $"o_totalprice".cast(DecimalType(12, 2)).as("price_dec"),
+        substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_num"),
+        $"o_orderdate".cast(DateType).as("odate"))
+      .orderBy($"o_orderkey")
+  }
+
+  // ---- §2.3 joins --------------------------------------------------------
+
+  /** Equi inner join orders ⨝ customer, aggregated per market segment.
+    * Large-large equi join → sort-merge on the shuffled key. */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Star join with an explicit broadcast of the small dimension —
+    * no shuffle of the fact side at any scale. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem")
+    val p = Tables(spark, sfDir, "part").filter($"p_size" <= 10)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        Det.dsumDec(Det.dec($"l_extendedprice")
+          * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+          .as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  /** Left outer join: customers with / without orders per nation. */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy($"c_nationkey")
+      .agg(
+        countDistinct($"c_custkey").as("n_cust"),
+        countDistinct(when($"o_orderkey".isNull, $"c_custkey"))
+          .as("n_no_orders"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Full outer join of the two custkey sets, classified. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables(spark, sfDir, "orders").select($"o_custkey").distinct()
+    val b = Tables(spark, sfDir, "customer").select($"c_custkey")
+    a.join(b, a("o_custkey") === b("c_custkey"), "full_outer")
+      .agg(
+        sum(when($"o_custkey".isNotNull && $"c_custkey".isNotNull, 1)
+          .otherwise(0)).cast("long").as("n_both"),
+        sum(when($"c_custkey".isNull, 1).otherwise(0)).cast("long")
+          .as("n_orders_only"),
+        sum(when($"o_custkey".isNull, 1).otherwise(0)).cast("long")
+          .as("n_customer_only"))
+  }
+
+  /** Left semi join (EXISTS): customers with a >250k order. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders").filter($"o_totalprice" > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left anti join (NOT EXISTS): customers with no >250k order. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders").filter($"o_totalprice" > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Cartesian product of the two tiny dims (5 × 25 rows). */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "region").crossJoin(Tables(spark, sfDir, "nation"))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Theta join: equi key + non-equi residual (l_quantity > p_size) —
+    * planned as a hash/sort-merge join with a post-filter, never BNL. */
+  def joinTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, sfDir, "part")
+    val l = Tables(spark, sfDir, "lineitem")
+    p.join(l, p("p_partkey") === l("l_partkey")
+        && l("l_quantity") > p("p_size"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  /** Interval/range join riding an equi key: lineitem rows shipped
+    * within 30 days of their order's date. */
+  def joinRangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem")
+    val o = Tables(spark, sfDir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey")
+        && l("l_shipdate") >= o("o_orderdate")
+        && l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(year($"l_shipdate").as("yr"))
+      .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"yr")
+  }
+
+  /** As-of join: for each purchase event, the latest click of the same
+    * user at-or-before its timestamp. Spark has no native ASOF —
+    * formulated as union + running max over an event-time window:
+    * ONE shuffle by user_id, linear state, scales to any event count
+    * (the naive join+row_number is quadratic per key). */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("click_ts"),
+        lit(null).cast(LongType).as("p_event_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast(TimestampType).as("click_ts"),
+        $"event_id".as("p_event_id"))
+    // clicks sort before purchases at equal ts: "at-or-before" includes ties
+    val tagged = clicks.withColumn("src", lit(0))
+      .unionByName(purchases.withColumn("src", lit(1)))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", max($"click_ts").over(w))
+      .filter($"p_event_id".isNotNull)
+      .select($"p_event_id".as("event_id"), $"user_id", $"ts",
+        $"last_click_ts")
+      .orderBy($"event_id")
+  }
+
+  /** 5-way star join (TPC-H Q5 shape): revenue per nation for one
+    * region and one order-date year. Dims broadcast; the fact-side
+    * scan carries a pushed date-range predicate (not year(col)=…,
+    * which would defeat pushdown). */
+  def joinMultiwayStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables(spark, sfDir, "region").filter($"r_name" === "ASIA")
+    val n = Tables(spark, sfDir, "nation")
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val l = Tables(spark, sfDir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"n_name")
+      .agg(Det.dsumDec(Det.dec($"l_extendedprice")
+          * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  // ---- §2.6 sorts / top-k ------------------------------------------------
+
+  /** Multi-key sort, mixed directions, explicit null placement (Spark
+    * defaults NULLS FIRST on ASC, DuckDB NULLS LAST — always explicit). */
+  def sortMultikey(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+        nullif($"l_discount", lit(0.0)).as("disc_n"))
+      .orderBy($"l_returnflag".asc, $"l_shipdate".desc,
+        $"disc_n".asc_nulls_first, $"l_orderkey".asc, $"l_linenumber".asc)
+  }
+
+  /** Global top-25 by price → TakeOrderedAndProject (heap per partition
+    * + driver merge — no full sort at any scale). */
+  def topkGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+  }
+
+  // ---- §2.7 set operations ----------------------------------------------
+
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val hi = o.filter($"o_totalprice" > 350000)
+      .select($"o_orderkey", lit("high").as("tag"))
+    val lo = o.filter($"o_totalprice" < 20000)
+      .select($"o_orderkey", lit("low").as("tag"))
+    hi.unionByName(lo).orderBy($"tag", $"o_orderkey")
+  }
+
+  def unionDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      .union(c.filter($"c_acctbal" > 5000).select($"c_custkey"))
+      .distinct()
+      .orderBy($"c_custkey")
+  }
+
+  def intersectKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val y1997 = o.filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp")
+      && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val y1998 = o.filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp")
+      && $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    y1997.intersect(y1998).orderBy($"o_custkey")
+  }
+
+  def exceptKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer").select($"c_custkey")
+    val big = Tables(spark, sfDir, "orders")
+      .filter($"o_totalprice" > 200000)
+      .select($"o_custkey".as("c_custkey"))
+    c.except(big).orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> scanProject,
+    "q_source_range" -> sourceRange,
+    "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
+    "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
+    "q_filter_predicates" -> filterPredicates,
+    "q_project_compute" -> projectCompute,
+    "q_cast_decimal" -> castDecimal,
+    "q_join_inner" -> joinInner,
+    "q_join_broadcast" -> joinBroadcast,
+    "q_join_left_outer" -> joinLeftOuter,
+    "q_join_full_outer" -> joinFullOuter,
+    "q_join_semi" -> joinSemi,
+    "q_join_anti" -> joinAnti,
+    "q_join_cross" -> joinCross,
+    "q_join_theta" -> joinTheta,
+    "q_join_range_interval" -> joinRangeInterval,
+    "q_join_asof" -> joinAsof,
+    "q_join_multiway_star" -> joinMultiwayStar,
+    "q_sort_multikey" -> sortMultikey,
+    "q_topk_global" -> topkGlobal,
+    "q_union_all" -> unionAll,
+    "q_union_distinct" -> unionDistinct,
+    "q_intersect" -> intersectKeys,
+    "q_except" -> exceptKeys
+  )
+}
