@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -38,7 +39,120 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** DISTINCT aggregates — count(DISTINCT), sum(DISTINCT). The distinct
+    * sum goes through decimal so addition order over the distinct set
+    * cannot matter. */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"),
+        sum_distinct($"l_quantity".cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_dist_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP subtotals over the region→nation dimension chain. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    val n = Tables(spark, sfDir, "nation")
+    val r = Tables(spark, sfDir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), Det.dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE over returnflag × linestatus. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), Det.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS incl. a grouping-id disambiguator
+    * (computed as grouping(a)*2+grouping(b) — portable across engines). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"),
+          Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("sum_price"),
+        (grouping($"o_orderstatus").cast(IntegerType) * 2
+          + grouping($"o_orderpriority").cast(IntegerType)).as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Statistical aggregates. These are genuinely order-dependent double
+    * accumulations — confined to small-magnitude columns so round(…,4)
+    * absorbs the accumulation jitter (SURVEY §7.6 rule 2). */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        Det.r4(stddev_samp($"l_quantity")).as("sd_qty"),
+        Det.r4(var_samp($"l_quantity")).as("var_qty"),
+        Det.r4(stddev_samp($"l_discount")).as("sd_disc"),
+        Det.r4(corr($"l_quantity", $"l_extendedprice")).as("corr_qty_price"),
+        Det.r4(covar_pop($"l_quantity", $"l_discount")).as("cov_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Deterministic list aggregation: sorted distinct values joined to a
+    * string (the portable alternative to engine-ordered collect_list). */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(array_join(array_sort(collect_set($"l_quantity".cast(IntegerType))),
+        ",").as("qty_set"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** HLL++ approximate distinct — sketch values are engine-specific by
+    * design, so no oracle (driver records a rows-only check). */
+  def aggHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Exact interpolated percentiles + median. Both engines use the
+    * (n-1)·p linear-interpolation definition on identical doubles. */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        Det.r4(expr("percentile(l_quantity, 0.25)")).as("p25_qty"),
+        Det.r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        Det.r4(expr("percentile(l_quantity, 0.75)")).as("p75_qty"),
+        Det.r4(median($"l_extendedprice")).as("med_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_hash_q1" -> q1
+    "q_agg_hash_q1" -> q1,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_rollup" -> aggRollup,
+    "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_agg_stats" -> aggStats,
+    "q_agg_collect_sorted" -> aggCollectSorted,
+    "q_agg_hll" -> aggHll,
+    "q_agg_percentile" -> aggPercentile
   )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 (pivot / unpivot / generators) + §2.10 (subqueries).
+  *
+  * Scale posture: pivot uses an EXPLICIT value list (never the
+  * values-discovery scan), explode runs inside codegen (`GenerateExec`),
+  * and the shingle generator is a typed flatMap — per-row fan-out with
+  * no driver involvement. Subqueries go through `spark.sql` to exercise
+  * the EP1 SQL entry point and Catalyst's decorrelation rules.
+  */
+object Generators {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** users × event_type count matrix. Explicit pivot values — at scale
+    * the implicit variant would add a distinct-scan job first. */
+  def pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy($"user_id")
+  }
+
+  /** Melt the pivot matrix back to long form (Dataset.unpivot). */
+  def unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pivot(spark, sfDir)
+      .unpivot(Array($"user_id"), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Tokenize → explode → per-language top-5 terms. */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, sfDir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Custom generator (typed UDTF path): 3-gram word shingles per doc,
+    * summarized as total + distinct counts. flatMap fans out inside the
+    * task — the generator itself never shuffles. */
+  def udtfShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).sliding(3).collect {
+          case w if w.length == 3 => (id, w.mkString(" "))
+        }
+      }
+      .toDF("doc_id", "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct($"shingle").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  /** Scalar subquery via the SQL entry point (EP1): orders above the
+    * global average price (average computed exactly in decimal). */
+  def subqueryScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+        |         / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated subquery (Catalyst decorrelates): customers counted by
+    * how many of their orders exceed 1.2× their own average. */
+  def subqueryInCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, n_above FROM (
+        |  SELECT c_custkey,
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 1.2 * (
+        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+        |               / count(*)
+        |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS n_above
+        |  FROM customer c)
+        |WHERE n_above > 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> pivot,
+    "q_unpivot" -> unpivot,
+    "q_explode_tokens" -> explodeTokens,
+    "q_udtf_shingles" -> udtfShingles,
+    "q_subquery_scalar" -> subqueryScalar,
+    "q_subquery_in_correlated" -> subqueryInCorrelated
+  )
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale posture: every window partitions by a real key (custkey,
+  * user_id, suppkey) — one shuffle by that key, then per-partition
+  * sorted evaluation. No global (unpartitioned) windows anywhere: a
+  * `Window.orderBy` without partitionBy funnels the planet through one
+  * task and is banned in this codebase.
+  *
+  * Determinism: window ORDER BY always ends in a unique key so frame
+  * contents are identical across engines; frames are written explicitly
+  * (ROWS …) rather than relying on default RANGE frames.
+  */
+object Windows {
+
+  /** rank / dense_rank / row_number per customer by price. */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** lag / lead / first / last over per-user event time. */
+  def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"value",
+        lag($"ts", 1).over(w).as("prev_ts"),
+        lead($"value", 1).over(w).as("next_value"),
+        first($"value").over(wAll).as("first_value"),
+        last($"value").over(wAll).as("running_last"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  /** Running total + 3-row moving average (explicit ROWS frames).
+    * Sums go through decimal: sliding-window engines may combine
+    * partials in different orders (segment trees vs linear). */
+  def winFrameRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-2, Window.currentRow)
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        sum(Det.dec($"o_totalprice")).over(run).cast(DoubleType)
+          .as("running_total"),
+        (sum(Det.dec($"o_totalprice")).over(mov).cast(DoubleType)
+          / count(lit(1)).over(mov)).as("moving_avg"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** RANGE frame on a numeric order key: peers within 10k price below. */
+  def winFrameRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
+      .rangeBetween(-10000, Window.currentRow)
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        count(lit(1)).over(w).as("n_near"),
+        sum(Det.dec($"o_totalprice")).over(w).cast(DoubleType).as("sum_near"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Per-group top-k pattern: top-3 parts by revenue per supplier.
+    * Revenue stays decimal through the rank so ordering is exact. */
+  def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("rev_dec"))
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"rev_dec".desc, $"l_partkey".asc)
+    rev.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"l_suppkey", $"l_partkey", $"rev_dec".cast(DoubleType)
+        .as("revenue"), $"rk")
+      .orderBy($"l_suppkey", $"rk")
+  }
+
+  /** ntile / percent_rank / cume_dist. */
+  def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        Det.r4(percent_rank().over(w)).as("pct_rank"),
+        Det.r4(cume_dist().over(w)).as("cume"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> winRank,
+    "q_win_lag_lead" -> winLagLead,
+    "q_win_frame_rows" -> winFrameRows,
+    "q_win_frame_range" -> winFrameRange,
+    "q_win_topk_per_group" -> winTopkPerGroup,
+    "q_win_distribution" -> winDistribution
+  )
+}

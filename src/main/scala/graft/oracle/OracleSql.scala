@@ -177,7 +177,194 @@ object OracleSql {
         |) ORDER BY c_custkey""".stripMargin
   )
 
-  val all: Map[String, String] = relational ++ Map(
+  private val aggregates: Map[String, String] = Map(
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  cast(sum(DISTINCT cast(l_quantity as decimal(18,4))) as double) AS sum_dist_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name, count(*) AS n_cust, ${dsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price,
+         |  cast(grouping(o_orderstatus) as int) * 2
+         |    + cast(grouping(o_orderpriority) as int) AS gid
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), ())
+         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(stddev_samp(l_discount), 4) AS sd_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_pop(l_quantity, l_discount), 4) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_collect_sorted" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  array_to_string(list_sort(list_distinct(
+        |    list(cast(l_quantity as int)))), ',') AS qty_set
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+
+  private val windows: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  row_number() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """SELECT event_id, user_id, cast(ts as timestamp) AS ts, value,
+        |  cast(lag(ts, 1) OVER w as timestamp) AS prev_ts,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+        |  last_value(value) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_win_frame_rows" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+        |    AS running_total,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER
+        |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double)
+        |    / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    AS moving_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_frame_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER w AS n_near,
+        |  cast(sum(cast(o_totalprice as decimal(12,2))) OVER w as double)
+        |    AS sum_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_win_topk_per_group" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, l_partkey,
+         |    sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")})) AS rev_dec
+         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+         |    ORDER BY rev_dec DESC, l_partkey ASC) AS rk FROM rev)
+         |SELECT l_suppkey, l_partkey, cast(rev_dec as double) AS revenue, rk
+         |FROM rk WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
+    "q_win_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin
+  )
+
+  private val pivotCols =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  private val pivotSql: String =
+    s"""SELECT user_id,
+       |${pivotCols.map(t => s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
+       |FROM events GROUP BY user_id""".stripMargin
+
+  private val generators: Map[String, String] = Map(
+    "q_pivot" -> s"""SELECT * FROM ($pivotSql) ORDER BY user_id""",
+
+    "q_unpivot" ->
+      s"""WITH g AS ($pivotSql)
+         |SELECT * FROM (
+         |${pivotCols.map(t => s"  SELECT user_id, '$t' AS event_type, $t AS n FROM g").mkString("\n  UNION ALL\n")}
+         |) ORDER BY user_id, event_type""".stripMargin,
+
+    "q_explode_tokens" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT lang, token, count(*) AS cnt FROM tok
+        |  WHERE token <> '' GROUP BY lang, token),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, token ASC) AS rk FROM c)
+        |SELECT lang, token, cnt, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
+    "q_udtf_shingles" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, cast(len(sh) as bigint) AS n_shingles,
+        |  cast(len(list_distinct(sh)) as bigint) AS n_distinct
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+        |         / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_in_correlated" ->
+      """SELECT c_custkey, n_above FROM (
+        |  SELECT c_custkey,
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > 1.2 * (
+        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+        |               / count(*)
+        |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS n_above
+        |  FROM customer c)
+        |WHERE n_above > 0
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  val all: Map[String, String] = relational ++ aggregates ++ windows ++
+    generators ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,
