@@ -144,8 +144,50 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Numerically-stable (Welford/Chan) variance as a typed Aggregator —
+    * the §2.13 custom-UDAF surface. Compared against the built-in
+    * var_samp; round(…,4) absorbs the differing accumulation orders. */
+  case class WelfordBuf(n: Long, mean: Double, m2: Double)
+  object WelfordVar
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Double, WelfordBuf, Double] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: WelfordBuf = WelfordBuf(0L, 0.0, 0.0)
+    def reduce(b: WelfordBuf, x: Double): WelfordBuf = {
+      val n = b.n + 1
+      val d = x - b.mean
+      val mean = b.mean + d / n
+      WelfordBuf(n, mean, b.m2 + d * (x - mean))
+    }
+    def merge(a: WelfordBuf, b: WelfordBuf): WelfordBuf =
+      if (a.n == 0) b
+      else if (b.n == 0) a
+      else {
+        val n = a.n + b.n
+        val d = b.mean - a.mean
+        WelfordBuf(n, a.mean + d * b.n / n,
+          a.m2 + b.m2 + d * d * a.n * b.n / n)
+      }
+    def finish(b: WelfordBuf): Double =
+      if (b.n < 2) Double.NaN else b.m2 / (b.n - 1)
+    def bufferEncoder: Encoder[WelfordBuf] = Encoders.product[WelfordBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def udafWelford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val welford = udaf(WelfordVar)
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        Det.r4(welford($"l_quantity")).as("welford_var"),
+        Det.r4(var_samp($"l_quantity")).as("builtin_var"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_hash_q1" -> q1,
+    "q_udaf_welford" -> udafWelford,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_rollup" -> aggRollup,
     "q_agg_cube" -> aggCube,

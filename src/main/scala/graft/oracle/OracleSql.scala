@@ -363,8 +363,109 @@ object OracleSql {
         |ORDER BY c_custkey""".stripMargin
   )
 
+  private val scalars: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |  substring(c_name, 1, 8) AS name_head,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  trim('  ' || c_mktsegment || '  ') AS seg_trim,
+        |  lpad(cast(c_custkey as varchar), 8, '0') AS key_padded,
+        |  concat_ws('-', c_mktsegment, cast(c_custkey as varchar)) AS seg_key,
+        |  string_split(c_name, '#')[2] AS name_num,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        |  cast(length(c_name) as int) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  cast(year(o_orderdate) as int) AS yr,
+        |  cast(month(o_orderdate) as int) AS mo,
+        |  cast(day(o_orderdate) as int) AS dom,
+        |  cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+        |  cast(o_orderdate as date) + 30 AS plus30,
+        |  cast(date_diff('day', cast(o_orderdate as date), DATE '1998-01-01') as int) AS days_to_98,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  cast(epoch(o_orderdate) as bigint) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS abs_off,
+        |  cast(floor(p_retailprice) as bigint) AS price_floor,
+        |  cast(ceil(p_retailprice) as bigint) AS price_ceil,
+        |  cast(pow(p_size, 2) as bigint) AS size_sq,
+        |  round(sqrt(p_retailprice), 4) AS price_sqrt,
+        |  round(ln(p_retailprice), 4) AS price_ln,
+        |  round(log10(p_retailprice), 4) AS price_log10,
+        |  p_partkey % 7 AS key_mod7,
+        |  cast(sign(p_size - 25) as int) AS size_sign,
+        |  greatest(p_size, 25) AS size_hi,
+        |  least(p_size, 25) AS size_lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  cast(len(embedding) as int) AS n_dims,
+        |  round(cast(embedding[1] as double), 4) AS first_elem,
+        |  embedding[1:4] AS head4,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> cast(x as double) * cast(x as double))), 4) AS norm_sq,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> cast(x as double))), 4) AS sum_elems,
+        |  list_contains(range(1, label + 2), 3) AS label_ge2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_map_json_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  cast(json_extract_string(props, '$.k') as int) AS k_val,
+        |  json_keys(props) AS prop_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_conditional_null" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_or_none,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nullif,
+        |  ifnull(nullif(c_mktsegment, 'BUILDING'), 'fallback') AS seg_nvl,
+        |  CASE WHEN c_acctbal < 0 THEN -1.0 ELSE sqrt(c_acctbal) END AS sqrt_or_neg1,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+        |    nullif(c_mktsegment, 'AUTOMOBILE') AS ns_eq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_udf_despath" ->
+      """SELECT o_orderkey,
+        |  '2013' || lpad(cast(o_orderkey % 500 as varchar), 4, '0') AS run,
+        |  'DECam_' || lpad(cast(o_orderkey % 100 as varchar), 8, '0') AS expname,
+        |  cast(o_orderkey % 62 + 1 as int) AS ccd,
+        |  '/desdata/OPS/red/' || run || '/red/' || expname || '/' || expname
+        |    || '_' || lpad(cast(ccd as varchar), 2, '0') || '.fits' AS path_udf,
+        |  path_udf AS path_builtin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_udaf_welford" ->
+      """SELECT l_returnflag,
+        |  round(var_samp(l_quantity), 4) AS welford_var,
+        |  round(var_samp(l_quantity), 4) AS builtin_var
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hierarchy_srclist" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT o_orderkey AS leaf, o_orderkey AS cur, 0 AS depth FROM orders
+        |  UNION ALL
+        |  SELECT w.leaf, w.cur // 10 AS cur, w.depth + 1 AS depth FROM walk w
+        |  WHERE w.cur // 10 <> w.cur
+        |    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10))
+        |SELECT leaf, cur AS root, cast(depth as int) AS depth
+        |FROM walk w
+        |WHERE w.cur // 10 = w.cur
+        |   OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10)
+        |ORDER BY leaf""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    generators ++ Map(
+    generators ++ scalars ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,
