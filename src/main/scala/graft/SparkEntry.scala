@@ -12,7 +12,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Windows.queries ++
-      Generators.queries ++ Scalars.queries ++ DesFiles.queries
+      Generators.queries ++ Scalars.queries ++ DesFiles.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

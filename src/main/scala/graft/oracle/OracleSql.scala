@@ -464,8 +464,55 @@ object OracleSql {
         |ORDER BY leaf""".stripMargin
   )
 
+  private val streaming: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT cast(time_bucket(INTERVAL '1 hour', ts) as timestamp) AS window_start,
+         |  cast(time_bucket(INTERVAL '1 hour', ts) as timestamp)
+         |    + INTERVAL '1 hour' AS window_end,
+         |  event_type, count(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      s"""SELECT cast(time_bucket(INTERVAL '15 minutes', ts) as timestamp)
+         |    - k * INTERVAL '15 minutes' AS window_start,
+         |  cast(time_bucket(INTERVAL '15 minutes', ts) as timestamp)
+         |    - k * INTERVAL '15 minutes' + INTERVAL '1 hour' AS window_end,
+         |  event_type, count(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(k)
+         |GROUP BY 1, 2, 3
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_session" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sessions AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flagged)
+         |SELECT user_id,
+         |  cast(min(ts) as timestamp) AS session_start,
+         |  cast(max(ts) as timestamp) + INTERVAL '30 minutes' AS session_end,
+         |  count(*) AS n_events, ${dsum("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, cast(ts as timestamp) AS ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    generators ++ scalars ++ Map(
+    generators ++ scalars ++ streaming ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,
