@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Windows.queries ++
       Generators.queries ++ Scalars.queries ++ DesFiles.queries ++
-      StreamingOps.queries
+      StreamingOps.queries ++ LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

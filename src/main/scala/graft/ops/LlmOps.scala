@@ -1,0 +1,359 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.12 + builder-mandated extension: the operators a
+  * large-scale training-data pipeline needs — dedup (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding cosine), similarity search
+  * (brute force + bucketed ANN), text analysis (stats, quality,
+  * language-ID, fingerprint, token counting) and multimodal column
+  * plumbing.
+  *
+  * Scale posture — the core discipline here is that NO operator ever
+  * materializes the O(n²) pair space blindly:
+  *  - n-gram Jaccard generates candidates through the shingle inverted
+  *    index (join on shingle), so only docs SHARING a shingle pair up.
+  *  - MinHash/LSH pairs only docs sharing a band bucket; the exact
+  *    Jaccard verification runs on candidates, not the cross product.
+  *  - SimHash pairs through byte-banding (pigeonhole: hamming ≤ 7 ⇒
+  *    some of 8 bytes equal).
+  *  - ANN buckets vectors by an 8-bit sign hash; only the query's
+  *    bucket is scanned. The brute-force variants exist as correctness
+  *    baselines and are marked as such.
+  */
+object LlmOps {
+
+  /** Distinct 3-gram word shingles per doc, as a codegen'd expression
+    * (no UDF): doc_id, shingle. */
+  private def shingleDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(
+      """array_distinct(CASE WHEN size(split(text, ' ')) >= 3
+        |  THEN transform(sequence(1, size(split(text, ' ')) - 2),
+        |       i -> array_join(slice(split(text, ' '), i, 3), ' '))
+        |  ELSE array() END""".stripMargin + ")")).as("shingle"))
+
+  /** Exact Jaccard over shingle sets for a given candidate pair set
+    * (doc_a, doc_b) — candidates join the inverted index, never n². */
+  private def jaccardFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    candidates
+      .join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+      .join(sz.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Det.r4(col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
+
+  // ---- dedup family ------------------------------------------------------
+
+  /** Exact dedup: canonical (min) doc_id per identical text. groupBy,
+    * NOT dropDuplicates — the latter is tie-nondeterministic. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.6, candidates via the
+    * shingle inverted index — a SINGLE self-join pass: the same join
+    * that discovers a pair also counts its common shingles (map-side
+    * partial aggregation collapses the pair stream before the shuffle). */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleDf(Tables(spark, sfDir, "documents")).localCheckpoint()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
+      .filter($"jaccard" >= 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** MinHash + LSH banding: 32 permutations (xxhash64 seeded by
+    * permutation index), 8 bands × 4 rows; candidates share a band
+    * bucket, then exact Jaccard verifies ≥ 0.6. Sketch values are
+    * engine-specific → no SQL oracle (rows-only check); the test suite
+    * asserts recall vs the exact-Jaccard pairs instead. */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleDf(Tables(spark, sfDir, "documents"))
+    val seeds = array((0 until 32).map(lit): _*)
+    val sig = sh
+      .select($"doc_id", explode(seeds).as("seed"), $"shingle")
+      .groupBy($"doc_id", $"seed")
+      .agg(min(xxhash64($"seed", $"shingle")).as("mh"))
+      .withColumn("band", $"seed" / 4 cast IntegerType)
+      .groupBy($"doc_id", $"band")
+      .agg(xxhash64(array_join(transform(
+        array_sort(collect_list(struct($"seed", $"mh"))),
+        s => s.getField("mh").cast(StringType)), ",")).as("band_key"))
+    val candidates = sig.select($"doc_id".as("doc_a"), $"band", $"band_key")
+      .join(sig.select($"doc_id".as("doc_b"), $"band", $"band_key"),
+        Seq("band", "band_key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    jaccardFor(candidates, sh)
+      .filter($"jaccard" >= 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val simhashUdf = udf((hs: Seq[Long]) => {
+    // 64-bit SimHash: per-bit ±1 vote over shingle hashes. Order-
+    // independent (a sum), so safe under any partitioning.
+    val votes = new Array[Int](64)
+    hs.foreach { h =>
+      var i = 0
+      while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+    }
+    votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > 0) acc | (1L << i) else acc
+    }
+  })
+
+  /** SimHash near-dup: byte-banded candidates (hamming ≤ 7 guarantees a
+    * shared byte among 8), exact hamming ≤ 6 filter. Hash-specific →
+    * rows-only check. */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = shingleDf(Tables(spark, sfDir, "documents"))
+      .groupBy($"doc_id")
+      .agg(collect_list(xxhash64($"shingle")).as("hs"))
+      .select($"doc_id", simhashUdf($"hs").as("simhash"))
+    val banded = sig.select($"doc_id", $"simhash",
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("byte", expr("(simhash >> (band * 8)) & 255"))
+    val candidates = banded
+      .select($"doc_id".as("doc_a"), $"simhash".as("sh_a"), $"band", $"byte")
+      .join(banded.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
+        $"band", $"byte"), Seq("band", "byte"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+    candidates
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hamming" <= 6)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Dot product via the codegen'd FloatVectorDot expression (see
+    * graft.functions.VectorExpressions) — same left-to-right double
+    * accumulation as the builtin zip_with+aggregate formulation and the
+    * DuckDB oracle, ~100× faster on the pair space. */
+  private def dot(spark: SparkSession)(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(spark)(a, b)
+
+  /** Embedding near-dup pairs, cosine ≥ 0.4 (vectors are L2-normalized
+    * — dot ≡ cosine). Brute-force baseline; the ANN path below is the
+    * scale road. */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+    val a = v.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = v.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
+      .filter($"sim" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Brute-force cosine top-10 around vec_id = 0 (the correctness
+    * baseline for ANN). The single query row is broadcast. */
+  def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    v.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val bucketExpr = expr(
+    """aggregate(sequence(1, 8), 0L,
+      |  (acc, i) -> acc + IF(element_at(embedding, i) > 0,
+      |                       shiftleft(1L, i - 1), 0L))""".stripMargin)
+
+  /** Bucketed ANN: 8-bit sign hash of the leading dims partitions the
+    * corpus into 256 cells; only the query's cell is scanned. At 100 TB
+    * this is the IVF pattern — the bucket column is what you'd
+    * partition/bucket the table by on disk. */
+  def simAnnBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+      .withColumn("bucket", bucketExpr)
+    val q = v.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"bucket")
+    v.filter($"vec_id" =!= 0)
+      .join(broadcast(q), "bucket")
+      .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(5)
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  /** Corpus stats per language. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"lang", $"source", $"n_chars",
+        size(split($"text", " ")).as("n_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.davg($"n_chars").as("avg_chars"),
+        Det.davg($"n_tokens").as("avg_tokens"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Per-doc quality signals: token count, mean token length,
+    * punctuation ratio, stopword ratio, and a blended score. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val nTok = size(toks)
+    val punct = length(regexp_replace($"text", "[^.,;:!?]", ""))
+    val stops = size(filter(toks, t => t.isInCollection(Stopwords)))
+    Tables(spark, sfDir, "documents")
+      // NO round() here: per-row double arithmetic is already bit-
+      // identical across engines, and rounding ratios of small integers
+      // CREATES cross-engine ties (e.g. 1/32 = .03125) — see Det.
+      .select($"doc_id",
+        nTok.as("n_tokens"),
+        ((length($"text") - nTok + 1).cast(DoubleType) / nTok)
+          .as("avg_tok_len"),
+        (punct.cast(DoubleType) / length($"text")).as("punct_ratio"),
+        (stops.cast(DoubleType) / nTok).as("stop_ratio"),
+        (lit(0.5) * stops.cast(DoubleType) / nTok
+          + lit(0.3) * least(nTok.cast(DoubleType) / 100.0, lit(1.0))
+          + lit(0.2) * (lit(1.0) - punct.cast(DoubleType) / length($"text")))
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID by marker-substring frequency (n-gram heuristic).
+    * Scores are substring-occurrence counts; argmax with a fixed
+    * tie-break order. (On this synthetic corpus it is a mechanism
+    * demo — the plumbing, scoring and argmax shape are the real part.) */
+  def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def occ(m: String): Column =
+      length($"text") - length(expr(s"replace(text, '$m', '')"))
+    val sEn = occ("th")
+    val sDe = occ("sch")
+    val sEs = occ("rr")
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        sEn.as("score_en"), sDe.as("score_de"), sEs.as("score_es"),
+        when(sEn >= sDe && sEn >= sEs, "en")
+          .when(sDe >= sEs, "de").otherwise("es").as("pred"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over the token stream (order-
+    * sensitive, mod 1e9+7) — entirely in codegen'd higher-order
+    * functions, no UDF. */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", expr(
+        """aggregate(
+          |  transform(split(text, ' '),
+          |    t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t) as bigint)),
+          |  cast(0 as bigint),
+          |  (acc, c) -> (acc * 131 + c) % 1000000007)""".stripMargin)
+        .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish regex
+    * (letter-runs / digit-runs / single punctuation). */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_ws"),
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+          .as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- multimodal columns ------------------------------------------------
+
+  /** Mixed scalar + vector row: documents ⨝ embeddings carrying the
+    * raw float array through the shuffle. */
+  def multimodalCols(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "documents")
+    val v = Tables(spark, sfDir, "embeddings")
+    d.join(v, d("doc_id") === v("vec_id"))
+      .select($"doc_id", $"lang", $"n_chars", $"label", $"embedding")
+      .orderBy($"doc_id")
+  }
+
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      n_frames: Int)
+
+  /** Multimodal binary plumbing: an opaque binary column (utf-8 bytes
+    * standing in for image/audio payloads) flows through a typed
+    * mapPartitions "decode" stage producing structured metadata.
+    *
+    * STUB: the decode body is a deterministic fake (codec libraries are
+    * not in this container) — real deployments swap the body for an
+    * actual image/audio decoder. The Spark-side shape (binary column,
+    * per-partition batch iteration, typed output schema) is the real,
+    * tested part. */
+  def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        // STUB decode — replace with e.g. ImageIO/ffmpeg per partition.
+        val n = bytes.length
+        MediaMeta(id, n, n % 640, (n / 7) % 480, n % 30)
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_embedding" -> dedupEmbedding,
+    "q_sim_cosine_topk" -> simCosineTopk,
+    "q_sim_ann_bucketed" -> simAnnBucketed,
+    "q_text_stats" -> textStats,
+    "q_text_quality" -> textQuality,
+    "q_text_langid" -> textLangid,
+    "q_text_fingerprint" -> textFingerprint,
+    "q_token_count" -> tokenCount,
+    "q_multimodal_cols" -> multimodalCols,
+    "q_multimodal_binary" -> multimodalBinary
+  )
+}

@@ -511,8 +511,129 @@ object OracleSql {
         |ORDER BY user_id, event_type""".stripMargin
   )
 
+  private val shingleCte: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 0) + 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM tk)""".stripMargin
+
+  private val dotSql: String =
+    "round(list_sum(list_transform(range(1, 65), " +
+      "i -> cast(a.embedding[i] as double) * cast(q.embedding[i] as double))), 4)"
+
+  private val bucketSql: String =
+    "cast(list_sum(list_transform(range(1, 9), " +
+      "i -> CASE WHEN embedding[i] > 0 THEN (cast(1 as bigint) << (i - 1)) ELSE 0 END)) as bigint)"
+
+  private val llm: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
+         |JOIN sz y ON p.doc_b = y.doc_id
+         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, q.vec_id AS vec_b, $dotSql AS sim
+         |FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
+         |WHERE $dotSql >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      s"""SELECT a.vec_id, $dotSql AS sim
+         |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q_sim_ann_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT a.vec_id, $dotSql AS sim
+         |FROM b a JOIN (SELECT embedding, bucket, vec_id FROM b WHERE vec_id = 0) q
+         |  ON a.bucket = q.bucket
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  ${davg("n_chars")} AS avg_chars,
+         |  ${davg("len(string_split(text, ' '))")} AS avg_tokens,
+         |  count(DISTINCT source) AS n_sources
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split(text, ' ')) as int) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |    cast(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) as int)
+        |      AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  cast(n_chars - n_tokens + 1 as double) / n_tokens AS avg_tok_len,
+        |  cast(n_punct as double) / n_chars AS punct_ratio,
+        |  cast(n_stop as double) / n_tokens AS stop_ratio,
+        |  0.5 * cast(n_stop as double) / n_tokens
+        |    + 0.3 * least(cast(n_tokens as double) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - cast(n_punct as double) / n_chars) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    cast(length(text) - length(replace(text, 'th', '')) as int) AS score_en,
+        |    cast(length(text) - length(replace(text, 'sch', '')) as int) AS score_de,
+        |    cast(length(text) - length(replace(text, 'rr', '')) as int) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, lang, score_en, score_de, score_es,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+        |       WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(cast(0 as bigint),
+        |    list_transform(string_split(text, ' '),
+        |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t) as bigint))),
+        |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) as int) AS n_ws,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as int) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_cols" ->
+      """SELECT doc_id, lang, n_chars, label, embedding
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_binary" ->
+      """WITH f AS (
+        |  SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, n_bytes % 640 AS width,
+        |  (n_bytes // 7) % 480 AS height, n_bytes % 30 AS n_frames
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    generators ++ scalars ++ streaming ++ Map(
+    generators ++ scalars ++ streaming ++ llm ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,
