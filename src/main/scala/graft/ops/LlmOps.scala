@@ -94,19 +94,23 @@ object LlmOps {
     * asserts recall vs the exact-Jaccard pairs instead. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleDf(Tables(spark, sfDir, "documents"))
-    val seeds = array((0 until 32).map(lit): _*)
-    val sig = sh
-      .select($"doc_id", explode(seeds).as("seed"), $"shingle")
-      .groupBy($"doc_id", $"seed")
-      .agg(min(xxhash64($"seed", $"shingle")).as("mh"))
-      .withColumn("band", $"seed" / 4 cast IntegerType)
-      .groupBy($"doc_id", $"band")
-      .agg(xxhash64(array_join(transform(
-        array_sort(collect_list(struct($"seed", $"mh"))),
-        s => s.getField("mh").cast(StringType)), ",")).as("band_key"))
-    val candidates = sig.select($"doc_id".as("doc_a"), $"band", $"band_key")
-      .join(sig.select($"doc_id".as("doc_b"), $"band", $"band_key"),
+    val sh = shingleDf(Tables(spark, sfDir, "documents")).localCheckpoint()
+    // all 32 minhashes in ONE aggregation pass (32 min() columns) —
+    // no 32× row explosion; the shuffle carries one row per doc.
+    val mhCols = (0 until 32).map(i =>
+      min(xxhash64(lit(i), $"shingle")).as(s"mh$i"))
+    val sig = sh.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // 8 bands × 4 rows: band key = hash of its 4 minhashes
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
+          .as("band_key"))
+    }
+    val banded = sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.band_key")
+    val candidates = banded.select($"doc_id".as("doc_a"), $"band", $"band_key")
+      .join(banded.select($"doc_id".as("doc_b"), $"band", $"band_key"),
         Seq("band", "band_key"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** SURVEY §4 — the optimizer story is Catalyst's; these tests pin the
+  * plan shapes we rely on at scale, so a regression that silently
+  * de-optimizes (losing pushdown, falling into a cartesian join,
+  * full-sorting a top-k) fails the build rather than the cluster. */
+class PlanSpec extends SparkSpec {
+
+  test("filter predicates are pushed to the parquet scan") {
+    val plan = finalPlan(Relational.filterPredicates(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan.take(500))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)")
+      || plan.contains("In(l_returnflag"), plan.take(500))
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val plan = finalPlan(Relational.scanProject(spark, sfDir))
+    val readSchema = plan.split("ReadSchema: ").last
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      readSchema.take(200))
+  }
+
+  test("small-dim star join broadcasts") {
+    val plan = finalPlan(Relational.joinBroadcast(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan(Relational.topkGlobal(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("5-way star join avoids cartesian products") {
+    val plan = finalPlan(Relational.joinMultiwayStar(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("theta join keeps its equi key (hash/sort-merge, not BNL)") {
+    val plan = finalPlan(Relational.joinTheta(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") || {
+      // equi-key present: a BHJ/SMJ node must exist for the key
+      plan.contains("HashJoin") || plan.contains("SortMergeJoin")
+    }, plan.take(800))
+  }
+
+  test("custom FloatVectorDot participates in whole-stage codegen") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Tables(spark, sfDir, "embeddings")
+      .select(expr("vec_dot(embedding, embedding)").as("d"))
+    val plan = finalPlan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Project [floatvectordot"), plan.take(500))
+    // and the kernel agrees with the builtin higher-order formulation
+    val both = Tables(spark, sfDir, "embeddings").select(
+      expr("vec_dot(embedding, embedding)").as("fast"),
+      aggregate(zip_with($"embedding", $"embedding",
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .filter($"fast" =!= $"slow")
+    assert(both.count() === 0)
+  }
+
+  test("aggregations run partial (map-side) before the shuffle") {
+    val plan = finalPlan(Aggregates.q1(spark, sfDir))
+    assert(plan.contains("HashAggregate"), plan.take(500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final")
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** SURVEY §5.2 layer 3 — algebraic invariants over generated inputs,
+  * plus corpus-level quality assertions for the sketch-based dedup
+  * operators (recall vs exact Jaccard — golden pairs would overfit to
+  * hash internals). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val smallInts = Gen.listOfN(30, Gen.choose(0, 15))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("set-operation algebra matches Scala set semantics") {
+    check(Prop.forAll(smallInts, smallInts) { (xs: List[Int], ys: List[Int]) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val semi = a.join(b, Seq("v"), "left_semi").as[Int].collect().toSet
+      val anti = a.join(b, Seq("v"), "left_anti").as[Int].collect().toSet
+      a.unionAll(b).count() == xs.size + ys.size &&
+        a.intersect(b).as[Int].collect().toSet ==
+          xs.toSet.intersect(ys.toSet) &&
+        a.except(b).as[Int].collect().toSet == xs.toSet.diff(ys.toSet) &&
+        semi.union(anti) == xs.toSet && semi.intersect(anti).isEmpty
+    })
+  }
+
+  test("row_number within a partition is a permutation of 1..n") {
+    check(Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 100)))) {
+      (rows: List[(Int, Int)]) =>
+        rows.isEmpty || {
+          val df = rows.toDF("k", "v")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"k").orderBy($"v", monotonically_increasing_id())
+          val rns = df.withColumn("rn", row_number().over(w))
+            .groupBy($"k").agg(collect_list($"rn").as("rns"))
+            .as[(Int, Seq[Int])].collect()
+          rns.forall { case (_, ns) => ns.sorted == (1 to ns.size).toList }
+        }
+    })
+  }
+
+  test("Welford aggregator matches var_samp within 1e-9") {
+    val rows = Aggregates.udafWelford(spark, sfDir)
+      .select($"welford_var", $"builtin_var")
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, b) => assert(math.abs(w - b) < 1e-9, s"$w vs $b") }
+  }
+
+  test("as-of join (union+window) equals the naive quadratic formulation") {
+    val e = Tables(spark, sfDir, "events")
+    val fast = Relational.joinAsof(spark, sfDir)
+      .select($"event_id", $"last_click_ts").as[(Long, Option[Timestamp])]
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val naive = p.join(c, $"user_id" === $"cu" && $"cts" <= $"ts", "left")
+      .groupBy($"event_id").agg(max($"cts").as("last_click_ts"))
+      .select($"event_id", $"last_click_ts").as[(Long, Option[Timestamp])]
+    assert(fast.collect().toMap === naive.collect().toMap)
+  }
+  type Timestamp = java.sql.Timestamp
+
+  test("MinHash/LSH finds every exact-Jaccard pair at this threshold") {
+    // candidates are verified with exact Jaccard, so precision is 1 by
+    // construction; recall vs the exhaustive inverted-index pass is the
+    // quality property (8 bands × 4 rows ⇒ ~1.0 for j ≥ 0.9).
+    val exact = LlmOps.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val found = LlmOps.dedupMinhash(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(exact.map(t => (t._1, t._2)).toSet))
+    val strong = exact.filter(_._3 >= 0.9).map(t => (t._1, t._2))
+    assert(strong.nonEmpty, "corpus should contain strong near-dups")
+    val recall = strong.count(found).toDouble / strong.size
+    assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
+  }
+
+  test("bucketed ANN top-k ⊆ brute-force ranking, and hits are exact") {
+    val brute = LlmOps.simCosineTopk(spark, sfDir)
+      .as[(Long, Double)].collect().toMap
+    val ann = LlmOps.simAnnBucketed(spark, sfDir)
+      .as[(Long, Double)].collect()
+    ann.foreach { case (id, sim) =>
+      brute.get(id).foreach(b => assert(b === sim)) // same score when ranked
+    }
+    assert(ann.nonEmpty)
+  }
+
+  test("hierarchy resolution: every chain ends at root 0 with digit depth") {
+    val rows = DesFiles.hierarchySrclist(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (leaf, root, depth) =>
+      assert(root === 0L) // 0 is an existing order key ⇒ global root
+      val digits = if (leaf == 0) 0 else leaf.toString.length
+      assert(depth === digits, s"leaf $leaf depth $depth")
+    }
+  }
+
+  test("exact dedup keeps the minimum doc_id per duplicated text") {
+    val docs = Seq((10L, "a b c"), (3L, "a b c"), (7L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((3L, 2L), (7L, 1L)))
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.ops.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** SURVEY §2.11 test-only rows: the streaming side of the unified
+  * batch/stream transforms — file-source replay parity, watermark
+  * late-data drop, session merge, dropDuplicates state, foreachBatch
+  * sink, mapGroupsWithState. All feeds are deterministic
+  * (MemoryStream + processAllAvailable; no wall-clock coupling). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window: stream over file source matches batch") {
+    val events = Tables(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream
+      .schema(events.schema).parquet(dir)
+      .transform(StreamingOps.tumbling)
+    val q = streamed.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tumbling_out")
+      .orderBy($"window_start", $"event_type").collect()
+    val want = StreamingOps.tumbling(events)
+      .orderBy($"window_start", $"event_type").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("watermark drops late rows in append mode") {
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_out").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      mem.addData((ts("2024-01-01 09:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // late row for the long-closed 00:00 window — must be dropped
+      mem.addData((ts("2024-01-01 00:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_out")
+      .select($"window.start".cast("string"), $"n").as[(String, Long)]
+      .collect().toMap
+    assert(rows.get("2024-01-01 00:00:00").contains(1L),
+      s"late row must not be counted: $rows")
+  }
+
+  test("session windows merge events within the gap") {
+    val mem = MemoryStream[(Timestamp, Long, Double)](spark)
+    val agg = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), 1L, 1.0),
+        (ts("2024-01-01 00:20:00"), 1L, 1.0), // same session (< 30 min)
+        (ts("2024-01-01 01:30:00"), 1L, 1.0)) // new session
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("sess_out").select($"n").as[Long]
+      .collect().sorted.toSeq
+    assert(sessions === Seq(1L, 2L))
+  }
+
+  test("streaming dropDuplicates holds state across batches") {
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:01:00"), 1L), // dup from batch 1
+        (ts("2024-01-01 00:02:00"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("foreachBatch sink writes each batch exactly once") {
+    val outDir = Files.createTempDirectory("graft_febatch").toString
+    val mem = MemoryStream[Long](spark)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        assert(seen.add(id), s"batch $id delivered twice")
+        df.write.mode("append").parquet(s"$outDir/b$id")
+      }
+      .start()
+    try {
+      mem.addData(1L, 2L); q.processAllAvailable()
+      mem.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$outDir/b*").count() === 3)
+  }
+
+  test("mapGroupsWithState keeps a running per-key counter") {
+    val mem = MemoryStream[(Long, Double)](spark)
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+        })
+    val q = counted.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("state_out").outputMode("update").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("state_out").groupBy($"user_id")
+      .agg(max($"n").as("n")).as[(Long, Long)].collect().toMap
+    assert(last === Map(1L -> 3L, 2L -> 1L))
+  }
+}
