@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.FloatVectorDot
+
+/** Session-extension entry point: makes the engine's native functions
+  * available to any session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) — the idiomatic way to
+  * ship custom Catalyst expressions with a library. Per-session
+  * registration for already-running sessions goes through
+  * `graft.functions.VectorExpressions.register`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      exprs => FloatVectorDot(exprs(0), exprs(1))))
+  }
+}
