@@ -82,9 +82,11 @@ object DesFiles {
     val maxDepth = 20 // cycle guard: div-10 chains end within log₁₀(max id)
     while (level < maxDepth && !frontier.isEmpty) {
       val j = frontier.join(edges, frontier("cur") === edges("child"), "left")
+      // resolved stays LAZY — it re-reads the (checkpointed) frontier,
+      // so the union's final plan is depth-many cheap joins; only the
+      // frontier needs eager truncation to stop lineage growth.
       resolved += j.filter($"parent".isNull)
         .select($"leaf", $"cur".as("root"), $"depth")
-        .localCheckpoint()
       frontier = j.filter($"parent".isNotNull)
         .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"))
         .localCheckpoint()
