@@ -16,7 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Plan-object cache: DataFrames are immutable lazy plans, so reusing
+  // one skips the parquet footer read/schema inference that
+  // spark.read.parquet pays per call (72 queries × 10 tables adds up in
+  // the bench loop). Keyed by session so a stopped session's plans are
+  // never resurrected.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
       // read natively. Read it as raw nanos and truncate to micros with

@@ -61,6 +61,13 @@ object StreamingOps {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
   }
 
+  /** Streaming source for events-shaped directories (schema pinned from
+    * the directory's existing files — streaming sources require an
+    * explicit schema), so every transform above runs unchanged under
+    * `readStream`. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+
   // ---- declared batch-query forms ---------------------------------------
 
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame = {

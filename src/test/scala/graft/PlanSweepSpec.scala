@@ -1,0 +1,29 @@
+package graft
+
+/** Blanket plan audit: every declared query key runs at sf0.001 and its
+  * final (post-AQE) physical plan must not contain a cartesian product.
+  * The pair-generating ops are allowed BroadcastNestedLoopJoin — their
+  * non-equi conditions are intentional with an explicitly bounded or
+  * broadcast side — but an unplanned CartesianProduct anywhere is a
+  * scale regression and fails here rather than on the cluster. */
+class PlanSweepSpec extends SparkSpec {
+
+  private val bnlAllowed = Set(
+    "q_join_cross",      // 5×25 dims, intentional cartesian via BNL
+    "q_dedup_embedding", // declared brute-force baseline (vec_a < vec_b)
+    "q_subquery_scalar", // scalar-subquery comparison joins a 1-row side
+    "q_topk_global", "q_sim_cosine_topk" // 1-row broadcast query vector
+  )
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name: no cartesian product in the final plan") {
+      val plan = finalPlan(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"unplanned cartesian in $name:\n${plan.take(600)}")
+      if (!bnlAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"unexpected BNL in $name:\n${plan.take(600)}")
+      }
+    }
+  }
+}
