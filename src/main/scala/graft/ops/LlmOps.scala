@@ -293,6 +293,29 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF: term frequency per doc × ln(N/df), top-3 terms per doc.
+    * All relational — token explode, two aggregations, a broadcast of
+    * the 1-row corpus count, a per-doc window. The idf ln() gets r4
+    * (libm transcendental — the one legitimate rounding case). */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", $"tf" * log($"n_docs".cast(DoubleType) / $"df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"token", $"tf", Det.r4($"tfidf").as("tfidf"), $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
   /** Token counting two ways: whitespace and a BPE-ish regex
     * (letter-runs / digit-runs / single punctuation). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -357,6 +380,7 @@ object LlmOps {
     "q_text_langid" -> textLangid,
     "q_text_fingerprint" -> textFingerprint,
     "q_token_count" -> tokenCount,
+    "q_text_tfidf" -> textTfidf,
     "q_multimodal_cols" -> multimodalCols,
     "q_multimodal_binary" -> multimodalBinary
   )

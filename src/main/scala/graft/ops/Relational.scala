@@ -83,6 +83,21 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Columnar-format parity through ORC (the other built-in columnar
+    * sink besides parquet). */
+  def sinkOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"/tmp/graft_sink_orc_${java.util.UUID.randomUUID()}"
+    Tables(spark, sfDir, "part")
+      .select($"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), Det.lsum($"p_size").as("sum_size"),
+        Det.dsum($"p_retailprice").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
   // ---- §2.2 filter / project / cast -------------------------------------
 
   /** Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
@@ -364,6 +379,7 @@ object Relational {
     "q_source_range" -> sourceRange,
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
     "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
+    "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "q_filter_predicates" -> filterPredicates,
     "q_project_compute" -> projectCompute,
     "q_cast_decimal" -> castDecimal,

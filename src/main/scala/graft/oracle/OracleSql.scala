@@ -29,6 +29,11 @@ object OracleSql {
          |  ${dsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "q_sink_orc_roundtrip" ->
+      s"""SELECT p_brand, count(*) AS n, ${lsum("p_size")} AS sum_size,
+         |  ${dsum("p_retailprice")} AS sum_price
+         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_filter_predicates" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
         |FROM lineitem
@@ -611,6 +616,25 @@ object OracleSql {
         |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t) as bigint))),
         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |      WHERE token <> '' GROUP BY doc_id, token),
+        |d AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |      WHERE token <> '' GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf,
+        |    t.tf * ln(cast(n_docs as double) / df) AS tfidf
+        |  FROM t JOIN d ON t.token = d.token CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS rk FROM scored)
+        |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

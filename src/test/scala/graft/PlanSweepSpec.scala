@@ -12,7 +12,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_join_cross",      // 5×25 dims, intentional cartesian via BNL
     "q_dedup_embedding", // declared brute-force baseline (vec_a < vec_b)
     "q_subquery_scalar", // scalar-subquery comparison joins a 1-row side
-    "q_topk_global", "q_sim_cosine_topk" // 1-row broadcast query vector
+    "q_topk_global", "q_sim_cosine_topk", // 1-row broadcast query vector
+    "q_text_tfidf"       // 1-row broadcast corpus count
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

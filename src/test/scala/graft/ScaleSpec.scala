@@ -25,6 +25,34 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() === expect)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val n = 4
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").bucketBy(n, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_b")
+    Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_name")
+      .write.mode("overwrite").bucketBy(n, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_b")
+    // force SMJ so the exchange (or its absence) is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          $"o_custkey" === $"c_custkey")
+      val plan = finalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() === Tables(spark, sfDir, "orders").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("salted join equals the plain equi-join") {
     val o = Tables(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
