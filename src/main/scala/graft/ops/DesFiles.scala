@@ -73,18 +73,25 @@ object DesFiles {
       .filter($"parent" =!= $"id")
       .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
       .select($"id".as("child"), $"parent")
-      .localCheckpoint()
+    resolveToRoots(nodes, edges, maxDepth = 20).orderBy($"leaf")
+  }
 
+  /** Generic parent-chasing core (shared by the declared query and the
+    * DES-shaped fixture tests): walk every node of `nodes` ("id") up
+    * the `edges` ("child" → "parent") relation until no edge applies;
+    * returns (leaf, root, depth). One distributed join per level; lazy
+    * resolved parts (the union is depth-many cheap joins over the
+    * checkpointed frontiers); `maxDepth` is the cycle guard. */
+  def resolveToRoots(nodes: DataFrame, edges0: DataFrame,
+      maxDepth: Int): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val edges = edges0.localCheckpoint()
     var frontier = nodes
       .select($"id".as("leaf"), $"id".as("cur"), lit(0).as("depth"))
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var level = 0
-    val maxDepth = 20 // cycle guard: div-10 chains end within log₁₀(max id)
     while (level < maxDepth && !frontier.isEmpty) {
       val j = frontier.join(edges, frontier("cur") === edges("child"), "left")
-      // resolved stays LAZY — it re-reads the (checkpointed) frontier,
-      // so the union's final plan is depth-many cheap joins; only the
-      // frontier needs eager truncation to stop lineage growth.
       resolved += j.filter($"parent".isNull)
         .select($"leaf", $"cur".as("root"), $"depth")
       frontier = j.filter($"parent".isNotNull)
@@ -95,7 +102,6 @@ object DesFiles {
     require(frontier.isEmpty, s"hierarchy deeper than cycle guard $maxDepth")
     resolved.reduce(_ unionByName _)
       .select($"leaf", $"root", $"depth".cast(IntegerType).as("depth"))
-      .orderBy($"leaf")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
