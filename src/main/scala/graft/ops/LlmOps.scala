@@ -328,6 +328,51 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Systematic 10% sample on the key — deterministic, partition-count
+    * independent, and SQL-portable (the modulo variant; the hash
+    * variant below is what you'd use when keys are clustered). */
+  def sampleMod(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Hash-based deterministic sample: uniform even under clustered /
+    * non-uniform key spaces (xxhash64 is engine-specific → rows-only
+    * check; the test suite asserts rate and determinism instead). */
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .filter(pmod(xxhash64($"doc_id"), lit(100)) < 10)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * keep docs that (1) are the canonical copy of their exact text,
+    * (2) clear a quality bar, (3) fall in a sane token range; report
+    * the surviving corpus per language. Everything is one declarative
+    * plan: Catalyst fuses the quality predicates into the scan and the
+    * dedup/anti-join shuffles on text hash. */
+  def pipelineCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val canonical = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+    val toks = split($"text", " ")
+    val nTok = size(toks)
+    val stops = size(filter(toks, t => t.isInCollection(Stopwords)))
+    docs.join(canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stops.cast(DoubleType) / nTok)
+      .filter($"n_tokens".between(20, 2000) && $"stop_ratio" >= 0.05)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        Det.davg($"n_tokens").as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
   // ---- multimodal columns ------------------------------------------------
 
   /** Mixed scalar + vector row: documents ⨝ embeddings carrying the
@@ -381,6 +426,9 @@ object LlmOps {
     "q_text_fingerprint" -> textFingerprint,
     "q_token_count" -> tokenCount,
     "q_text_tfidf" -> textTfidf,
+    "q_sample_mod" -> sampleMod,
+    "q_sample_hash" -> sampleHash,
+    "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,
     "q_multimodal_binary" -> multimodalBinary
   )

@@ -80,7 +80,12 @@ object Windows {
     * Revenue stays decimal through the rank so ordering is exact. */
   def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // one shuffle, reused across stages: HashPartitioning(suppkey)
+    // satisfies both the (suppkey, partkey) aggregation's clustered
+    // distribution (subset rule) and the window's partitionBy — without
+    // the repartition Catalyst would exchange twice.
     val rev = Tables(spark, sfDir, "lineitem")
+      .repartition($"l_suppkey")
       .groupBy($"l_suppkey", $"l_partkey")
       .agg(sum(Det.dec($"l_extendedprice")
         * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))

@@ -642,6 +642,26 @@ object OracleSql {
         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) as int) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_sample_mod" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_curation" ->
+      s"""WITH canonical AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |f AS (
+         |  SELECT d.doc_id, d.lang,
+         |    cast(len(string_split(d.text, ' ')) as int) AS n_tokens,
+         |    cast(len(list_filter(string_split(d.text, ' '),
+         |      t -> list_contains(['the', 'a', 'of', 'and', 'to'], t)))
+         |      as double) / len(string_split(d.text, ' ')) AS stop_ratio
+         |  FROM documents d
+         |  WHERE EXISTS (SELECT 1 FROM canonical c WHERE c.doc_id = d.doc_id))
+         |SELECT lang, count(*) AS n_kept, ${davg("n_tokens")} AS avg_tokens
+         |FROM f
+         |WHERE n_tokens BETWEEN 20 AND 2000 AND stop_ratio >= 0.05
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, embedding
         |FROM documents JOIN embeddings ON doc_id = vec_id

@@ -110,6 +110,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hash sample is deterministic and near the target rate") {
+    val a = LlmOps.sampleHash(spark, sfDir).as[(Long, String, Long)].collect()
+    val b = LlmOps.sampleHash(spark, sfDir).as[(Long, String, Long)].collect()
+    assert(a.toSeq === b.toSeq) // no rand(): identical across runs
+    val total = Tables(spark, sfDir, "documents").count().toDouble
+    val rate = a.length / total
+    assert(rate > 0.04 && rate < 0.2, s"rate $rate") // ~10% ± sampling noise
+  }
+
   test("exact dedup keeps the minimum doc_id per duplicated text") {
     val docs = Seq((10L, "a b c"), (3L, "a b c"), (7L, "x y z"))
       .toDF("doc_id", "text")

@@ -35,6 +35,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("sliding window: stream over file source matches batch") {
+    val events = Tables(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_stream_sl").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.readEventsStream(spark, dir)
+      .transform(StreamingOps.sliding)
+      .writeStream.format("memory")
+      .queryName("sliding_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding_out")
+      .orderBy($"window_start", $"event_type").collect()
+    val want = StreamingOps.sliding(events)
+      .orderBy($"window_start", $"event_type").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("watermark drops late rows in append mode") {
     val mem = MemoryStream[(Timestamp, String, Double)](spark)
     val agg = mem.toDF().toDF("ts", "event_type", "value")
