@@ -94,17 +94,17 @@ object LlmOps {
     * asserts recall vs the exact-Jaccard pairs instead. */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.MinHashAgg.register(spark)
     val sh = shingleDf(Tables(spark, sfDir, "documents")).localCheckpoint()
-    // all 32 minhashes in ONE aggregation pass (32 min() columns) —
-    // no 32× row explosion; the shuffle carries one row per doc.
-    val mhCols = (0 until 32).map(i =>
-      min(xxhash64(lit(i), $"shingle")).as(s"mh$i"))
-    val sig = sh.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // 8 bands × 4 rows: band key = hash of its 4 minhashes
+    // the whole 32-permutation signature in ONE TypedImperativeAggregate
+    // pass (see graft.functions.MinHashAgg): one buffer per group, the
+    // shuffle carries one array row per doc.
+    val sig = sh.groupBy($"doc_id")
+      .agg(call_function("minhash_agg", $"shingle").as("sig"))
+    // 8 bands × 4 rows: band key = hash of the signature slice
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
-          .as("band_key"))
+        xxhash64(slice($"sig", b * 4 + 1, 4)).as("band_key"))
     }
     val banded = sig
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
