@@ -18,5 +18,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       exprs => FloatVectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[functions.MinHashAgg].getName, "minhash_agg"),
+      exprs => functions.MinHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
+      exprs => functions.SimHashAgg(exprs.head).toAggregateExpression()))
+    // builtin zip_with/aggregate dot products → the native kernel
+    e.injectOptimizerRule(_ => graft.plans.RewriteVectorDot)
   }
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** 64-bit SimHash as a TypedImperativeAggregate: the buffer is the
+  * per-bit vote array; update adds ±1 per bit of xxhash64(token),
+  * merge adds vote arrays (commutative — partition-order independent),
+  * eval assembles the sign bits into one long.
+  *
+  * Replaces collect_list + UDF: no per-group array materialization,
+  * and partial aggregation combines map-side. */
+case class SimHashAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var acc = 0L
+    var i = 0
+    while (i < 64) { if (buf(i) > 0) acc |= (1L << i); i += 1 }
+    acc
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 4)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object SimHashAgg {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_agg",
+      exprs => SimHashAgg(exprs.head).toAggregateExpression(),
+      "scala_udf")
+}

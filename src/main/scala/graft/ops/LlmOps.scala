@@ -119,28 +119,17 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private val simhashUdf = udf((hs: Seq[Long]) => {
-    // 64-bit SimHash: per-bit ±1 vote over shingle hashes. Order-
-    // independent (a sum), so safe under any partitioning.
-    val votes = new Array[Int](64)
-    hs.foreach { h =>
-      var i = 0
-      while (i < 64) { votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-    }
-    votes.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-      if (v > 0) acc | (1L << i) else acc
-    }
-  })
-
   /** SimHash near-dup: byte-banded candidates (hamming ≤ 7 guarantees a
     * shared byte among 8), exact hamming ≤ 6 filter. Hash-specific →
-    * rows-only check. */
+    * rows-only check. The signature comes from the SimHashAgg
+    * TypedImperativeAggregate (per-bit vote buffer, map-side partials —
+    * no collect_list materialization). */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.SimHashAgg.register(spark)
     val sig = shingleDf(Tables(spark, sfDir, "documents"))
       .groupBy($"doc_id")
-      .agg(collect_list(xxhash64($"shingle")).as("hs"))
-      .select($"doc_id", simhashUdf($"hs").as("simhash"))
+      .agg(call_function("simhash_agg", $"shingle").as("simhash"))
     val banded = sig.select($"doc_id", $"simhash",
       explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("byte", expr("(simhash >> (band * 8)) & 255"))

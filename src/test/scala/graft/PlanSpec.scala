@@ -64,6 +64,33 @@ class PlanSpec extends SparkSpec {
     assert(both.count() === 0)
   }
 
+  test("RewriteVectorDot: builtin zip_with dot product becomes the kernel") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorDot
+    try {
+      val builtinForm = Tables(spark, sfDir, "embeddings").select($"vec_id",
+        aggregate(zip_with($"embedding", $"embedding",
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      val plan = finalPlan(builtinForm)
+      assert(plan.contains("floatvectordot"), plan.take(600))
+      // and bit-equal to the unrewritten evaluation
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteVectorDot)
+      val raw = Tables(spark, sfDir, "embeddings").select($"vec_id",
+        aggregate(zip_with($"embedding", $"embedding",
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(builtinForm.collect().toSeq === raw.collect().toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteVectorDot)
+    }
+  }
+
   test("aggregations run partial (map-side) before the shuffle") {
     val plan = finalPlan(Aggregates.q1(spark, sfDir))
     assert(plan.contains("HashAggregate"), plan.take(500))
