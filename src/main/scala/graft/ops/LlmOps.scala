@@ -120,7 +120,8 @@ object LlmOps {
   }
 
   /** SimHash near-dup: byte-banded candidates (hamming ≤ 7 guarantees a
-    * shared byte among 8), exact hamming ≤ 6 filter. Hash-specific →
+    * shared byte among 8), exact hamming ≤ 7 filter (the full
+    * banding-complete radius). Hash-specific →
     * rows-only check. The signature comes from the SimHashAgg
     * TypedImperativeAggregate (per-bit vote buffer, map-side partials —
     * no collect_list materialization). */
@@ -141,7 +142,7 @@ object LlmOps {
       .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
     candidates
       .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")))
-      .filter($"hamming" <= 6)
+      .filter($"hamming" <= 7)
       .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }

@@ -110,6 +110,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHash finds the strong textual near-dups") {
+    val strong = LlmOps.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
+    val simhash = LlmOps.dedupSimhash(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(strong.nonEmpty)
+    val recall = strong.count(simhash).toDouble / strong.size
+    assert(recall >= 0.85, s"simhash recall $recall over ${strong.size} pairs")
+  }
+
   test("hash sample is deterministic and near the target rate") {
     val a = LlmOps.sampleHash(spark, sfDir).as[(Long, String, Long)].collect()
     val b = LlmOps.sampleHash(spark, sfDir).as[(Long, String, Long)].collect()

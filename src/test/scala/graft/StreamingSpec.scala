@@ -133,6 +133,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/b*").count() === 3)
   }
 
+  test("stream-stream join with watermarks and a time bound") {
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "1 hour")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:00:00"), 2L))
+      buys.addData((ts("2024-01-01 00:10:00"), 1L), // within bound → joins
+        (ts("2024-01-01 02:00:00"), 2L))            // outside bound → no join
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_out").select($"c_user").as[Long].collect().toSeq
+    assert(rows === Seq(1L))
+  }
+
   test("mapGroupsWithState keeps a running per-key counter") {
     val mem = MemoryStream[(Long, Double)](spark)
     val counted = mem.toDS()
