@@ -65,18 +65,33 @@ def main(sf_dir, out_dir):
             failures.append((name, f"rows differ: spark={len(spark_df)} duck={len(duck_df)}"))
             n_fail += 1
             continue
-        spark_df, duck_df = spark_df[s_cols], duck_df[s_cols]
-        mismatch = None
-        for i in range(len(spark_df)):
-            for c in s_cols:
-                a, b = norm(spark_df[c].iloc[i].tolist() if hasattr(spark_df[c].iloc[i], "tolist") else spark_df[c].iloc[i]), \
-                       norm(duck_df[c].iloc[i].tolist() if hasattr(duck_df[c].iloc[i], "tolist") else duck_df[c].iloc[i])
-                if a != b:
-                    mismatch = f"row {i} col {c}: spark={a} duck={b}"
+        # row-order-sensitive compare inside duckdb (positional join):
+        # exact value equality incl. doubles/arrays, ~100x the python loop
+        con.register("t_spark", spark_df[s_cols])
+        con.register("t_duck", duck_df[s_cols])
+        cond = " AND ".join(
+            f's."{c}" IS NOT DISTINCT FROM d."{c}"' for c in s_cols)
+        bad = con.execute(
+            f"SELECT count(*) FROM t_spark s POSITIONAL JOIN t_duck d "
+            f"WHERE NOT ({cond})").fetchone()[0]
+        con.unregister("t_spark")
+        con.unregister("t_duck")
+        if bad:
+            # python fallback pinpoints the first differing row/col
+            spark_df, duck_df = spark_df[s_cols], duck_df[s_cols]
+            mismatch = f"{bad} differing rows"
+            for i in range(len(spark_df)):
+                done = False
+                for c in s_cols:
+                    va, vb = spark_df[c].iloc[i], duck_df[c].iloc[i]
+                    a = norm(va.tolist() if hasattr(va, "tolist") else va)
+                    b = norm(vb.tolist() if hasattr(vb, "tolist") else vb)
+                    if a != b:
+                        mismatch = f"row {i} col {c}: spark={a} duck={b}"
+                        done = True
+                        break
+                if done:
                     break
-            if mismatch:
-                break
-        if mismatch:
             failures.append((name, mismatch))
             n_fail += 1
         else:
