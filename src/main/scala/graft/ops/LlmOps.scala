@@ -402,7 +402,25 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Frame-sampling stage over the fake-decoded media: every 5th frame
+    * of each document's payload becomes a row with a per-frame feature.
+    * The generator is `posexplode`-style fan-out (sequence + explode —
+    * stays in codegen, no driver involvement); the per-frame "feature"
+    * is a deterministic stand-in for a real per-frame embedding (STUB —
+    * same contract as multimodalBinary's decode). */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    multimodalBinary(spark, sfDir)
+      .filter($"n_frames" > 0)
+      .select($"doc_id", $"n_bytes", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(5))).as("frame_idx"))
+      .withColumn("frame_feature",
+        ($"n_bytes" * 31 + $"frame_idx" * 7) % 997)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_frames" -> multimodalFrames,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_minhash" -> dedupMinhash,

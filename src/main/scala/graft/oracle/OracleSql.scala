@@ -662,6 +662,19 @@ object OracleSql {
          |WHERE n_tokens BETWEEN 20 AND 2000 AND stop_ratio >= 0.05
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes,
+        |    cast(octet_length(encode(text)) as int) % 30 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, n_frames, frame_idx,
+        |  (n_bytes * 31 + frame_idx * 7) % 997 AS frame_feature
+        |FROM (
+        |  SELECT doc_id, n_bytes, n_frames,
+        |    cast(unnest(generate_series(0, n_frames - 1, 5)) as int) AS frame_idx
+        |  FROM f WHERE n_frames > 0)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "q_multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label, embedding
         |FROM documents JOIN embeddings ON doc_id = vec_id
