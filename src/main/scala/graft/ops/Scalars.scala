@@ -120,7 +120,26 @@ object Scalars {
       .orderBy($"c_custkey")
   }
 
+  /** DataFrameNaFunctions surface: drop / fill over synthesized nulls
+    * (the corpus is null-free, so nulls come from nullif). */
+  def naFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val withNulls = Tables(spark, sfDir, "customer")
+      .select($"c_custkey",
+        nullif($"c_mktsegment", lit("BUILDING")).as("seg"),
+        nullif($"c_acctbal", lit(0.0)).as("bal"))
+    val filled = withNulls.na.fill(Map("seg" -> "<missing>", "bal" -> -1.0))
+    val dropped = withNulls.na.drop(Seq("seg"))
+    filled.agg(
+      count(lit(1)).as("n_total"),
+      sum(when($"seg" === "<missing>", 1).otherwise(0)).cast("long")
+        .as("n_filled_seg"),
+      Det.dsum($"bal").as("sum_bal_filled"))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_after_drop")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_na_functions" -> naFunctions,
     "q_str_funcs" -> strFuncs,
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,

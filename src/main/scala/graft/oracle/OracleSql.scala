@@ -439,6 +439,20 @@ object OracleSql {
         |    nullif(c_mktsegment, 'AUTOMOBILE') AS ns_eq
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q_na_functions" ->
+      s"""WITH w AS (
+         |  SELECT c_custkey,
+         |    coalesce(nullif(c_mktsegment, 'BUILDING'), '<missing>') AS seg,
+         |    coalesce(nullif(c_acctbal, 0.0), -1.0) AS bal
+         |  FROM customer)
+         |SELECT count(*) AS n_total,
+         |  cast(sum(CASE WHEN seg = '<missing>' THEN 1 ELSE 0 END) as bigint)
+         |    AS n_filled_seg,
+         |  ${dsum("bal")} AS sum_bal_filled,
+         |  (SELECT count(*) FROM customer
+         |   WHERE nullif(c_mktsegment, 'BUILDING') IS NOT NULL) AS n_after_drop
+         |FROM w""".stripMargin,
+
     "q_udf_despath" ->
       """SELECT o_orderkey,
         |  '2013' || lpad(cast(o_orderkey % 500 as varchar), 4, '0') AS run,

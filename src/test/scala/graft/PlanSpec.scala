@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Observation hook reports pipeline metrics without a second scan") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    val df = Tables(spark, sfDir, "lineitem")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum($"l_quantity").cast("long").as("qty"))
+      .filter($"l_quantity" > 0)
+    df.collect()
+    val metrics = obs.get
+    assert(metrics("rows") === Tables(spark, sfDir, "lineitem").count())
+    assert(metrics("qty").asInstanceOf[Long] > 0)
+  }
+
   test("aggregations run partial (map-side) before the shuffle") {
     val plan = finalPlan(Aggregates.q1(spark, sfDir))
     assert(plan.contains("HashAggregate"), plan.take(500))

@@ -13,7 +13,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_embedding", // declared brute-force baseline (vec_a < vec_b)
     "q_subquery_scalar", // scalar-subquery comparison joins a 1-row side
     "q_topk_global", "q_sim_cosine_topk", // 1-row broadcast query vector
-    "q_text_tfidf"       // 1-row broadcast corpus count
+    "q_text_tfidf",      // 1-row broadcast corpus count
+    "q_na_functions"     // crossJoin of two 1-row aggregates
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
