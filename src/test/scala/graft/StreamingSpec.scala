@@ -133,6 +133,30 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/b*").count() === 3)
   }
 
+  test("file→parquet stream resumes from checkpoint exactly-once") {
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val chk = Files.createTempDirectory("graft_ckpt_state").toString
+    val events = Tables(spark, sfDir, "events")
+    val schema = events.schema
+    def start() = spark.readStream.schema(schema).parquet(in)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", chk)
+      .option("path", out).start()
+
+    events.limit(100).write.mode("append").parquet(s"$in")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() === 100)
+
+    // second batch + RESTART from the same checkpoint: the first files
+    // must not be reprocessed (exactly-once), the new ones must land
+    events.limit(150).write.mode("append").parquet(s"$in")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() === 250)
+  }
+
   test("stream-stream join with watermarks and a time bound") {
     val clicks = MemoryStream[(Timestamp, Long)](spark)
     val buys = MemoryStream[(Timestamp, Long)](spark)
