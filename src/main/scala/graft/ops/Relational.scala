@@ -51,7 +51,7 @@ object Relational {
     * straight off the original parquet. */
   def sinkCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"/tmp/graft_sink_csv_${java.util.UUID.randomUUID()}"
+    val dir = "/tmp/graft_scratch/sink_csv" // fixed path: overwrite, no per-run dir leak
     Tables(spark, sfDir, "lineitem")
       .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
       .write.mode("overwrite").option("header", "true").csv(dir)
@@ -70,7 +70,7 @@ object Relational {
   /** Same parity proof through JSON lines. */
   def sinkJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"/tmp/graft_sink_json_${java.util.UUID.randomUUID()}"
+    val dir = "/tmp/graft_scratch/sink_json"
     Tables(spark, sfDir, "orders")
       .select($"o_orderstatus", $"o_totalprice")
       .write.mode("overwrite").json(dir)
@@ -87,7 +87,7 @@ object Relational {
     * sink besides parquet). */
   def sinkOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"/tmp/graft_sink_orc_${java.util.UUID.randomUUID()}"
+    val dir = "/tmp/graft_scratch/sink_orc"
     Tables(spark, sfDir, "part")
       .select($"p_brand", $"p_size", $"p_retailprice")
       .write.mode("overwrite").orc(dir)

@@ -49,6 +49,19 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Det.dsum is exact: equals BigDecimal sum on generated money values") {
+    check(Prop.forAll(
+      Gen.listOfN(50, Gen.choose(-99999999L, 99999999L).map(_ / 100.0))) {
+      (xs: List[Double]) =>
+        xs.isEmpty || {
+          val got = xs.toDF("v").agg(Det.dsum($"v").as("s"))
+            .as[Double].head()
+          val want = xs.map(BigDecimal(_)).sum.toDouble
+          got == want
+        }
+    })
+  }
+
   test("Welford aggregator matches var_samp within 1e-9") {
     val rows = Aggregates.udafWelford(spark, sfDir)
       .select($"welford_var", $"builtin_var")
