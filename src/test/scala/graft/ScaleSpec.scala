@@ -53,6 +53,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // one hot key holding ~500k rows vs 32 cold keys
+    val left = spark.range(0, 600000)
+      .select(when(col("id") % 6 =!= 0, lit(0L)).otherwise(col("id") % 33)
+        .as("k"), col("id").as("v"))
+    val right = spark.range(0, 33).select(col("id").as("k"),
+      (col("id") * 10).as("w"))
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "10KB")
+    val saved = confs.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "k")
+      val plan = finalPlan(joined)
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew split:\n${plan.take(900)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain equi-join") {
     val o = Tables(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
