@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    tie-adjacency has negligible probability.
   */
 object Det {
-  private val D4 = DecimalType(18, 4)
+  private val D4 = DecimalType(27, 4)
 
   /** Base money/ratio column (stored as an exact ≤2-decimal double) →
     * decimal. Safe because the value is never tie-adjacent. */
@@ -53,9 +53,9 @@ object Det {
   object Sql {
     def dec(col: String): String = s"cast($col as decimal(12,2))"
     def dsumDec(e: String): String = s"cast(sum($e) as double)"
-    def dsum(col: String): String = dsumDec(s"cast($col as decimal(18,4))")
+    def dsum(col: String): String = dsumDec(s"cast($col as decimal(27,4))")
     def davgDec(e: String): String = s"cast(sum($e) as double) / count($e)"
-    def davg(col: String): String = davgDec(s"cast($col as decimal(18,4))")
+    def davg(col: String): String = davgDec(s"cast($col as decimal(27,4))")
     def r4(e: String): String = s"round($e, 4)"
     def lsum(e: String): String = s"cast(sum($e) as bigint)"
   }

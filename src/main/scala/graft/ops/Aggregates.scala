@@ -49,7 +49,7 @@ object Aggregates {
       .agg(
         countDistinct($"l_suppkey").as("n_supp"),
         countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"),
-        sum_distinct($"l_quantity".cast(DecimalType(18, 4)))
+        sum_distinct($"l_quantity".cast(DecimalType(27, 4)))
           .cast(DoubleType).as("sum_dist_qty"))
       .orderBy($"l_returnflag")
   }

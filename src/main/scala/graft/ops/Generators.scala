@@ -78,7 +78,7 @@ object Generators {
     spark.sql(
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (
-        |  SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+        |  SELECT cast(sum(cast(o_totalprice as decimal(27,4))) as double)
         |         / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -92,7 +92,7 @@ object Generators {
         |  SELECT c_custkey,
         |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > 1.2 * (
-        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(27,4))) as double)
         |               / count(*)
         |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS n_above
         |  FROM customer c)

@@ -187,7 +187,7 @@ object OracleSql {
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
-        |  cast(sum(DISTINCT cast(l_quantity as decimal(18,4))) as double) AS sum_dist_qty
+        |  cast(sum(DISTINCT cast(l_quantity as decimal(27,4))) as double) AS sum_dist_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_rollup" ->
@@ -351,7 +351,7 @@ object OracleSql {
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > (
-        |  SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+        |  SELECT cast(sum(cast(o_totalprice as decimal(27,4))) as double)
         |         / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
@@ -360,7 +360,7 @@ object OracleSql {
         |  SELECT c_custkey,
         |    (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey
         |      AND o.o_totalprice > 1.2 * (
-        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(18,4))) as double)
+        |        SELECT cast(sum(cast(o2.o_totalprice as decimal(27,4))) as double)
         |               / count(*)
         |        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)) AS n_above
         |  FROM customer c)
