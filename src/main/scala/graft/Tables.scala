@@ -12,6 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table of any size; nothing here assumes the data fits anywhere.
   */
 object Tables {
+
+  /** Lineage truncation for iterative/reused intermediates.
+    * `localCheckpoint` (memory-backed, fast) by default; set
+    * `spark.graft.checkpointDir` to a durable path on a real cluster
+    * and these become fault-tolerant `checkpoint()`s instead. */
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -85,7 +85,7 @@ object DesFiles {
   def resolveToRoots(nodes: DataFrame, edges0: DataFrame,
       maxDepth: Int): DataFrame = {
     import nodes.sparkSession.implicits._
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.transform(graft.Tables.truncate)
     var frontier = nodes
       .select($"id".as("leaf"), $"id".as("cur"), lit(0).as("depth"))
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -96,7 +96,7 @@ object DesFiles {
         .select($"leaf", $"cur".as("root"), $"depth")
       frontier = j.filter($"parent".isNotNull)
         .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"))
-        .localCheckpoint()
+        .transform(graft.Tables.truncate)
       level += 1
     }
     require(frontier.isEmpty, s"hierarchy deeper than cycle guard $maxDepth")

@@ -72,7 +72,7 @@ object LlmOps {
     * partial aggregation collapses the pair stream before the shuffle). */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleDf(Tables(spark, sfDir, "documents")).localCheckpoint()
+    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select($"doc_id".as("doc_a"), $"shingle")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
@@ -95,7 +95,7 @@ object LlmOps {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.MinHashAgg.register(spark)
-    val sh = shingleDf(Tables(spark, sfDir, "documents")).localCheckpoint()
+    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
     // the whole 32-permutation signature in ONE TypedImperativeAggregate
     // pass (see graft.functions.MinHashAgg): one buffer per group, the
     // shuffle carries one array row per doc.
