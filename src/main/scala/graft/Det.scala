@@ -45,6 +45,16 @@ object Det {
   /** Round an order-dependent double accumulation for stable comparison. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Serialize a float/double array to a comparison-stable string: each
+    * lane cast to double (exact widening), scaled by 1e4 and floored to
+    * a long (floor has no rounding mode — identical in both engines),
+    * joined with ','. Raw array columns crash the driver's pandas
+    * compare (numpy.ndarray is unhashable in sort_values), so every
+    * declared query surfaces arrays through this or array_join. */
+  def arrStr(c: Column): Column =
+    array_join(transform(c, x =>
+      floor(x.cast(DoubleType) * 10000).cast("long").cast("string")), ",")
+
   /** Integer sum pinned to long — DuckDB widens integer sums to HUGEINT
     * (which pandas renders as float); cast both engines to bigint. */
   def lsum(c: Column): Column = sum(c).cast("long")
@@ -58,5 +68,8 @@ object Det {
     def davg(col: String): String = davgDec(s"cast($col as decimal(27,4))")
     def r4(e: String): String = s"round($e, 4)"
     def lsum(e: String): String = s"cast(sum($e) as bigint)"
+    def arrStr(e: String): String =
+      s"array_to_string(list_transform($e, " +
+        s"x -> cast(floor(cast(x as double) * 10000) as bigint)), ',')"
   }
 }

@@ -16,17 +16,49 @@ object Tables {
   /** Lineage truncation for iterative/reused intermediates.
     * `localCheckpoint` (memory-backed, fast) by default; set
     * `spark.graft.checkpointDir` to a durable path on a real cluster
-    * and these become fault-tolerant `checkpoint()`s instead. */
+    * and these become fault-tolerant `checkpoint()`s instead.
+    *
+    * Storage hygiene: reliable checkpoint files are only auto-reclaimed
+    * when `spark.cleaner.referenceTracking.cleanCheckpoints` is set in
+    * the SparkConf at context construction (ContextCleaner reads it
+    * once; a runtime `spark.conf.set` never reaches it), so we delete
+    * this run's checkpoint subdir ourselves on JVM exit — otherwise
+    * every iterative run (hierarchy resolver, shingle reuse) would leak
+    * checkpoint storage forever. And if the context already has a
+    * DIFFERENT checkpoint dir we override it rather than silently
+    * ignoring the configured `spark.graft.checkpointDir`. */
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) {
+          if (sc.getCheckpointDir.nonEmpty)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"overriding checkpoint dir ${sc.getCheckpointDir.get} " +
+                s"with configured spark.graft.checkpointDir=$dir")
+          sc.setCheckpointDir(dir)
+          // setCheckpointDir created a fresh UUID subdir for this run;
+          // reclaim exactly that subdir when the JVM exits.
+          sc.getCheckpointDir.foreach { cp =>
+            if (cleanupRegistered.add(cp)) {
+              val hadoopConf = sc.hadoopConfiguration
+              Runtime.getRuntime.addShutdownHook(new Thread(() => {
+                try {
+                  val p = new org.apache.hadoop.fs.Path(cp)
+                  p.getFileSystem(hadoopConf).delete(p, true)
+                } catch { case _: Throwable => () }
+              }))
+            }
+          }
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }
   }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

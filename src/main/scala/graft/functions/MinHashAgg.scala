@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature sketch as a native TypedImperativeAggregate — the
   * mutable-buffer aggregate mechanism Spark uses for its own sketches
@@ -41,7 +41,7 @@ case class MinHashAgg(
     if (v != null) {
       var i = 0
       while (i < numPerms) {
-        val h = XxHash64Function.hash(v, StringType, i.toLong)
+        val h = XxHash64Function.hash(v, child.dataType, i.toLong)
         if (h < buf(i)) buf(i) = h
         i += 1
       }

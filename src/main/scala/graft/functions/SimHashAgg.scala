@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit SimHash as a TypedImperativeAggregate: the buffer is the
   * per-bit vote array; update adds ±1 per bit of xxhash64(token),
@@ -30,7 +30,7 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v, StringType, 42L)
+      val h = XxHash64Function.hash(v, child.dataType, 42L)
       var i = 0
       while (i < 64) {
         buf(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)

@@ -41,16 +41,24 @@ case class FloatVectorDot(left: Expression, right: Expression)
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // Locals must be freshName'd: with non-nullable inputs nullSafeCodeGen
+  // emits no brace scope, so two occurrences of vec_dot in one codegen
+  // scope would redeclare fixed names and janino-fail the whole stage
+  // (silently falling back to interpreted execution).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

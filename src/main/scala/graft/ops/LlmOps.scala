@@ -372,7 +372,8 @@ object LlmOps {
     val d = Tables(spark, sfDir, "documents")
     val v = Tables(spark, sfDir, "embeddings")
     d.join(v, d("doc_id") === v("vec_id"))
-      .select($"doc_id", $"lang", $"n_chars", $"label", $"embedding")
+      .select($"doc_id", $"lang", $"n_chars", $"label",
+        Det.arrStr($"embedding").as("embedding"))
       .orderBy($"doc_id")
   }
 

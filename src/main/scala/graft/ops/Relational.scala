@@ -137,7 +137,12 @@ object Relational {
     import spark.implicits._
     Tables(spark, sfDir, "orders")
       .select($"o_orderkey",
-        $"o_totalprice".cast(DecimalType(12, 2)).as("price_dec"),
+        // The decimal cast is the operator under test; the final cast
+        // back to double is presentation-only (exact — ≤2-decimal values
+        // are double-representable) so the driver's pandas compare sees
+        // float64 on both sides instead of object(Decimal) vs float64.
+        $"o_totalprice".cast(DecimalType(12, 2)).cast(DoubleType)
+          .as("price_dec"),
         substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_num"),
         $"o_orderdate".cast(DateType).as("odate"))
       .orderBy($"o_orderkey")

@@ -82,7 +82,7 @@ object Scalars {
       .select($"vec_id",
         size($"embedding").as("n_dims"),
         Det.r4(element_at($"embedding", 1).cast(DoubleType)).as("first_elem"),
-        slice($"embedding", 1, 4).as("head4"),
+        Det.arrStr(slice($"embedding", 1, 4)).as("head4"),
         Det.r4(aggregate($"embedding", lit(0.0),
           (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
           .as("norm_sq"),
@@ -100,8 +100,9 @@ object Scalars {
         get_json_object($"props", "$.k").as("k_str"),
         element_at(from_json($"props", MapType(StringType, IntegerType)),
           "k").as("k_val"),
-        map_keys(from_json($"props", MapType(StringType, IntegerType)))
-          .as("prop_keys"))
+        array_join(
+          map_keys(from_json($"props", MapType(StringType, IntegerType))),
+          ",").as("prop_keys"))
       .orderBy($"event_id")
   }
 

@@ -54,7 +54,7 @@ object OracleSql {
 
     "q_cast_decimal" ->
       """SELECT o_orderkey,
-        |  cast(o_totalprice as decimal(12,2)) AS price_dec,
+        |  cast(cast(o_totalprice as decimal(12,2)) as double) AS price_dec,
         |  cast(substring(o_orderpriority, 1, 1) as int) AS prio_num,
         |  cast(o_orderdate as date) AS odate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -414,7 +414,9 @@ object OracleSql {
       """SELECT vec_id,
         |  cast(len(embedding) as int) AS n_dims,
         |  round(cast(embedding[1] as double), 4) AS first_elem,
-        |  embedding[1:4] AS head4,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> cast(floor(cast(x as double) * 10000) as bigint)), ',')
+        |    AS head4,
         |  round(list_sum(list_transform(embedding,
         |    x -> cast(x as double) * cast(x as double))), 4) AS norm_sq,
         |  round(list_sum(list_transform(embedding,
@@ -426,7 +428,7 @@ object OracleSql {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  cast(json_extract_string(props, '$.k') as int) AS k_val,
-        |  json_keys(props) AS prop_keys
+        |  array_to_string(json_keys(props), ',') AS prop_keys
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_conditional_null" ->
@@ -505,14 +507,15 @@ object OracleSql {
 
     "q_stream_session" ->
       s"""WITH flagged AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, ts, event_id, value,
          |    CASE WHEN lag(ts) OVER w IS NULL
          |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
          |      THEN 1 ELSE 0 END AS new_s
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sessions AS (
-         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM flagged)
          |SELECT user_id,
@@ -690,7 +693,10 @@ object OracleSql {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_cols" ->
-      """SELECT doc_id, lang, n_chars, label, embedding
+      """SELECT doc_id, lang, n_chars, label,
+        |  array_to_string(list_transform(embedding,
+        |    x -> cast(floor(cast(x as double) * 10000) as bigint)), ',')
+        |    AS embedding
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
 

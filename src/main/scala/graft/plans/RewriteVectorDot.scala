@@ -48,6 +48,11 @@ object RewriteVectorDot extends Rule[LogicalPlan] {
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(accF: NamedLambdaVariable), _))
           if isFloatArray(l) && isFloatArray(r)
+            // The Multiply itself must be double-typed: a bare
+            // zip_with(a,b,(x,y)->x*y) multiplies in FLOAT (coercion only
+            // casts at the Add) and rewriting it would silently replace
+            // float-rounded per-lane products with double products.
+            && m.dataType == DoubleType
             && ((refOf(m.left, x) && refOf(m.right, y))
               || (refOf(m.left, y) && refOf(m.right, x)))
             && refOf(a.left, acc) && refOf(a.right, v)
