@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Windows.queries ++
       Generators.queries ++ Scalars.queries ++ DesFiles.queries ++
-      StreamingOps.queries ++ LlmOps.queries
+      StreamingOps.queries ++ LlmOps.queries ++ Analytics.queries ++
+      graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -59,6 +59,14 @@ object Tables {
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Round-robin spread of a small scan across the full core count: a
+    * sub-128MB parquet file arrives as ONE input partition, which would
+    * serialize every downstream per-row computation onto a single task.
+    * The explicit partition count pins a REPARTITION_BY_NUM shuffle
+    * origin, which AQE is not allowed to coalesce back down. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -73,6 +73,11 @@ object DesFiles {
       .filter($"parent" =!= $"id")
       .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
       .select($"id".as("child"), $"parent")
+    // NOT broadcastEdges and NOT pre-spread: each level's fixpoint
+    // check is its own action, so a broadcast edge DF would re-collect
+    // per level, and a pinned 32-way repartition keeps 32 tasks alive
+    // for the tiny late frontiers — both measured slower than plain
+    // per-level shuffle joins, which parallelize from level 1 anyway.
     resolveToRoots(nodes, edges, maxDepth = 20).orderBy($"leaf")
   }
 
@@ -83,9 +88,10 @@ object DesFiles {
     * resolved parts (the union is depth-many cheap joins over the
     * checkpointed frontiers); `maxDepth` is the cycle guard. */
   def resolveToRoots(nodes: DataFrame, edges0: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, broadcastEdges: Boolean = false): DataFrame = {
     import nodes.sparkSession.implicits._
-    val edges = edges0.transform(graft.Tables.truncate)
+    val edgesCp = edges0.transform(graft.Tables.truncate)
+    val edges = if (broadcastEdges) broadcast(edgesCp) else edgesCp
     var frontier = nodes
       .select($"id".as("leaf"), $"id".as("cur"), lit(0).as("depth"))
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]

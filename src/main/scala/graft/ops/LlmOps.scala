@@ -26,14 +26,23 @@ import org.apache.spark.sql.types._
   */
 object LlmOps {
 
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
+
   /** Distinct 3-gram word shingles per doc, as a codegen'd expression
-    * (no UDF): doc_id, shingle. */
+    * (no UDF): doc_id, shingle. Shingle construction is the CPU-heavy
+    * step (per-token slice + join string builds), so the input is
+    * spread across cores first. */
   private def shingleDf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(expr(
-      """array_distinct(CASE WHEN size(split(text, ' ')) >= 3
-        |  THEN transform(sequence(1, size(split(text, ' ')) - 2),
-        |       i -> array_join(slice(split(text, ' '), i, 3), ' '))
-        |  ELSE array() END""".stripMargin + ")")).as("shingle"))
+    spread(docs)
+      // hoist the tokenization: HOF lambdas are interpreted and Catalyst
+      // performs no loop-invariant motion inside them, so split() left
+      // inline would re-tokenize the document once PER SHINGLE.
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |       i -> array_join(slice(toks, i, 3), ' '))
+          |  ELSE array() END""".stripMargin + ")")).as("shingle"))
 
   /** Exact Jaccard over shingle sets for a given candidate pair set
     * (doc_a, doc_b) — candidates join the inverted index, never n². */
@@ -69,7 +78,10 @@ object LlmOps {
   /** Near-dup pairs by exact n-gram Jaccard ≥ 0.6, candidates via the
     * shingle inverted index — a SINGLE self-join pass: the same join
     * that discovers a pair also counts its common shingles (map-side
-    * partial aggregation collapses the pair stream before the shuffle). */
+    * partial aggregation collapses the pair stream before the shuffle).
+    * Fastest shape when no shingle is corpus-frequent; for corpora with
+    * heavy-hitter shingles see [[dedupJaccardPrefix]], the same result
+    * through a prefix-filtered set-similarity join. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
@@ -81,6 +93,62 @@ object LlmOps {
     common
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
+      .filter($"jaccard" >= 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The same exact-Jaccard near-dup pairs through a PREFIX-FILTERED
+    * set-similarity join (the PPJoin-family candidate rule): under any
+    * fixed global shingle order, two docs with J ≥ t must share a
+    * shingle within each doc's first `|d| - ceil(t·|d|) + 1` shingles.
+    * Ordering by ascending global frequency makes those prefixes the
+    * RAREST shingles, so frequent shingles never generate candidate
+    * pairs — the quadratic blowup of a naive inverted-index self-join
+    * (every pair of docs sharing "of the and") simply never happens.
+    *
+    * Verification is linear in candidates: each candidate pair joins
+    * the two docs' full shingle SETS (one broadcast array row per doc)
+    * and counts the intersection per row — no second quadratic join.
+    * On THIS corpus (max shingle frequency ≈ 25) the single-pass
+    * [[dedupNgramJaccard]] is faster; at web scale, where stop-shingle
+    * frequency grows with corpus size, this is the shape that survives
+    * — candidate count tracks true-near-dup density, not corpus². */
+  def dedupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
+    // per-doc shingle set as ONE array row (shingles are distinct per
+    // doc by construction) + set size, for the verification join
+    val sets = sh.groupBy($"doc_id")
+      .agg(collect_list($"shingle").as("sh_set"), count(lit(1)).as("n_sh"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"shingle")))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
+      .select($"doc_id", $"shingle", $"n_sh")
+    // candidate rule + PPJoin LENGTH filter: J >= t also bounds the
+    // set sizes to t·|A| <= |B| <= |A|/t, killing most false candidates
+    // before the distinct and the verification stage ever see them.
+    val cand = prefix.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("pna"))
+      .join(prefix.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("pnb")),
+        "shingle")
+      .filter($"doc_a" < $"doc_b"
+        && $"pnb" >= ceil($"pna" * 0.6) && $"pna" >= ceil($"pnb" * 0.6))
+      .select($"doc_a", $"doc_b").distinct()
+    // one set-row per doc → orders of magnitude smaller than the
+    // candidate pair stream; broadcast both probes so the wide array
+    // payload never crosses a shuffle. (Past broadcast size, swap for a
+    // shuffle join on doc id — same plan shape, still candidate-linear.)
+    cand
+      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
+        $"n_sh".as("na"))), "doc_a")
+      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
+        $"n_sh".as("nb"))), "doc_b")
+      .withColumn("common", size(array_intersect($"sa", $"sb")))
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.6)
@@ -160,12 +228,35 @@ object LlmOps {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, sfDir, "embeddings")
-    val a = v.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    // stream side spread across cores (single-file scan = 1 partition);
+    // build side broadcast. The cheap key inequality is FIRST in the
+    // join condition so the codegen'd And short-circuits past the dot
+    // kernel for half the pair space.
+    val a = spread(v.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
     val b = v.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
-    a.join(b, $"vec_a" < $"vec_b")
+    a.join(b, $"vec_a" < $"vec_b"
+        && Det.r4(dot(spark)($"ea", $"eb")) >= 0.4)
       .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
-      .filter($"sim" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Near-dup CLUSTERS: the operator a real dedup pipeline runs after
+    * pair mining — connected components over the near-dup pair graph,
+    * yielding a deterministic canonical representative (min id) per
+    * cluster. Edges here are the embedding-cosine pairs of
+    * [[dedupEmbedding]]; components via [[Graph.connectedComponents]]
+    * (driver-loop min-label propagation, one distributed join per
+    * round — Spark's recursive-CTE substitute). */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+    val a = spread(v.select($"vec_id".as("src"), $"embedding".as("ea")))
+    val b = v.select($"vec_id".as("dst"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"src" < $"dst"
+        && Det.r4(dot(spark)($"ea", $"eb")) >= 0.4)
+      .select($"src", $"dst")
+    val nodes = v.select($"vec_id".as("id"))
+    Graph.connectedComponents(nodes, pairs).orderBy($"id")
   }
 
   // ---- similarity search -------------------------------------------------
@@ -346,6 +437,59 @@ object LlmOps {
     * the surviving corpus per language. Everything is one declarative
     * plan: Catalyst fuses the quality predicates into the scan and the
     * dedup/anti-join shuffles on text hash. */
+  /** Deterministic STRATIFIED sampling — per-language rates (the
+    * training-data balance knob): en 1/5, zh 1/2, everything else kept.
+    * Systematic on the key, so the sample is reproducible and
+    * partition-count independent; the filter is a pushed-down scan
+    * predicate, no shuffle at all. */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .filter(($"lang" === "en" && $"doc_id" % 5 === 0)
+        || ($"lang" === "zh" && $"doc_id" % 2 === 0)
+        || !$"lang".isin("en", "zh"))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Training-MIXTURE construction: combine source groups at different
+    * weights (src0–9 at 1/4, src10–19 in full), tag each row with its
+    * mixture component, and report achieved per-component rates. The
+    * report is one aggregation; the mixture itself is a union of
+    * pushed-down-filtered scans — at 100 TB each component streams
+    * straight from its own table/partition with no shuffle before the
+    * final (tiny) report agg. */
+  def mixWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables(spark, sfDir, "documents")
+      .withColumn("grp",
+        when(regexp_extract($"source", "src([0-9]+)", 1).cast("int") < 10,
+          "low_weight").otherwise("full"))
+    val sampled = d.filter($"grp" === "full"
+      || ($"grp" === "low_weight" && $"doc_id" % 4 === 0))
+    val totals = d.groupBy($"grp").agg(count(lit(1)).as("n_total"))
+    sampled.groupBy($"grp").agg(count(lit(1)).as("n_sampled"))
+      .join(totals, "grp")
+      .select($"grp", $"n_sampled", $"n_total",
+        Det.r4($"n_sampled" / $"n_total").as("rate"))
+      .orderBy($"grp")
+  }
+
+  /** PII masking pass: digit runs → `<num>`, user@host tokens →
+    * `<email>` — the redaction shape of a text-curation pipeline
+    * (regex row-local, fully codegen'd, zero shuffle). */
+  def textPiiMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val masked = regexp_replace(
+      regexp_replace($"text", "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<email>"),
+      "[0-9]+", "<num>")
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", masked.as("masked_text"),
+        (length($"text") - length(regexp_replace($"text", "[0-9]", "")))
+          .as("n_digit_chars"))
+      .orderBy($"doc_id")
+  }
+
   def pipelineCuration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
@@ -424,6 +568,8 @@ object LlmOps {
     "q_multimodal_frames" -> multimodalFrames,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
+    "q_dedup_cluster" -> dedupCluster,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -437,6 +583,9 @@ object LlmOps {
     "q_text_tfidf" -> textTfidf,
     "q_sample_mod" -> sampleMod,
     "q_sample_hash" -> sampleHash,
+    "q_sample_stratified" -> sampleStratified,
+    "q_mix_weighted" -> mixWeighted,
+    "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,
     "q_multimodal_binary" -> multimodalBinary

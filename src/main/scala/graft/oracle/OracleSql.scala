@@ -568,11 +568,46 @@ object OracleSql {
          |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Same result set as q_dedup_ngram_jaccard by construction (the
+    // prefix filter is lossless for J >= t), so the oracle is the same
+    // reference formulation.
+    "q_dedup_jaccard_prefix" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
+         |JOIN sz y ON p.doc_b = y.doc_id
+         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, q.vec_id AS vec_b, $dotSql AS sim
          |FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
          |WHERE $dotSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // connected components = min node id reachable in the undirected
+    // near-dup pair graph; recursive transitive closure is fine at
+    // oracle scale (components are small cliques)
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE
+         |pairs AS (
+         |  SELECT a.vec_id AS src, q.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
+         |  WHERE $dotSql >= 0.4),
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst, src FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src)
+         |SELECT id, min(r) AS component FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     "q_sim_cosine_topk" ->
       s"""SELECT a.vec_id, $dotSql AS sim
@@ -709,7 +744,82 @@ object OracleSql {
         |FROM f ORDER BY doc_id""".stripMargin
   )
 
+  private val analytics: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |      GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  count(*) AS n_users
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH f AS (SELECT user_id,
+        |             date_trunc('week', min(ts)) AS cohort_week
+        |           FROM events GROUP BY user_id)
+        |SELECT cast(f.cohort_week as timestamp) AS cohort_week,
+        |  cast(date_diff('day', f.cohort_week,
+        |       date_trunc('week', e.ts)) // 7 as int) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (lang = 'en' AND doc_id % 5 = 0)
+        |   OR (lang = 'zh' AND doc_id % 2 = 0)
+        |   OR lang NOT IN ('en', 'zh')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN cast(regexp_extract(source, 'src([0-9]+)', 1) as int)
+        |              < 10
+        |      THEN 'low_weight' ELSE 'full' END AS grp
+        |  FROM documents),
+        |t AS (SELECT grp, count(*) AS n_total FROM d GROUP BY grp),
+        |s AS (SELECT grp, count(*) AS n_sampled FROM d
+        |      WHERE grp = 'full' OR (grp = 'low_weight' AND doc_id % 4 = 0)
+        |      GROUP BY grp)
+        |SELECT s.grp, n_sampled, n_total,
+        |  round(n_sampled * 1.0 / n_total, 4) AS rate
+        |FROM s JOIN t ON s.grp = t.grp ORDER BY s.grp""".stripMargin,
+
+    "q_text_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+',
+        |                   '<email>', 'g'),
+        |    '[0-9]+', '<num>', 'g') AS masked_text,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS n_digit_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_describe_schema" ->
+      """SELECT table_name, cast(ordinal_position as int) AS ord,
+        |  column_name, lower(data_type) AS dtype
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region','nation','customer','supplier',
+        |  'part','orders','lineitem','events','documents','embeddings')
+        |ORDER BY table_name, ord""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
+    analytics ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -45,4 +45,42 @@ object Sources {
   /** desdb table listing (the `all_tables` query analogue). */
   def listTables(spark: SparkSession): DataFrame =
     spark.sql("SHOW TABLES")
+
+  /** Declared schema-introspection query (the `all_tab_columns` /
+    * `describe()` analogue as a comparable result set): every corpus
+    * table's columns with a normalized type vocabulary shared with the
+    * DuckDB oracle's information_schema. Schema metadata is
+    * driver-side by nature — the rows come from parquet footers, not a
+    * data scan, so this is O(tables), not O(data), at any scale. */
+  def describeSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def norm(dt: DataType): String = dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "varchar"
+      // parquet isAdjustedToUTC=false arrives as NTZ; the oracle's
+      // information_schema calls both plain "timestamp"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case DateType => "date"
+      case BinaryType => "blob"
+      case ArrayType(e, _) => norm(e) + "[]"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => other.simpleString
+    }
+    val rows = graft.Tables.names.flatMap { t =>
+      graft.Tables(spark, sfDir, t).schema.fields.zipWithIndex.map {
+        case (f, i) => (t, i + 1, f.name, norm(f.dataType))
+      }
+    }
+    rows.toDF("table_name", "ord", "column_name", "dtype")
+      .withColumn("ord", $"ord".cast("int"))
+      .orderBy($"table_name", $"ord")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_describe_schema" -> describeSchema
+  )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.{Analytics, Graph, LlmOps}
+import org.apache.spark.sql.functions._
+
+/** Round-2 operators: graph components, prefix-filtered Jaccard,
+  * curation sampling/mixing/masking, funnel/retention analytics. */
+class OpsRound2Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels every node with its component min") {
+    val nodes = (0L to 9L).toDF("id")
+    // two components {0,1,2,3} (path) and {5,6,7} (triangle); 4,8,9 singletons
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.connectedComponents(nodes, edges)
+      .orderBy($"id").as[(Long, Long)].collect()
+    assert(got === Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("q_dedup_cluster components are consistent with the pair graph") {
+    val pairs = LlmOps.dedupEmbedding(spark, sfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    val comp = LlmOps.dedupCluster(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // every near-dup pair shares a component; component is the min id
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across components")
+    }
+    comp.foreach { case (id, c) => assert(c <= id) }
+  }
+
+  test("prefix-filtered Jaccard equals the single-pass formulation") {
+    val a = LlmOps.dedupNgramJaccard(spark, sfDir).collect().toSeq
+    val b = LlmOps.dedupJaccardPrefix(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("stratified sample hits the per-language rates") {
+    val full = Tables(spark, sfDir, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val got = LlmOps.sampleStratified(spark, sfDir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // systematic rate: key-mod and language are only independent-ish,
+    // so allow sampling noise around the target at this tiny sf
+    assert(math.abs(got("en") - full("en") / 5.0) <= 0.5 * full("en") / 5.0)
+    assert(math.abs(got("zh") - full("zh") / 2.0) <= 0.5 * full("zh") / 2.0)
+    assert(got("de") === full("de"))
+  }
+
+  test("funnel stages are monotonically shrinking") {
+    val byStage = Analytics.eventsFunnel(spark, sfDir)
+      .as[(Int, Long)].collect().toMap
+    val reach3 = byStage.getOrElse(3, 0L)
+    val reach2 = reach3 + byStage.getOrElse(2, 0L)
+    val reach1 = reach2 + byStage.getOrElse(1, 0L)
+    assert(reach3 <= reach2 && reach2 <= reach1)
+    assert(byStage.values.sum ===
+      Tables(spark, sfDir, "events").select($"user_id").distinct().count())
+  }
+
+  test("retention cohort week 0 covers every cohort user") {
+    val r = Analytics.retentionCohort(spark, sfDir)
+    assert(r.filter($"week_offset" === 0).count() > 0)
+    // offsets are never negative (first week is by definition minimal)
+    assert(r.filter($"week_offset" < 0).count() === 0)
+  }
+
+  test("pii mask removes every digit") {
+    val masked = LlmOps.textPiiMask(spark, sfDir)
+    assert(masked.filter($"masked_text".rlike("[0-9]")).count() === 0)
+  }
+}
