@@ -15,7 +15,9 @@ object Bench {
     // on whichever measured query happens to run first
     try {
       val w = "/root/testdata/sf0.001"
-      Seq("q_agg_hash_q1", "q_win_rank", "q_join_inner", "q_sim_cosine_topk")
+      Seq("q_agg_hash_q1", "q_win_rank", "q_join_inner", "q_sim_cosine_topk",
+        "q_dedup_jaccard_prefix", "q_dedup_cluster", "q_sim_ann_ivf",
+        "q_events_funnel")
         .foreach(q => SparkEntry.queries(q)(spark, w).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

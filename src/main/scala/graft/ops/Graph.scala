@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by min-label propagation.
+  /** Connected components by min-label propagation WITH label
+    * shortcutting: each round also treats the current (id → component)
+    * links as edges, so a label reaches 2^round hops — O(log diameter)
+    * rounds instead of O(diameter), the property that makes long chains
+    * tractable at scale (same idea as the star-contraction CC
+    * algorithms used on web-scale graphs).
     *
     * `nodes`: one column `id`; `edges`: columns `src`, `dst`
     * (undirected — pass each pair once, both directions are derived).
     * Returns (id, component) where `component` is the minimum node id
     * in the component — a deterministic canonical representative.
     *
-    * Rounds needed = graph diameter (≤ `maxIters` guard). Each round is
-    * a shuffle join on `id` + a min-aggregation — at 100 TB both sides
-    * hash-partition on the same key, and near-dup graphs are forests of
-    * small cliques, so the frontier collapses after 2–3 rounds.
+    * Each round is one shuffle join on the propagation key + one
+    * min-aggregation that ALSO carries the previous label, so
+    * convergence detection is a filter on the checkpointed result —
+    * no extra join, no extra shuffle.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
@@ -33,18 +38,21 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // candidate labels flowing across edges, merged with current
-      val proposals = und.join(labels, und("src") === labels("id"))
-        .select($"dst".as("id"), $"component")
-        .union(labels)
-        .groupBy($"id").agg(min($"component").as("component"))
+      // shortcut links: component representative <-> member
+      val links = labels.filter($"id" =!= $"component")
+        .select($"id".as("src"), $"component".as("dst"))
+      val allE = und
+        .union(links)
+        .union(links.select($"dst".as("src"), $"src".as("dst")))
+      val next = allE.join(labels.withColumnRenamed("id", "src"), "src")
+        .select($"dst".as("id"), $"component", lit(false).as("is_old"))
+        .union(labels.select($"id", $"component", lit(true).as("is_old")))
+        .groupBy($"id")
+        .agg(min($"component").as("component"),
+          min(when($"is_old", $"component")).as("prev"))
         .transform(graft.Tables.truncate)
-      val changed = proposals.as("n")
-        .join(labels.as("o"), $"n.id" === $"o.id")
-        .filter($"n.component" =!= $"o.component")
-        .limit(1).count()
-      labels = proposals
-      converged = changed == 0
+      converged = next.filter($"component" =!= $"prev").limit(1).count() == 0
+      labels = next.select($"id", $"component")
       iter += 1
     }
     require(converged, s"components not converged within $maxIters rounds")

@@ -225,37 +225,42 @@ object LlmOps {
   /** Embedding near-dup pairs, cosine ≥ 0.4 (vectors are L2-normalized
     * — dot ≡ cosine). Brute-force baseline; the ANN path below is the
     * scale road. */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+  /** All embedding pairs with cosine ≥ `threshold` (vec_a < vec_b).
+    * Stream side spread across cores (single-file scan = 1 partition);
+    * build side broadcast. The cheap key inequality is FIRST in the
+    * join condition so the codegen'd And short-circuits past the dot
+    * kernel for half the pair space. */
+  def embedPairs(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, sfDir, "embeddings")
-    // stream side spread across cores (single-file scan = 1 partition);
-    // build side broadcast. The cheap key inequality is FIRST in the
-    // join condition so the codegen'd And short-circuits past the dot
-    // kernel for half the pair space.
     val a = spread(v.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
     val b = v.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
     a.join(b, $"vec_a" < $"vec_b"
-        && Det.r4(dot(spark)($"ea", $"eb")) >= 0.4)
+        && Det.r4(dot(spark)($"ea", $"eb")) >= threshold)
       .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
-      .orderBy($"vec_a", $"vec_b")
+  }
+
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embedPairs(spark, sfDir, 0.4).orderBy($"vec_a", $"vec_b")
   }
 
   /** Near-dup CLUSTERS: the operator a real dedup pipeline runs after
     * pair mining — connected components over the near-dup pair graph,
     * yielding a deterministic canonical representative (min id) per
-    * cluster. Edges here are the embedding-cosine pairs of
-    * [[dedupEmbedding]]; components via [[Graph.connectedComponents]]
-    * (driver-loop min-label propagation, one distributed join per
-    * round — Spark's recursive-CTE substitute). */
+    * cluster. Edges are [[embedPairs]] at cosine ≥ 0.42 (tighter than
+    * the pair REPORT's 0.4: clustering merges transitively, and the
+    * looser threshold chains half the corpus into one blob — the
+    * classic dedup-cluster over-merge); components via
+    * [[Graph.connectedComponents]] (driver-loop shortcutting min-label
+    * propagation, one distributed join per round — Spark's
+    * recursive-CTE substitute). */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables(spark, sfDir, "embeddings")
-    val a = spread(v.select($"vec_id".as("src"), $"embedding".as("ea")))
-    val b = v.select($"vec_id".as("dst"), $"embedding".as("eb"))
-    val pairs = a.join(b, $"src" < $"dst"
-        && Det.r4(dot(spark)($"ea", $"eb")) >= 0.4)
-      .select($"src", $"dst")
-    val nodes = v.select($"vec_id".as("id"))
+    val pairs = embedPairs(spark, sfDir, 0.42)
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+    val nodes = Tables(spark, sfDir, "embeddings").select($"vec_id".as("id"))
     Graph.connectedComponents(nodes, pairs).orderBy($"id")
   }
 
@@ -291,6 +296,56 @@ object LlmOps {
       .select($"embedding".as("qe"), $"bucket")
     v.filter($"vec_id" =!= 0)
       .join(broadcast(q), "bucket")
+      .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(5)
+  }
+
+  /** IVF ANN with LEARNED centroids — the production ANN shape (FAISS
+    * IVF): k-means cells trained by two Lloyd iterations, then the
+    * query probes only its `nprobe` nearest cells.
+    *
+    * Distributed layout: centroids are always a broadcast (k rows);
+    * assignment is a map-side argmax-dot per vector; the centroid
+    * update is a posexplode → per-(cell, dim) average → array rebuild,
+    * i.e. two narrow shuffles regardless of corpus size. At 100 TB the
+    * cell id becomes the table's partition key, so a query reads
+    * nprobe/k of the data. Cell contents depend on float-sum order →
+    * rows-only check; recall vs brute force is asserted in the suite. */
+  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val v = spread(Tables(spark, sfDir, "embeddings"))
+      .select($"vec_id", $"embedding").transform(graft.Tables.truncate)
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding",
+          struct(dot(spark)($"embedding", $"ce").as("sim"), $"cid").as("sc"))
+        .groupBy($"vec_id")
+        .agg(first($"embedding").as("embedding"), max($"sc").as("best"))
+        .select($"vec_id", $"embedding", $"best.cid".as("cid"))
+    var cents = v.filter($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
+    (1 to 2).foreach { _ =>
+      cents = assign(cents)
+        .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cid",
+          expr("transform(pm, s -> cast(s.m as float))").as("ce"))
+        .transform(graft.Tables.truncate)
+    }
+    val assigned = assign(cents)
+    val qCells = assigned.filter($"vec_id" === 0)
+      .select($"embedding")                    // drop its own cid
+      .crossJoin(broadcast(cents))
+      .select($"embedding".as("qe"),
+        struct(dot(spark)($"embedding", $"ce").as("sim"), $"cid").as("sc"))
+      .orderBy($"sc".desc).limit(2)            // nprobe = 2
+      .select($"qe", $"sc.cid".as("qcid"))
+    assigned.filter($"vec_id" =!= 0)
+      .join(broadcast(qCells), $"cid" === $"qcid")
       .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(5)
@@ -437,6 +492,52 @@ object LlmOps {
     * the surviving corpus per language. Everything is one declarative
     * plan: Catalyst fuses the quality predicates into the scan and the
     * dedup/anti-join shuffles on text hash. */
+  /** Per-doc token-distribution Shannon entropy (nats) — the
+    * repetitiveness signal text-quality filters threshold on. Two
+    * hash aggregations, both partitioned by doc: no data explosion.
+    * r4 guard: the per-doc sum over term probabilities is an
+    * order-dependent double accumulation (see Det.r4 scaladoc). */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val termCounts = spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+    val totals = termCounts.groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+    termCounts.join(totals, "doc_id")
+      .groupBy($"doc_id")
+      .agg(max($"n_tokens").as("n_tokens"),        // constant per doc
+        max($"n_distinct").as("n_distinct"),
+        Det.r4(-sum(($"c" / $"n_tokens") * log($"c" / $"n_tokens")))
+          .as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * shape vector stores actually ship (4× smaller, dot products in
+    * integer SIMD). Per-vector scale = max|lane|; lanes quantized by
+    * FLOOR (no rounding mode), reconstruction error reported per
+    * vector. Entirely elementwise — codegen'd, zero shuffle. */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        expr("""array_max(transform(embedding,
+               |  x -> abs(cast(x as double))))""".stripMargin).as("maxabs"),
+        $"embedding")
+      .select($"vec_id", Det.r4($"maxabs").as("scale"),
+        Det.r4(expr(
+          """aggregate(
+            |  transform(embedding, x ->
+            |    abs(cast(x as double)
+            |        - floor(cast(x as double) / maxabs * 127.0)
+            |          * maxabs / 127.0)),
+            |  cast(0.0 as double), (a, v) -> a + v) / size(embedding)"""
+            .stripMargin)).as("mean_abs_err"))
+      .orderBy($"vec_id")
+  }
+
   /** Deterministic STRATIFIED sampling — per-language rates (the
     * training-data balance knob): en 1/5, zh 1/2, everything else kept.
     * Systematic on the key, so the sample is reproducible and
@@ -575,6 +676,7 @@ object LlmOps {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_ann_bucketed" -> simAnnBucketed,
+    "q_sim_ann_ivf" -> simAnnIvf,
     "q_text_stats" -> textStats,
     "q_text_quality" -> textQuality,
     "q_text_langid" -> textLangid,
@@ -583,6 +685,8 @@ object LlmOps {
     "q_text_tfidf" -> textTfidf,
     "q_sample_mod" -> sampleMod,
     "q_sample_hash" -> sampleHash,
+    "q_text_entropy" -> textEntropy,
+    "q_embed_quantize" -> embedQuantize,
     "q_sample_stratified" -> sampleStratified,
     "q_mix_weighted" -> mixWeighted,
     "q_text_pii_mask" -> textPiiMask,

@@ -98,6 +98,26 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Hive-style partitioned parquet sink + partition-PRUNED read-back:
+    * the write lays events out as event_type=<v>/ directories, and the
+    * read-back filter never touches the other partitions' files (the
+    * scan's PartitionFilters — asserted in PlanSpec). This is the
+    * physical layout that makes selective 100 TB queries cheap: the
+    * pruning happens at file listing, before any IO. */
+  def sinkPartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = "/tmp/graft_scratch/sink_part"
+    Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    spark.read.parquet(dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"),
+        Det.lsum($"user_id").as("sum_uid"))
+      .orderBy($"event_type")
+  }
+
   // ---- §2.2 filter / project / cast -------------------------------------
 
   /** Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
@@ -385,6 +405,7 @@ object Relational {
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
     "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
+    "q_sink_partitioned_prune" -> sinkPartitionedPrune,
     "q_filter_predicates" -> filterPredicates,
     "q_project_compute" -> projectCompute,
     "q_cast_decimal" -> castDecimal,

@@ -599,7 +599,7 @@ object OracleSql {
          |pairs AS (
          |  SELECT a.vec_id AS src, q.vec_id AS dst
          |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
-         |  WHERE $dotSql >= 0.4),
+         |  WHERE $dotSql >= 0.42),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
@@ -808,6 +808,41 @@ object OracleSql {
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
         |    AS n_digit_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sink_partitioned_prune" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  ${dsum("value")} AS sum_value, ${lsum("user_id")} AS sum_uid
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_text_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM tc GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+        |          count(*) AS n_distinct
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id, max(n_tokens) AS n_tokens,
+        |  max(n_distinct) AS n_distinct,
+        |  round(-sum((c * 1.0 / n_tokens) * ln(c * 1.0 / n_tokens)), 4)
+        |    AS entropy
+        |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(cast(x as double)))) AS maxabs
+        |  FROM embeddings)
+        |SELECT vec_id, round(maxabs, 4) AS scale,
+        |  round(list_sum(list_transform(embedding,
+        |    x -> abs(cast(x as double)
+        |             - floor(cast(x as double) / maxabs * 127.0)
+        |               * maxabs / 127.0))) / len(embedding), 4)
+        |    AS mean_abs_err
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_describe_schema" ->
       """SELECT table_name, cast(ordinal_position as int) AS ord,

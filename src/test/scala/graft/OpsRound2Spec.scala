@@ -20,7 +20,7 @@ class OpsRound2Spec extends SparkSpec {
   }
 
   test("q_dedup_cluster components are consistent with the pair graph") {
-    val pairs = LlmOps.dedupEmbedding(spark, sfDir)
+    val pairs = LlmOps.embedPairs(spark, sfDir, 0.42)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
     val comp = LlmOps.dedupCluster(spark, sfDir)
       .as[(Long, Long)].collect().toMap
@@ -70,5 +70,45 @@ class OpsRound2Spec extends SparkSpec {
   test("pii mask removes every digit") {
     val masked = LlmOps.textPiiMask(spark, sfDir)
     assert(masked.filter($"masked_text".rlike("[0-9]")).count() === 0)
+  }
+
+  test("IVF ANN recall vs brute-force top-5 is >= 3/5") {
+    val truth = LlmOps.simCosineTopk(spark, sfDir).limit(5)
+      .select($"vec_id").as[Long].collect().toSet
+    val got = LlmOps.simAnnIvf(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got.size === 5)
+    assert((truth intersect got).size >= 3,
+      s"IVF recall too low: truth=$truth got=$got")
+  }
+
+  test("partitioned sink read-back prunes to one partition directory") {
+    import graft.ops.Relational
+    val df = Relational.sinkPartitionedPrune(spark, sfDir)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(400))
+    // only the purchase directory should be listed
+    val pruned = spark.read.parquet("/tmp/graft_scratch/sink_part")
+      .filter($"event_type" === "purchase")
+    pruned.collect()
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString.linesIterator.filter(_.contains("Location")))
+    assert(files.nonEmpty)
+  }
+
+  test("token entropy bounds: 0 <= H <= ln(n_distinct)") {
+    val rows = LlmOps.textEntropy(spark, sfDir)
+      .select($"entropy", $"n_distinct").as[(Double, Long)].collect()
+    rows.foreach { case (h, nd) =>
+      // entropy is reported rounded to 4 decimals → allow ±5e-5
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 5e-5, s"H=$h nd=$nd")
+    }
+  }
+
+  test("int8 quantization error is bounded by one step") {
+    val bad = LlmOps.embedQuantize(spark, sfDir)
+      .filter($"mean_abs_err" > $"scale" / 127.0 + 1e-9).count()
+    assert(bad === 0)
   }
 }

@@ -14,7 +14,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_subquery_scalar", // scalar-subquery comparison joins a 1-row side
     "q_topk_global", "q_sim_cosine_topk", // 1-row broadcast query vector
     "q_text_tfidf",      // 1-row broadcast corpus count
-    "q_na_functions"     // crossJoin of two 1-row aggregates
+    "q_na_functions",    // crossJoin of two 1-row aggregates
+    "q_dedup_cluster",   // brute-force pair edges (vec_a < vec_b), as above
+    "q_sim_ann_ivf"      // k-row broadcast centroid table per Lloyd step
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
