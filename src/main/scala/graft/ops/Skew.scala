@@ -26,4 +26,26 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Declared skew showcase: 70 % of events collapse onto one hot key,
+    * then join a per-key dimension through [[saltedJoin]] — the hot
+    * key occupies 16 reducers instead of one. Result (and oracle) is
+    * the plain inner join's aggregate, proving salting is semantics-
+    * preserving. */
+  def joinSkewSalted(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.Tables(spark, sfDir, "events")
+      .select($"event_id",
+        when($"user_id" % 10 < 7, 0L).otherwise($"user_id").as("k"),
+        $"value")
+    val dim = e.select($"k").distinct()
+      .withColumn("w", ($"k" % 97 + 1).cast("int"))
+    Skew.saltedJoin(e, dim, "k", salt = 16)
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsumDec(graft.Det.dec($"value") * $"w").as("weighted"))
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      DataFrame] = Map("q_join_skew_salted" -> joinSkewSalted)
 }

@@ -844,6 +844,18 @@ object OracleSql {
         |    AS mean_abs_err
         |FROM m ORDER BY vec_id""".stripMargin,
 
+    "q_join_skew_salted" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+        |    value
+        |  FROM events),
+        |d AS (SELECT DISTINCT k FROM e),
+        |d2 AS (SELECT k, cast(k % 97 + 1 as int) AS w FROM d)
+        |SELECT count(*) AS n,
+        |  cast(sum(cast(value as decimal(12,2)) * w) as double) AS weighted
+        |FROM e JOIN d2 USING (k)""".stripMargin,
+
     "q_describe_schema" ->
       """SELECT table_name, cast(ordinal_position as int) AS ord,
         |  column_name, lower(data_type) AS dtype

@@ -19,6 +19,42 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("connectedComponents equals a union-find reference on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    check(Prop.forAll(edgeGen) { es =>
+      val edges0 = es.filter { case (a, b) => a != b }
+      val nodes = (0L to 19L).toDF("id")
+      val got =
+        if (edges0.isEmpty)
+          Graph.connectedComponents(nodes, Seq.empty[(Long, Long)].toDF("src", "dst"))
+        else Graph.connectedComponents(nodes, edges0.toDF("src", "dst"))
+      // union-find reference
+      val parent = Array.tabulate(20)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges0.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until 20).map(i => i.toLong -> find(i).toLong).toMap
+      got.as[(Long, Long)].collect().toMap == want
+    })
+  }
+
+  test("salted join equals the plain join") {
+    val a = Skew.joinSkewSalted(spark, sfDir).as[(Long, Double)].head()
+    val e = Tables(spark, sfDir, "events")
+      .select($"event_id",
+        when($"user_id" % 10 < 7, 0L).otherwise($"user_id").as("k"),
+        $"value")
+    val dim = e.select($"k").distinct()
+      .withColumn("w", ($"k" % 97 + 1).cast("int"))
+    val plain = e.join(dim, "k")
+      .agg(count(lit(1)), Det.dsumDec(Det.dec($"value") * $"w"))
+      .as[(Long, Double)].head()
+    assert(a === plain)
+  }
+
   test("set-operation algebra matches Scala set semantics") {
     check(Prop.forAll(smallInts, smallInts) { (xs: List[Int], ys: List[Int]) =>
       val a = xs.toDF("v")
