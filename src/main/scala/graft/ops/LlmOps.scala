@@ -125,20 +125,25 @@ object LlmOps {
     val sets = sh.groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh_set"), count(lit(1)).as("n_sh"))
     val wDoc = Window.partitionBy($"doc_id")
+    // the global prefix order is (frequency, shingle HASH): any single
+    // consistent total order satisfies the candidate rule, and 8-byte
+    // longs sort and join far cheaper than shingle strings -- exact
+    // verification below makes the result independent of the order
     val prefix = sh.join(freq, "shingle")
-      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"shingle")))
+      .withColumn("h", xxhash64($"shingle"))
+      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
       .withColumn("n_sh", count(lit(1)).over(wDoc))
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
-      .select($"doc_id", $"shingle", $"n_sh")
+      .select($"doc_id", $"h", $"n_sh")
     // candidate rule + PPJoin LENGTH filter: J >= t also bounds the
     // set sizes to t·|A| <= |B| <= |A|/t, killing most false candidates
     // before the distinct and the verification stage ever see them.
-    val cand = prefix.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("pna"))
-      .join(prefix.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("pnb")),
-        "shingle")
+    val cand = prefix.select($"doc_id".as("doc_a"), $"h", $"n_sh".as("pna"))
+      .join(prefix.select($"doc_id".as("doc_b"), $"h", $"n_sh".as("pnb")),
+        "h")
       .filter($"doc_a" < $"doc_b"
         && $"pnb" >= ceil($"pna" * 0.6) && $"pna" >= ceil($"pnb" * 0.6))
-      .select($"doc_a", $"doc_b").distinct()
+      .select($"doc_a", $"doc_b")
     // one set-row per doc → orders of magnitude smaller than the
     // candidate pair stream; broadcast both probes so the wide array
     // payload never crosses a shuffle. (Past broadcast size, swap for a
@@ -152,6 +157,11 @@ object LlmOps {
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.6)
+      // dedup AFTER the threshold filter: a pair sharing k prefix
+      // shingles appears k times in the candidate stream, but
+      // deduplicating the (tiny) surviving result beats shuffling the
+      // full candidate stream through a distinct
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
