@@ -61,6 +61,26 @@ object StreamingOps {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
   }
 
+  /** Interval-bounded self-join: per purchase, clicks by the same user
+    * in the preceding hour. This is the batch twin of a stream-stream
+    * join — under `readStream` the same plan needs watermarks on both
+    * sides and the time bound caps join state (exercised in
+    * StreamingSpec); in batch it is an equi-join on user_id with a
+    * range predicate, which AQE plans as a regular hash join. */
+  def clicksBeforePurchase(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    p.join(c, col("pu") === col("cu")
+        && col("cts") <= col("pts")
+        && col("cts") > col("pts") - expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("event_id"), col("pu"), col("pts"))
+      .agg(count(col("cts")).as("n_clicks_1h"))
+      .select(col("event_id"), col("pu").as("user_id"),
+        col("pts").as("ts"), col("n_clicks_1h"))
+  }
+
   /** Streaming source for events-shaped directories (schema pinned from
     * the directory's existing files — streaming sources require an
     * explicit schema), so every transform above runs unchanged under
@@ -94,10 +114,17 @@ object StreamingOps {
       .orderBy($"user_id", $"event_type")
   }
 
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clicksBeforePurchase(Tables(spark, sfDir, "events"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
     "q_stream_session" -> streamSession,
-    "q_stream_dedup" -> streamDedup
+    "q_stream_dedup" -> streamDedup,
+    "q_stream_join" -> streamJoin
   )
 }

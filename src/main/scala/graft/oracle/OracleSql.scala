@@ -530,7 +530,17 @@ object OracleSql {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts, event_id) AS rn FROM events)
         |WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
+        |  count(c.ts) AS n_clicks_1h
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.event_id""".stripMargin
   )
 
   private val shingleCte: String =
