@@ -145,14 +145,17 @@ object LlmOps {
         && $"pnb" >= ceil($"pna" * 0.6) && $"pna" >= ceil($"pnb" * 0.6))
       .select($"doc_a", $"doc_b")
     // one set-row per doc → orders of magnitude smaller than the
-    // candidate pair stream; broadcast both probes so the wide array
-    // payload never crosses a shuffle. (Past broadcast size, swap for a
-    // shuffle join on doc id — same plan shape, still candidate-linear.)
+    // candidate pair stream. SHUFFLE_HASH (not broadcast): the array
+    // payload is wide, and a driver-side broadcast build of it is the
+    // one step that degrades under a long session's heap pressure
+    // (measured 5 s → 18 s inside the full bench suite); a shuffle
+    // hash join keeps the arrays executor-side and is the same plan
+    // you'd run past broadcast size anyway.
     cand
-      .join(broadcast(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
-        $"n_sh".as("na"))), "doc_a")
-      .join(broadcast(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
-        $"n_sh".as("nb"))), "doc_b")
+      .join(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
+        $"n_sh".as("na")).hint("SHUFFLE_HASH"), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
+        $"n_sh".as("nb")).hint("SHUFFLE_HASH"), "doc_b")
       .withColumn("common", size(array_intersect($"sa", $"sb")))
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
