@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Reference-API facade: the entry points a desdb user calls, mapped
+  * one-to-one onto this engine so switching is a rename, not a rewrite
+  * [pub: desdb/desdb.py Connection + desdb/files.py DESFiles — SURVEY
+  * §0 citation grades].
+  *
+  * | reference call                         | here                      |
+  * |----------------------------------------|---------------------------|
+  * | `desdb.Connection(...)`                | `DesDb(spark, sfDir)`     |
+  * | `conn.quick(sql)` → rows               | `quick(sql)` → DataFrame  |
+  * | `conn.quickWrite(sql, fmt)` → stdout   | `quickWrite(sql, fmt)`    |
+  * | `conn.describe(table)`                 | `describe(table)`         |
+  * | `conn.list_tables()`                   | `listTables()`            |
+  * | `desdb.files.DESFiles().url(type,...)` | `desUrl(run, expname, ccd)` |
+  * | `get-coadd-srclist` / `Coadd.load`     | `srclist(nodes, edges)`   |
+  *
+  * The result type is the upgrade: the reference returns list-of-dicts
+  * or a NumPy recarray (driver memory bound); `quick` returns a lazy
+  * distributed DataFrame — `.collect()` when small, keep distributed
+  * when not. Credentials/DSN have no analogue here (the corpus is
+  * parquet; live-Oracle access would come through
+  * `graft.sources.Sources.jdbc`, the interface slot).
+  */
+class DesDb(spark: SparkSession, sfDir: String) {
+  Tables.registerViews(spark, sfDir)
+  graft.functions.VectorExpressions.register(spark)
+
+  /** `Connection.quick(sql)`: arbitrary SQL over the registered
+    * catalog tables. */
+  def quick(sql: String): DataFrame = spark.sql(sql)
+
+  /** `Connection.quickWrite(sql, fmt)`: stream the result to stdout
+    * (csv | json | pretty), driver memory bounded by one partition. */
+  def quickWrite(sql: String, fmt: String): Unit =
+    Query.write(quick(sql), fmt)
+
+  /** `Connection.describe(table)`. */
+  def describe(table: String): DataFrame =
+    graft.sources.Sources.describe(spark, table)
+
+  /** `Connection.list_tables()`. */
+  def listTables(): DataFrame = graft.sources.Sources.listTables(spark)
+
+  /** `DESFiles.url('red_image', run=, expname=, ccd=)`. */
+  def desUrl(run: String, expname: String, ccd: Int,
+      root: String = "/desdata"): String =
+    ops.DesFiles.redImagePath(root, run, expname, ccd)
+
+  /** `get-coadd-srclist`: resolve a parent-id hierarchy to its roots —
+    * (leaf, root, depth), one distributed join per level. */
+  def srclist(nodes: DataFrame, edges: DataFrame,
+      maxDepth: Int = 20): DataFrame =
+    ops.DesFiles.resolveToRoots(nodes, edges, maxDepth)
+}

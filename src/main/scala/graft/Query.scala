@@ -28,15 +28,18 @@ object Query {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.registerViews(spark, sfDir)
     graft.functions.VectorExpressions.register(spark)
-    val df = spark.sql(sql)
-    fmt match {
-      case "csv" => writeCsv(df)
-      case "json" =>
-        df.toJSON.toLocalIterator().forEachRemaining(println(_))
-      case "pretty" => writePretty(df)
-      case other => sys.error(s"unknown format: $other")
-    }
+    write(spark.sql(sql), fmt)
     spark.stop()
+  }
+
+  /** Stream a result to stdout in the given format (csv | json |
+    * pretty) — also the backend of `DesDb.quickWrite`. */
+  def write(df: DataFrame, fmt: String): Unit = fmt match {
+    case "csv" => writeCsv(df)
+    case "json" =>
+      df.toJSON.toLocalIterator().forEachRemaining(println(_))
+    case "pretty" => writePretty(df)
+    case other => sys.error(s"unknown format: $other")
   }
 
   private def csvCell(v: Any): String = v match {

@@ -1,0 +1,47 @@
+package graft
+
+/** The reference-API facade: every entry point a desdb user calls,
+  * driven end-to-end against the corpus. */
+class DesDbSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val db = new DesDb(spark, sfDir)
+
+  test("quick runs arbitrary SQL over the registered catalog") {
+    val n = db.quick("SELECT count(*) AS n FROM region").as[Long].head()
+    assert(n === 5L)
+  }
+
+  test("describe returns the table's columns") {
+    val cols = db.describe("lineitem")
+      .select($"col_name").as[String].collect().toSet
+    assert(cols.contains("l_orderkey") && cols.contains("l_shipdate"))
+  }
+
+  test("listTables sees every corpus table") {
+    val ts = db.listTables().select($"tableName").as[String].collect().toSet
+    assert(Tables.names.toSet.subsetOf(ts))
+  }
+
+  test("desUrl expands the red_image template") {
+    assert(db.desUrl("20130305", "DECam_00001234", 7) ===
+      "/desdata/OPS/red/20130305/red/DECam_00001234/DECam_00001234_07.fits")
+  }
+
+  test("srclist resolves a parent hierarchy through the facade") {
+    val nodes = Seq(1L, 10L, 100L).toDF("id")
+    val edges = Seq((1L, 10L), (10L, 100L)).toDF("child", "parent")
+    val got = db.srclist(nodes, edges)
+      .orderBy($"leaf").as[(Long, Long, Int)].collect()
+    assert(got === Seq((1L, 100L, 2), (10L, 100L, 1), (100L, 100L, 0)))
+  }
+
+  test("quickWrite streams csv to stdout") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      db.quickWrite("SELECT r_name FROM region ORDER BY r_name", "csv")
+    }
+    val lines = out.toString.trim.linesIterator.toSeq
+    assert(lines.head === "r_name" && lines.size === 6)
+  }
+}
