@@ -667,6 +667,44 @@ object LlmOps {
     * stays in codegen, no driver involvement); the per-frame "feature"
     * is a deterministic stand-in for a real per-frame embedding (STUB —
     * same contract as multimodalBinary's decode). */
+  case class MediaFeature(doc_id: Long, out_w: Int, out_h: Int,
+      feature: String)
+
+  /** Resize + feature-extract stages over the decoded metadata — the
+    * remaining pipeline steps a multimodal corpus needs after decode
+    * ([[multimodalBinary]]) and frame sampling ([[multimodalFrames]]).
+    * Runs as a typed `mapPartitions` batch stage (the Scala analogue of
+    * a pandas `mapInPandas` batch UDF): per partition, iterate the
+    * byte payloads once, emit fixed-shape features.
+    *
+    * STUB: resize math is real (fit into 224×224 preserving aspect,
+    * floor semantics); the 4-lane "feature" is a deterministic fake of
+    * the byte stream (first/last byte + length mix) standing in for a
+    * model embedding — swap the lambda body for a real encoder. Output
+    * lanes are serialized ints (driver-compare rule: no array
+    * columns). */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "utf-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = bytes.length
+        val (w, h) = (n % 640, (n / 7) % 480) // decode-stub dimensions
+        // fit into 224x224, preserve aspect, floor — never upscale
+        val scale = math.min(1.0, 224.0 / math.max(math.max(w, h), 1))
+        val (ow, oh) = ((w * scale).toInt, (h * scale).toInt)
+        val (first, last) =
+          (if (n > 0) bytes(0) & 0xff else 0,
+            if (n > 0) bytes(n - 1) & 0xff else 0)
+        val feat = (0 until 4)
+          .map(d => (n * (d + 1) + first * 31 + last * 7) % 997)
+        MediaFeature(id, ow, oh, feat.mkString(","))
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     multimodalBinary(spark, sfDir)
@@ -680,6 +718,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_frames" -> multimodalFrames,
+    "q_multimodal_features" -> multimodalFeatures,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,

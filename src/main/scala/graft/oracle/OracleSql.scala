@@ -745,6 +745,30 @@ object OracleSql {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
 
+    // corpus text is pure ASCII (verified: length == octet_length for
+    // every language), so ascii(first/last char) equals the byte the
+    // Spark-side mapPartitions stage reads
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    cast(octet_length(encode(text)) as int) AS n,
+        |    ascii(substring(text, 1, 1)) AS f,
+        |    ascii(substring(text, length(text), 1)) AS l
+        |  FROM documents),
+        |d AS (SELECT doc_id, n, f, l, n % 640 AS w, (n // 7) % 480 AS h
+        |      FROM m),
+        |s AS (SELECT *, least(1.0, 224.0 / greatest(greatest(w, h), 1))
+        |        AS scale FROM d)
+        |SELECT doc_id,
+        |  cast(floor(w * scale) as int) AS out_w,
+        |  cast(floor(h * scale) as int) AS out_h,
+        |  concat_ws(',',
+        |    (n * 1 + f * 31 + l * 7) % 997,
+        |    (n * 2 + f * 31 + l * 7) % 997,
+        |    (n * 3 + f * 31 + l * 7) % 997,
+        |    (n * 4 + f * 31 + l * 7) % 997) AS feature
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_binary" ->
       """WITH f AS (
         |  SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes
