@@ -19,9 +19,11 @@ object Graph {
     * algorithms used on web-scale graphs).
     *
     * `nodes`: one column `id`; `edges`: columns `src`, `dst`
-    * (undirected — pass each pair once, both directions are derived).
-    * Returns (id, component) where `component` is the minimum node id
-    * in the component — a deterministic canonical representative.
+    * (undirected — pass each pair once, both directions are derived;
+    * every endpoint must appear in `nodes`, or the stray id surfaces
+    * as an extra labeled row). Returns (id, component) where
+    * `component` is the minimum node id in the component — a
+    * deterministic canonical representative.
     *
     * Each round is one shuffle join on the propagation key + one
     * min-aggregation that ALSO carries the previous label, so
