@@ -22,8 +22,11 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // a failed query reports -1, NOT its time-to-failure — otherwise
+      // failures are indistinguishable from fast successes
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // untimed: drop dead localCheckpoint blocks + broadcast refs so a
       // heavy query's garbage isn't paid for by whoever runs next
       System.gc()
@@ -31,7 +34,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

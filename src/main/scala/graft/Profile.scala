@@ -11,59 +11,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   /** Exploratory sub-plans for isolating stage costs; not part of the
-    * driver contract. */
-  private val adhoc: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
-    import org.apache.spark.sql.functions._
+    * driver contract. Probes REUSE the production builders (never
+    * copy-paste them) so they measure the shipped plan. */
+  private val adhoc: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
-      "x_shingles" -> ((s, dir) => {
-        import s.implicits._
-        Tables(s, dir, "documents")
-          .repartition(32)
-          .select($"doc_id", split($"text", " ").as("toks"))
-          .select($"doc_id", explode(expr(
-            """array_distinct(CASE WHEN size(toks) >= 3
-              |  THEN transform(sequence(1, size(toks) - 2),
-              |       i -> array_join(slice(toks, i, 3), ' '))
-              |  ELSE array() END""".stripMargin + ")")).as("shingle"))
-      }),
-      "x_cand" -> ((s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val sh = adhoc("x_shingles")(s, dir).localCheckpoint()
-        val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
-        val wDoc = Window.partitionBy($"doc_id")
-        val prefix = sh.join(freq, "shingle")
-          .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"shingle")))
-          .withColumn("n_sh", count(lit(1)).over(wDoc))
-          .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
-          .select($"doc_id", $"shingle")
-        prefix.select($"doc_id".as("doc_a"), $"shingle")
-          .join(prefix.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-          .filter($"doc_a" < $"doc_b")
-          .select($"doc_a", $"doc_b").distinct()
-      }),
-      "x_prefix" -> ((s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val sh = adhoc("x_shingles")(s, dir).localCheckpoint()
-        val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
-        val wDoc = Window.partitionBy($"doc_id")
-        sh.join(freq, "shingle")
-          .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"shingle")))
-          .withColumn("n_sh", count(lit(1)).over(wDoc))
-          .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
-          .select($"doc_id", $"shingle")
-      }),
+      "x_shingles" -> ((s, dir) =>
+        graft.ops.LlmOps.shingleDf(Tables(s, dir, "documents"))),
       "x_shingle_join" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
         import s.implicits._
-        val sh = adhoc("x_shingles")(s, dir)
+        val sh = graft.ops.LlmOps.shingleDf(Tables(s, dir, "documents"))
         sh.select($"doc_id".as("doc_a"), $"shingle")
           .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
           .filter($"doc_a" < $"doc_b")
           .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
       })
     )
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

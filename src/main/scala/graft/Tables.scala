@@ -32,7 +32,15 @@ object Tables {
     spark.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) {
+        // path-prefix test (getCheckpointDir is the UUID subdir Spark
+        // created under the configured root) — a substring contains()
+        // would let any stale dir whose path merely embeds the string win
+        def underConfigured(p: String): Boolean = {
+          val parent = new org.apache.hadoop.fs.Path(p).getParent
+          parent != null && parent.toUri.getPath ==
+            new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        }
+        if (!sc.getCheckpointDir.exists(underConfigured)) {
           if (sc.getCheckpointDir.nonEmpty)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"overriding checkpoint dir ${sc.getCheckpointDir.get} " +

@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
   * (the reference forwarded arbitrary SQL of this shape to Oracle;
   * here they are first-class declarative plans).
   *
-  * Scale posture: both operators are built from per-user conditional
-  * MIN aggregations and equi-joins on `user_id` — every stage
-  * hash-partitions on the same key, so at 100 TB the plan is a chain
-  * of co-partitioned aggregations with no data explosion; no window
-  * over the full event stream is ever required.
+  * Scale posture: everything partitions on `user_id` — no window over
+  * the full event stream is ever required. The funnel's fold holds
+  * O(one user's events) per key (see its scaladoc for the hot-key
+  * trade-off); retention is pure conditional aggregation.
   */
 object Analytics {
 
@@ -27,7 +26,14 @@ object Analytics {
     * + three joins) this replaces six user_id exchanges with one.
     * Equal-timestamp ties cannot flip the result: stage advances
     * require STRICTLY later timestamps, and stage 1 takes the earliest
-    * view regardless of sort position among its ties. */
+    * view regardless of sort position among its ties.
+    *
+    * Trade-off, stated honestly: the fold's per-key state is O(that
+    * user's events) — on corpora where a single bot/service user can
+    * hold an unbounded share of the stream, pre-filter those keys or
+    * fall back to the chained conditional-MIN formulation (the DuckDB
+    * oracle twin of this query IS that formulation, proven equal),
+    * whose per-key state is O(1) at the cost of the extra exchanges. */
   def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // no type pre-filter: users whose events are ALL other types must

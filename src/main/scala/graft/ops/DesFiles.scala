@@ -106,7 +106,9 @@ object DesFiles {
       level += 1
     }
     require(frontier.isEmpty, s"hierarchy deeper than cycle guard $maxDepth")
-    resolved.reduce(_ unionByName _)
+    resolved.reduceOption(_ unionByName _)
+      // empty nodes → empty (leaf, root, depth) result, not empty.reduce
+      .getOrElse(frontier.select($"leaf", $"cur".as("root"), $"depth"))
       .select($"leaf", $"root", $"depth".cast(IntegerType).as("depth"))
   }
 

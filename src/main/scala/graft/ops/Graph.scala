@@ -53,7 +53,12 @@ object Graph {
         .agg(min($"component").as("component"),
           min(when($"is_old", $"component")).as("prev"))
         .transform(graft.Tables.truncate)
-      converged = next.filter($"component" =!= $"prev").limit(1).count() == 0
+      // null-safe: an id that first appears this round (edge endpoint
+      // missing from `nodes`) has prev = null and MUST count as a
+      // change, or the loop would declare convergence with split
+      // components
+      converged = next.filter(!($"component" <=> $"prev"))
+        .limit(1).count() == 0
       labels = next.select($"id", $"component")
       iter += 1
     }

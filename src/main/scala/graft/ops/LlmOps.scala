@@ -32,7 +32,7 @@ object LlmOps {
     * (no UDF): doc_id, shingle. Shingle construction is the CPU-heavy
     * step (per-token slice + join string builds), so the input is
     * spread across cores first. */
-  private def shingleDf(docs: DataFrame): DataFrame =
+  private[graft] def shingleDf(docs: DataFrame): DataFrame =
     spread(docs)
       // hoist the tokenization: HOF lambdas are interpreted and Catalyst
       // performs no loop-invariant motion inside them, so split() left

@@ -87,14 +87,32 @@ class OpsRound2Spec extends SparkSpec {
     val df = Relational.sinkPartitionedPrune(spark, sfDir)
     df.collect()
     val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"), scan.take(400))
-    // only the purchase directory should be listed
+    // the event_type predicate must be a PARTITION filter (pruned at
+    // file listing), not a post-scan data filter — an empty
+    // "PartitionFilters: []" would mean pruning regressed
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("event_type")
+        && l.contains("purchase")), scan.take(800))
+    // and the files actually READ (scan metric) are exactly the
+    // purchase directory's files — fewer than the table's total
     val pruned = spark.read.parquet("/tmp/graft_scratch/sink_part")
       .filter($"event_type" === "purchase")
     pruned.collect()
-    val files = pruned.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString.linesIterator.filter(_.contains("Location")))
-    assert(files.nonEmpty)
+    val numFilesRead = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    def parquetFiles(d: java.io.File): Int =
+      Option(d.listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val root = new java.io.File("/tmp/graft_scratch/sink_part")
+    val purchase = parquetFiles(
+      new java.io.File(root, "event_type=purchase"))
+    val total = Option(root.listFiles).toSeq.flatten
+      .filter(_.isDirectory).map(parquetFiles).sum
+    assert(numFilesRead === purchase.toLong, s"read $numFilesRead")
+    assert(purchase < total, "pruning proved nothing: one partition only")
   }
 
   test("token entropy bounds: 0 <= H <= ln(n_distinct)") {
