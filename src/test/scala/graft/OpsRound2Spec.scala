@@ -124,6 +124,29 @@ class OpsRound2Spec extends SparkSpec {
     }
   }
 
+  test("durable truncate checkpoints under the configured dir and follows overrides") {
+    val d1 = s"/tmp/graft_cp_${java.util.UUID.randomUUID()}"
+    val d2 = s"/tmp/graft_cp_${java.util.UUID.randomUUID()}"
+    try {
+      spark.conf.set("spark.graft.checkpointDir", d1)
+      val out = Tables.truncate(spark.range(10).toDF("v"))
+      assert(out.count() === 10)
+      def parent(p: String): String =
+        new org.apache.hadoop.fs.Path(p).getParent.toUri.getPath
+      val cp1 = spark.sparkContext.getCheckpointDir.get
+      assert(parent(cp1) === d1, cp1)
+      // reconfigured dir must override the previous one, not be ignored
+      spark.conf.set("spark.graft.checkpointDir", d2)
+      Tables.truncate(spark.range(3).toDF("v")).count()
+      val cp2 = spark.sparkContext.getCheckpointDir.get
+      assert(parent(cp2) === d2, cp2)
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      Seq(d1, d2).foreach(d => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(d)))
+    }
+  }
+
   test("int8 quantization error is bounded by one step") {
     val bad = LlmOps.embedQuantize(spark, sfDir)
       .filter($"mean_abs_err" > $"scale" / 127.0 + 1e-9).count()
