@@ -118,6 +118,33 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** CDC upsert (MERGE INTO semantics on plain parquet): a change
+    * batch (updates for existing keys + inserts for new ones) applied
+    * onto a base snapshot via ONE full-outer join on the key +
+    * per-column coalesce — no per-row driver logic, one shuffle on the
+    * merge key at any scale (table formats like Iceberg/Delta do this
+    * same join under MERGE INTO). Output is a per-action audit the
+    * oracle can hash-match. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val base = o.filter($"o_orderkey" % 10 < 8)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"))
+    // overlap with base → updates; the rest → inserts
+    val changes = o.filter($"o_orderkey" % 10 >= 6)
+      .select($"o_orderkey".as("k"),
+        ($"o_totalprice" + 1000.0).as("new_price"))
+    base.join(changes, Seq("k"), "full_outer")
+      .select($"k",
+        coalesce($"new_price", $"price").as("price"),
+        when($"price".isNull, "insert")
+          .when($"new_price".isNull, "keep")
+          .otherwise("update").as("action"))
+      .groupBy($"action")
+      .agg(count(lit(1)).as("n"), Det.dsum($"price").as("sum_price"))
+      .orderBy($"action")
+  }
+
   // ---- §2.2 filter / project / cast -------------------------------------
 
   /** Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
@@ -406,6 +433,7 @@ object Relational {
     "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "q_sink_partitioned_prune" -> sinkPartitionedPrune,
+    "q_merge_upsert" -> mergeUpsert,
     "q_filter_predicates" -> filterPredicates,
     "q_project_compute" -> projectCompute,
     "q_cast_decimal" -> castDecimal,

@@ -878,6 +878,22 @@ object OracleSql {
         |    AS mean_abs_err
         |FROM m ORDER BY vec_id""".stripMargin,
 
+    "q_merge_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS price
+         |  FROM orders WHERE o_orderkey % 10 < 8),
+         |changes AS (
+         |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS new_price
+         |  FROM orders WHERE o_orderkey % 10 >= 6),
+         |merged AS (
+         |  SELECT coalesce(c.new_price, b.price) AS price,
+         |    CASE WHEN b.price IS NULL THEN 'insert'
+         |         WHEN c.new_price IS NULL THEN 'keep'
+         |         ELSE 'update' END AS action
+         |  FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+         |SELECT action, count(*) AS n, ${dsum("price")} AS sum_price
+         |FROM merged GROUP BY action ORDER BY action""".stripMargin,
+
     "q_join_skew_salted" ->
       """WITH e AS (
         |  SELECT event_id,
