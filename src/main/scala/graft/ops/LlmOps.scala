@@ -527,6 +527,32 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary head coverage (Zipf curve checkpoints) — the
+    * tokenizer-planning question "what fraction of the token stream do
+    * the top-k types cover?". The global rank is computed ONLY on the
+    * top-k slice (`TakeOrderedAndProject`, k fixed), never as a
+    * full-corpus window — the single-partition window afterwards sees
+    * k rows regardless of corpus size. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = spread(Tables(spark, sfDir, "documents"))
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(Det.lsum($"c").as("total"),
+      count(lit(1)).as("n_vocab"))
+    val ord = Window.orderBy($"c".desc, $"token")
+    counts.orderBy($"c".desc, $"token").limit(1000)
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum", sum($"c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"rk".isin(10, 100, 1000))
+      .crossJoin(broadcast(tot))
+      .select($"rk".as("k"), $"n_vocab",
+        Det.r4($"cum" * 1.0 / $"total").as("coverage"))
+      .orderBy($"k")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * shape vector stores actually ship (4× smaller, dot products in
     * integer SIMD). Per-vector scale = max|lane|; lanes quantized by
@@ -738,6 +764,7 @@ object LlmOps {
     "q_sample_mod" -> sampleMod,
     "q_sample_hash" -> sampleHash,
     "q_text_entropy" -> textEntropy,
+    "q_vocab_coverage" -> vocabCoverage,
     "q_embed_quantize" -> embedQuantize,
     "q_sample_stratified" -> sampleStratified,
     "q_mix_weighted" -> mixWeighted,

@@ -864,6 +864,23 @@ object OracleSql {
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY cnt.doc_id ORDER BY cnt.doc_id""".stripMargin,
 
+    "q_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS c FROM tc GROUP BY token),
+        |tot AS (SELECT cast(sum(c) as bigint) AS total,
+        |          count(*) AS n_vocab FROM counts),
+        |top AS (SELECT token, c FROM counts
+        |        ORDER BY c DESC, token LIMIT 1000),
+        |r AS (SELECT c,
+        |        row_number() OVER (ORDER BY c DESC, token) AS rk,
+        |        sum(c) OVER (ORDER BY c DESC, token
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM top)
+        |SELECT rk AS k, n_vocab,
+        |  round(cum * 1.0 / total, 4) AS coverage
+        |FROM r, tot WHERE rk IN (10, 100, 1000) ORDER BY k""".stripMargin,
+
     "q_embed_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
