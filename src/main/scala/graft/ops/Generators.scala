@@ -83,6 +83,22 @@ object Generators {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Null-aware NOT IN subquery: customers with no big order. Spark
+    * plans single-column NOT IN as a null-aware anti join (NAAJ) —
+    * the broadcast build carries a hasNull flag so three-valued logic
+    * costs one boolean check, not a per-row null scan. The subquery
+    * column here is non-null, so rows actually return (a nullable
+    * NOT IN list would legally empty the result — the classic trap,
+    * exercised in the suite instead of the declared query). */
+  def subqueryNotIn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Correlated subquery (Catalyst decorrelates): customers counted by
     * how many of their orders exceed 1.2× their own average. */
   def subqueryInCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
@@ -106,6 +122,7 @@ object Generators {
     "q_explode_tokens" -> explodeTokens,
     "q_udtf_shingles" -> udtfShingles,
     "q_subquery_scalar" -> subqueryScalar,
+    "q_subquery_not_in" -> subqueryNotIn,
     "q_subquery_in_correlated" -> subqueryInCorrelated
   )
 }

@@ -355,6 +355,12 @@ object OracleSql {
         |         / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_subquery_not_in" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_subquery_in_correlated" ->
       """SELECT c_custkey, n_above FROM (
         |  SELECT c_custkey,

@@ -147,6 +147,20 @@ class OpsRound2Spec extends SparkSpec {
     }
   }
 
+  test("NOT IN with a nullable list is empty (three-valued logic)") {
+    Tables.registerViews(spark, sfDir)
+    // same query as q_subquery_not_in but with a NULL injected into the
+    // list: x NOT IN (..., NULL) is never TRUE, so zero rows — the
+    // classic SQL trap, and exactly what null-aware anti join encodes
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice > 300000 THEN o_custkey END
+        |  FROM orders)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n === 0L)
+  }
+
   test("int8 quantization error is bounded by one step") {
     val bad = LlmOps.embedQuantize(spark, sfDir)
       .filter($"mean_abs_err" > $"scale" / 127.0 + 1e-9).count()
