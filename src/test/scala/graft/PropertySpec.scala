@@ -179,6 +179,18 @@ class PropertySpec extends SparkSpec {
     assert(rate > 0.04 && rate < 0.2, s"rate $rate") // ~10% ± sampling noise
   }
 
+  test("HLL estimate lands within the sketch's error bound of exact") {
+    val rows = Aggregates.aggHll(spark, sfDir)
+      .select($"approx_parts", $"exact_parts")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      // default HLL++ rsd = 5%; allow 4 sigma for the small groups here
+      assert(math.abs(approx - exact) <= math.max(4, 0.2 * exact),
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("exact dedup keeps the minimum doc_id per duplicated text") {
     val docs = Seq((10L, "a b c"), (3L, "a b c"), (7L, "x y z"))
       .toDF("doc_id", "text")
