@@ -17,6 +17,23 @@ object Profile {
     Map(
       "x_shingles" -> ((s, dir) =>
         graft.ops.LlmOps.shingleDf(Tables(s, dir, "documents"))),
+      "x_shingles_flatmap" -> ((s, dir) => {
+        import s.implicits._
+        Tables.spread(Tables(s, dir, "documents"))
+          .select($"doc_id", $"text").as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val toks = text.split(" ", -1)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val seen = new scala.collection.mutable.HashSet[String]
+              (0 to toks.length - 3).iterator
+                .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+                .filter(seen.add)
+                .map((id, _))
+            }
+          }
+          .toDF("doc_id", "shingle")
+      }),
       "x_shingle_join" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
