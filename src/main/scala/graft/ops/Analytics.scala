@@ -34,11 +34,13 @@ object Analytics {
     * fall back to the chained conditional-MIN formulation (the DuckDB
     * oracle twin of this query IS that formulation, proven equal),
     * whose per-key state is O(1) at the cost of the extra exchanges. */
-  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** Per-user funnel stage from an events DF (user_id, ts, event_type)
+    * — the fold core, exposed for the differential property test. */
+  def funnelStages(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     // no type pre-filter: users whose events are ALL other types must
     // still appear as stage 0 (non-funnel types fall to the ELSE arm)
-    Tables(spark, sfDir, "events")
+    events
       .groupBy($"user_id")
       .agg(collect_list(struct($"ts", $"event_type".as("tp"))).as("evs"))
       .select($"user_id", expr(
@@ -54,6 +56,11 @@ object Analytics {
           |      THEN named_struct('stage', 3, 't', e.ts)
           |    ELSE acc END,
           |  acc -> acc.stage)""".stripMargin).as("stage"))
+  }
+
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    funnelStages(Tables(spark, sfDir, "events"))
       .groupBy($"stage").agg(count(lit(1)).as("n_users"))
       .orderBy($"stage")
   }

@@ -179,6 +179,35 @@ class PropertySpec extends SparkSpec {
     assert(rate > 0.04 && rate < 0.2, s"rate $rate") // ~10% ± sampling noise
   }
 
+  test("funnel fold equals the conditional-MIN reference on random streams") {
+    val evGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 3L),                       // user
+      Gen.choose(0L, 20L),                      // second (dense → ties)
+      Gen.oneOf("view", "click", "purchase", "error", "signup")))
+    check(Prop.forAll(evGen) { es =>
+      val rows = es.map { case (u, sec, tp) =>
+        (u, new java.sql.Timestamp(sec * 1000), tp)
+      }
+      val df = rows.toDF("user_id", "ts", "event_type")
+      val got = Analytics.funnelStages(df)
+        .as[(Long, Int)].collect().toMap
+      // reference: tv = min view; tc = min click > tv; tp = min purchase > tc
+      val want = rows.groupBy(_._1).map { case (u, evs) =>
+        def minAfter(tp: String, after: Option[Long]): Option[Long] = {
+          val ts = evs.collect { case (_, t, `tp`) => t.getTime }
+          val ok = after.fold(ts)(a => ts.filter(_ > a))
+          if (ok.isEmpty) None else Some(ok.min)
+        }
+        val tv = minAfter("view", None)
+        val tc = tv.flatMap(v => minAfter("click", Some(v)))
+        val tpu = tc.flatMap(c => minAfter("purchase", Some(c)))
+        u -> (if (tpu.isDefined) 3 else if (tc.isDefined) 2
+              else if (tv.isDefined) 1 else 0)
+      }
+      got == want
+    })
+  }
+
   test("HLL estimate lands within the sketch's error bound of exact") {
     val rows = Aggregates.aggHll(spark, sfDir)
       .select($"approx_parts", $"exact_parts")
