@@ -99,6 +99,22 @@ object Generators {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER+LIMIT: per-nation top-2
+    * customers by balance — the "top-n per row of the outer relation"
+    * idiom. Catalyst decorrelates the limit into a partitioned
+    * row_number under the hood, so this plans like the window top-k
+    * pattern, not one subquery execution per outer row. */
+  def lateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
   /** Correlated subquery (Catalyst decorrelates): customers counted by
     * how many of their orders exceed 1.2× their own average. */
   def subqueryInCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
@@ -123,6 +139,7 @@ object Generators {
     "q_udtf_shingles" -> udtfShingles,
     "q_subquery_scalar" -> subqueryScalar,
     "q_subquery_not_in" -> subqueryNotIn,
+    "q_lateral_topn" -> lateralTopn,
     "q_subquery_in_correlated" -> subqueryInCorrelated
   )
 }

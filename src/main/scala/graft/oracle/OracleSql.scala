@@ -361,6 +361,14 @@ object OracleSql {
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_lateral_topn" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
+
     "q_subquery_in_correlated" ->
       """SELECT c_custkey, n_above FROM (
         |  SELECT c_custkey,
