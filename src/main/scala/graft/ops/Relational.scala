@@ -98,6 +98,26 @@ object Relational {
       .orderBy($"p_brand")
   }
 
+  /** Spark 4's NATIVE XML source (the donated spark-xml), proven by
+    * sink→source parity like the csv/json/orc roundtrips: write
+    * supplier rows as <row> elements, read back with an explicit
+    * schema, aggregate. */
+  def sinkXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = "/tmp/graft_scratch/sink_xml"
+    Tables(spark, sfDir, "supplier")
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+      .write.mode("overwrite").option("rowTag", "row").xml(dir)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).option("rowTag", "row").xml(dir)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"), Det.dsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Hive-style partitioned parquet sink + partition-PRUNED read-back:
     * the write lays events out as event_type=<v>/ directories, and the
     * read-back filter never touches the other partitions' files (the
@@ -433,6 +453,7 @@ object Relational {
     "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "q_sink_partitioned_prune" -> sinkPartitionedPrune,
+    "q_sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
     "q_filter_predicates" -> filterPredicates,
     "q_project_compute" -> projectCompute,

@@ -34,6 +34,11 @@ object OracleSql {
          |  ${dsum("p_retailprice")} AS sum_price
          |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    "q_sink_xml_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+         |  ${dsum("s_acctbal")} AS sum_bal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
     "q_filter_predicates" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
         |FROM lineitem
