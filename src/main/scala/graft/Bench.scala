@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
+  /** Drop every persisted block NOW, synchronously on the driver.
+    * localCheckpoint blocks are only reclaimed when a GC notices the
+    * RDD object is unreachable AND the async ContextCleaner gets
+    * around to it; across a 99-query session the un-collected blocks
+    * become exactly the heap pressure that inflated the round-2 driver
+    * bench 1.42× on unchanged queries (VERDICT r2). A query boundary
+    * is a safe point: no declared query reuses another's checkpointed
+    * intermediates (the Tables plan cache holds parquet scan plans
+    * only, never checkpoints). */
+  private def release(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -12,24 +27,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: run EVERY query once at the smallest SF so JIT +
     // first-codegen + first-broadcast cost never lands inside a
-    // measured rep (each query is only measured once)
-    try {
-      val w = "/root/testdata/sf0.001"
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, w).count() } catch { case _: Throwable => () }
-      }
-      System.gc()
-    } catch { case _: Throwable => () }
+    // measured rep (each query is only measured once). NonFatal only:
+    // an OOM here means the measured run would lie — let it abort.
+    val w = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, w).count() } catch { case NonFatal(_) => () }
+      release(spark)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case NonFatal(_) => false }
       // a failed query reports -1, NOT its time-to-failure — otherwise
       // failures are indistinguishable from fast successes
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // untimed: drop dead localCheckpoint blocks + broadcast refs so a
+      // untimed: drop this query's checkpoint blocks + broadcasts so a
       // heavy query's garbage isn't paid for by whoever runs next
-      System.gc()
+      release(spark)
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

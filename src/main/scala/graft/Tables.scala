@@ -68,6 +68,31 @@ object Tables {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** [[truncate]] with a FUSED row count: counts rows whose boolean
+    * column `flag` is true during the (eager) checkpoint
+    * materialization job via an accumulator, then drops the flag
+    * column. One Spark job instead of checkpoint-then-count — the
+    * convergence/emptiness probe of every fixpoint loop (connected
+    * components, hierarchy resolution) piggybacks on the job those
+    * loops already run per round.
+    *
+    * Only zero-vs-nonzero of the returned count is reliable (task
+    * retries and eager-checkpoint recomputation can overcount; a task
+    * observing a true flag always adds ≥1) — which is exactly the
+    * signal a loop condition needs. */
+  def truncateCountTrue(df: DataFrame, flag: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.flagCountTrue")
+    val idx = df.schema.fieldIndex(flag)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    val counted = df.map { r =>
+      if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1)
+      r
+    }
+    (truncate(counted.toDF()).drop(flag), acc.value)
+  }
+
   /** Round-robin spread of a small scan across the full core count: a
     * sub-128MB parquet file arrives as ONE input partition, which would
     * serialize every downstream per-row computation onto a single task.

@@ -18,11 +18,60 @@ import org.apache.spark.sql.types.IntegerType
   */
 object DesFiles {
 
-  /** The DESFiles template for a 'red_image' path, as a Scala function.
-    * Kept total and allocation-light — it runs once per row. */
+  /** The reference's DESFiles template table — the major file types of
+    * its `_fs` dict [pub: desdb/files.py DESFiles], as `${VAR}` path
+    * templates under `${DESDATA}`. ONE source of truth: the pure-Scala
+    * formatter ([[desPath]], the facade surface) and the codegen'd
+    * Column expression ([[desPathCol]], the declared-query surface)
+    * are both derived from these strings, so they cannot drift. */
+  val templates: Map[String, String] = Map(
+    "red_image"   -> "${DESDATA}/OPS/red/${RUN}/red/${EXPNAME}/${EXPNAME}_${CCD}.fits",
+    "red_cat"     -> "${DESDATA}/OPS/red/${RUN}/red/${EXPNAME}/${EXPNAME}_${CCD}_cat.fits",
+    "red_bkg"     -> "${DESDATA}/OPS/red/${RUN}/red/${EXPNAME}/${EXPNAME}_${CCD}_bkg.fits",
+    "coadd_image" -> "${DESDATA}/OPS/coadd/${RUN}/coadd/${TILENAME}_${BAND}.fits",
+    "coadd_cat"   -> "${DESDATA}/OPS/coadd/${RUN}/coadd/${TILENAME}_${BAND}_cat.fits",
+    "meds"        -> "${DESDATA}/meds/${MEDSCONF}/${RUN}/${TILENAME}-${BAND}-meds-${MEDSCONF}.fits")
+
+  private val varRx = """\$\{([A-Z]+)\}""".r
+
+  /** Template → alternating Left(literal) / Right(var-name) segments. */
+  private def segments(filetype: String): List[Either[String, String]] = {
+    val t = templates.getOrElse(filetype,
+      sys.error(s"unknown DES filetype '$filetype' (have: ${templates.keys.toSeq.sorted.mkString(", ")})"))
+    val out = List.newBuilder[Either[String, String]]
+    var pos = 0
+    varRx.findAllMatchIn(t).foreach { m =>
+      if (m.start > pos) out += Left(t.substring(pos, m.start))
+      out += Right(m.group(1))
+      pos = m.end
+    }
+    if (pos < t.length) out += Left(t.substring(pos))
+    out.result()
+  }
+
+  /** `DESFiles.url(filetype, **kwargs)`: pure template expansion. Kept
+    * total and allocation-light — it runs once per row in UDF form. */
+  def desPath(filetype: String, vars: Map[String, String]): String =
+    segments(filetype).map {
+      case Left(s) => s
+      case Right(v) => vars.getOrElse(v,
+        sys.error(s"missing template var $v for filetype $filetype"))
+    }.mkString
+
+  /** The same template as a codegen-friendly Catalyst `concat` — the
+    * form the declared queries use (no UDF in the hot path). */
+  def desPathCol(filetype: String,
+      vars: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    concat(segments(filetype).map {
+      case Left(s) => lit(s)
+      case Right(v) => vars(v)
+    }: _*)
+
+  /** 'red_image' expansion with the reference's %02i ccd padding. */
   def redImagePath(root: String, run: String, expname: String,
       ccd: Int): String =
-    f"$root/OPS/red/$run/red/$expname/${expname}_$ccd%02d.fits"
+    desPath("red_image", Map("DESDATA" -> root, "RUN" -> run,
+      "EXPNAME" -> expname, "CCD" -> f"$ccd%02d"))
 
   private val redImagePathUdf =
     udf((run: String, expname: String, ccd: Int) =>
@@ -49,6 +98,43 @@ object DesFiles {
           lit("/"), $"expname", lit("_"),
           lpad($"ccd".cast("string"), 2, "0"), lit(".fits")))
       .orderBy($"o_orderkey")
+  }
+
+  /** DESFiles over the FULL template catalog: every (coordinate row ×
+    * filetype) expanded through [[templates]] — the query a desdb user
+    * runs to locate all products of an exposure/tile at once. The path
+    * column is one CASE over codegen'd concats (no UDF); coordinates
+    * are derived deterministically from orders like [[udfDespath]],
+    * plus tile/band/medsconf for the coadd and meds templates. */
+  def udfDespathMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = array(Seq("g", "r", "i", "z", "Y").map(lit): _*)
+    val coords = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        concat(lit("2013"), lpad(($"o_orderkey" % 500).cast("string"), 4, "0"))
+          .as("run"),
+        concat(lit("DECam_"), lpad(($"o_orderkey" % 100).cast("string"), 8, "0"))
+          .as("expname"),
+        (($"o_orderkey" % 62) + 1).cast(IntegerType).as("ccd"),
+        concat(lit("DES"), lpad(($"o_orderkey" % 300).cast("string"), 4, "0"),
+          lit("-5540")).as("tilename"),
+        element_at(bands, (($"o_orderkey" % 5) + 1).cast(IntegerType))
+          .as("band"))
+    val vars = Map(
+      "DESDATA" -> lit("/desdata"),
+      "RUN" -> col("run"),
+      "EXPNAME" -> col("expname"),
+      "CCD" -> lpad(col("ccd").cast("string"), 2, "0"),
+      "TILENAME" -> col("tilename"),
+      "BAND" -> col("band"),
+      "MEDSCONF" -> lit("y3v02"))
+    val filetypes = templates.keys.toSeq.sorted
+    coords
+      .withColumn("filetype", explode(array(filetypes.map(lit): _*)))
+      .withColumn("path", coalesce(filetypes.map(ft =>
+        when($"filetype" === ft, desPathCol(ft, vars))): _*))
+      .select($"o_orderkey", $"filetype", $"path")
+      .orderBy($"o_orderkey", $"filetype")
   }
 
   /** desdb's signature operation: resolve a multi-level parent-id
@@ -84,28 +170,64 @@ object DesFiles {
   /** Generic parent-chasing core (shared by the declared query and the
     * DES-shaped fixture tests): walk every node of `nodes` ("id") up
     * the `edges` ("child" → "parent") relation until no edge applies;
-    * returns (leaf, root, depth). One distributed join per level; lazy
+    * returns (leaf, root, depth). One distributed join per level — the
+    * frontier-emptiness probe that drives the loop is FUSED into each
+    * level's checkpoint job ([[graft.Tables.truncateCountTrue]]), so a
+    * level costs one Spark job, not checkpoint + isEmpty; lazy
     * resolved parts (the union is depth-many cheap joins over the
     * checkpointed frontiers); `maxDepth` is the cycle guard. */
   def resolveToRoots(nodes: DataFrame, edges0: DataFrame,
-      maxDepth: Int, broadcastEdges: Boolean = false): DataFrame = {
+      maxDepth: Int, broadcastEdges: Boolean = false): DataFrame =
+    resolveCore(nodes, edges0, None, maxDepth, broadcastEdges)
+
+  /** [[resolveToRoots]] with a STOP predicate — the reference's actual
+    * srclist semantics [pub: desdb/files.py Coadd._get_srclist]: the
+    * walk up the parent chain stops at the FIRST ancestor whose id is
+    * in `stopIds` (desdb stops where `filetype='red'`), not at the
+    * absolute root. A node that is itself a stop node resolves to
+    * itself at depth 0; a chain that dead-ends without meeting a stop
+    * node resolves to its root exactly like [[resolveToRoots]].
+    * `stopIds`: one column "id"; broadcast per level (the stop set is
+    * a filetype slice of the catalog — dimension-sized). */
+  def resolveUntil(nodes: DataFrame, edges0: DataFrame, stopIds: DataFrame,
+      maxDepth: Int, broadcastEdges: Boolean = false): DataFrame =
+    resolveCore(nodes, edges0, Some(stopIds), maxDepth, broadcastEdges)
+
+  private def resolveCore(nodes: DataFrame, edges0: DataFrame,
+      stopIds: Option[DataFrame], maxDepth: Int,
+      broadcastEdges: Boolean): DataFrame = {
     import nodes.sparkSession.implicits._
     val edgesCp = edges0.transform(graft.Tables.truncate)
     val edges = if (broadcastEdges) broadcast(edgesCp) else edgesCp
+    val stops = stopIds.map(s => broadcast(
+      s.select($"id".as("stop_id")).transform(graft.Tables.truncate)))
     var frontier = nodes
       .select($"id".as("leaf"), $"id".as("cur"), lit(0).as("depth"))
+    var frontierLive = !frontier.isEmpty
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var level = 0
-    while (level < maxDepth && !frontier.isEmpty) {
-      val j = frontier.join(edges, frontier("cur") === edges("child"), "left")
+    while (level < maxDepth && frontierLive) {
+      val walking = stops match {
+        case Some(st) =>
+          resolved += frontier
+            .join(st, frontier("cur") === st("stop_id"), "left_semi")
+            .select($"leaf", $"cur".as("root"), $"depth")
+          frontier.join(st, frontier("cur") === st("stop_id"), "left_anti")
+        case None => frontier
+      }
+      val j = walking.join(edges, walking("cur") === edges("child"), "left")
       resolved += j.filter($"parent".isNull)
         .select($"leaf", $"cur".as("root"), $"depth")
-      frontier = j.filter($"parent".isNotNull)
-        .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"))
-        .transform(graft.Tables.truncate)
+      val (cp, live) = graft.Tables.truncateCountTrue(
+        j.filter($"parent".isNotNull)
+          .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"))
+          .withColumn("live", lit(true)),
+        "live")
+      frontier = cp
+      frontierLive = live > 0
       level += 1
     }
-    require(frontier.isEmpty, s"hierarchy deeper than cycle guard $maxDepth")
+    require(!frontierLive, s"hierarchy deeper than cycle guard $maxDepth")
     resolved.reduceOption(_ unionByName _)
       // empty nodes → empty (leaf, root, depth) result, not empty.reduce
       .getOrElse(frontier.select($"leaf", $"cur".as("root"), $"depth"))
@@ -114,6 +236,7 @@ object DesFiles {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_udf_despath" -> udfDespath,
+    "q_udf_despath_multi" -> udfDespathMulti,
     "q_hierarchy_srclist" -> hierarchySrclist
   )
 }

@@ -25,10 +25,12 @@ object Graph {
     * `component` is the minimum node id in the component — a
     * deterministic canonical representative.
     *
-    * Each round is one shuffle join on the propagation key + one
-    * min-aggregation that ALSO carries the previous label, so
-    * convergence detection is a filter on the checkpointed result —
-    * no extra join, no extra shuffle.
+    * Each round is ONE Spark job: one shuffle join on the propagation
+    * key + one min-aggregation that ALSO carries the previous label,
+    * with convergence (any label changed?) counted by an accumulator
+    * INSIDE the round's checkpoint-materialization job
+    * ([[graft.Tables.truncateCountTrue]]) — no separate convergence
+    * action, no extra join, no extra shuffle.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
@@ -46,20 +48,21 @@ object Graph {
       val allE = und
         .union(links)
         .union(links.select($"dst".as("src"), $"src".as("dst")))
+      // null-safe <=>: an id that first appears this round (edge
+      // endpoint missing from `nodes`) has prev = null and MUST count
+      // as a change, or the loop would declare convergence with split
+      // components
       val next = allE.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"component", lit(false).as("is_old"))
         .union(labels.select($"id", $"component", lit(true).as("is_old")))
         .groupBy($"id")
         .agg(min($"component").as("component"),
           min(when($"is_old", $"component")).as("prev"))
-        .transform(graft.Tables.truncate)
-      // null-safe: an id that first appears this round (edge endpoint
-      // missing from `nodes`) has prev = null and MUST count as a
-      // change, or the loop would declare convergence with split
-      // components
-      converged = next.filter(!($"component" <=> $"prev"))
-        .limit(1).count() == 0
-      labels = next.select($"id", $"component")
+        .withColumn("changed", !($"component" <=> $"prev"))
+        .select($"id", $"component", $"changed")
+      val (cp, changes) = graft.Tables.truncateCountTrue(next, "changed")
+      converged = changes == 0
+      labels = cp
       iter += 1
     }
     require(converged, s"components not converged within $maxIters rounds")

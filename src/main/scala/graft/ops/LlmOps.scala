@@ -124,26 +124,37 @@ object LlmOps {
     // doc by construction) + set size, for the verification join
     val sets = sh.groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh_set"), count(lit(1)).as("n_sh"))
+    // per-doc set size alone: one narrow (doc_id, n_sh) row per doc —
+    // broadcast it into the prefix stream instead of recomputing the
+    // size as a second window pass over the full shingle stream
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val wDoc = Window.partitionBy($"doc_id")
     // the global prefix order is (frequency, shingle HASH): any single
     // consistent total order satisfies the candidate rule, and 8-byte
     // longs sort and join far cheaper than shingle strings -- exact
     // verification below makes the result independent of the order
     val prefix = sh.join(freq, "shingle")
+      .join(broadcast(sizes), "doc_id")
       .withColumn("h", xxhash64($"shingle"))
       .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
       .select($"doc_id", $"h", $"n_sh")
     // candidate rule + PPJoin LENGTH filter: J >= t also bounds the
     // set sizes to t·|A| <= |B| <= |A|/t, killing most false candidates
     // before the distinct and the verification stage ever see them.
+    // A pair sharing k prefix shingles appears k times here; dedup the
+    // 16-byte (doc_a, doc_b) stream BEFORE the set-array verification
+    // joins — shuffling duplicate candidates through two joins and the
+    // per-row array_intersect costs far more than the early distinct
+    // (driver bench r2: 51.6 s with the late distinct vs the single-
+    // pass formulation's ~4 s; the duplicated verify work was the gap).
     val cand = prefix.select($"doc_id".as("doc_a"), $"h", $"n_sh".as("pna"))
       .join(prefix.select($"doc_id".as("doc_b"), $"h", $"n_sh".as("pnb")),
         "h")
       .filter($"doc_a" < $"doc_b"
         && $"pnb" >= ceil($"pna" * 0.6) && $"pna" >= ceil($"pnb" * 0.6))
       .select($"doc_a", $"doc_b")
+      .distinct()
     // one set-row per doc → orders of magnitude smaller than the
     // candidate pair stream. SHUFFLE_HASH (not broadcast): the array
     // payload is wide, and a driver-side broadcast build of it is the
@@ -160,11 +171,6 @@ object LlmOps {
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.6)
-      // dedup AFTER the threshold filter: a pair sharing k prefix
-      // shingles appears k times in the candidate stream, but
-      // deduplicating the (tiny) surviving result beats shuffling the
-      // full candidate stream through a distinct
-      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -323,13 +329,24 @@ object LlmOps {
     * update is a posexplode → per-(cell, dim) average → array rebuild,
     * i.e. two narrow shuffles regardless of corpus size. At 100 TB the
     * cell id becomes the table's partition key, so a query reads
-    * nprobe/k of the data. Cell contents depend on float-sum order →
-    * rows-only check; recall vs brute force is asserted in the suite. */
+    * nprobe/k of the data. The trained centroid table is k rows ×
+    * dims floats — legitimately driver-sized at ANY corpus scale — so
+    * after the Lloyd rounds it is collected once and re-emitted as a
+    * LocalRelation: the probe plan is then shallow (no Lloyd-round
+    * recomputation per branch) and needs no per-round checkpoint jobs.
+    * Centroid means go through the exact decimal-sum pipeline
+    * (Det.davgDec) so they are independent of partitioning/addition
+    * order; the key stays rows-only checked (cell contents are still
+    * a k-means heuristic), and recall vs brute force is asserted in
+    * the suite. */
   def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val k = 16
+    // no checkpoint on the corpus: every reuse below re-reads a pruned
+    // 2-column parquet scan (cheaper than an eager checkpoint job +
+    // block traffic; at cluster scale the scan is the durable copy)
     val v = spread(Tables(spark, sfDir, "embeddings"))
-      .select($"vec_id", $"embedding").transform(graft.Tables.truncate)
+      .select($"vec_id", $"embedding")
     def assign(cents: DataFrame): DataFrame =
       v.crossJoin(broadcast(cents))
         .select($"vec_id", $"embedding",
@@ -340,19 +357,25 @@ object LlmOps {
     var cents = v.filter($"vec_id" < k)
       .select($"vec_id".cast("int").as("cid"), $"embedding".as("ce"))
     (1 to 2).foreach { _ =>
+      // scale 10 captures full float precision for unit-norm lanes;
+      // decimal addition is exact ⇒ the mean is order-independent
       cents = assign(cents)
         .select($"cid", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cid", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cid", $"pos")
+        .agg(Det.davgDec($"x".cast(DecimalType(27, 10))).as("m"))
         .groupBy($"cid")
         .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
         .select($"cid",
           expr("transform(pm, s -> cast(s.m as float))").as("ce"))
-        .transform(graft.Tables.truncate)
     }
-    val assigned = assign(cents)
-    val qCells = assigned.filter($"vec_id" === 0)
-      .select($"embedding")                    // drop its own cid
-      .crossJoin(broadcast(cents))
+    // ONE job trains both rounds (narrow plan — no checkpoint needed
+    // for 2 iterations); k×dims floats come back to the driver
+    val trained = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val assigned = assign(trained)
+    val qCells = v.filter($"vec_id" === 0)
+      .select($"embedding")
+      .crossJoin(broadcast(trained))
       .select($"embedding".as("qe"),
         struct(dot(spark)($"embedding", $"ce").as("sim"), $"cid").as("sc"))
       .orderBy($"sc".desc).limit(2)            // nprobe = 2

@@ -26,6 +26,22 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
+  /** Per-JVM scratch root for the sink roundtrips: a FIXED shared path
+    * would let concurrent invocations (a bench run overlapping a test
+    * run) race each other's mode(overwrite) writes and read a
+    * half-written directory. Unique per process, reclaimed on exit;
+    * stable WITHIN a process so repeated reps overwrite in place. */
+  private lazy val scratchRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---- §2.1 scans / sources / sinks -------------------------------------
 
   /** Full scan of lineitem, 4-column projection, stable total order.
@@ -51,7 +67,7 @@ object Relational {
     * straight off the original parquet. */
   def sinkCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_scratch/sink_csv" // fixed path: overwrite, no per-run dir leak
+    val dir = s"$scratchRoot/sink_csv"
     Tables(spark, sfDir, "lineitem")
       .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
       .write.mode("overwrite").option("header", "true").csv(dir)
@@ -70,7 +86,7 @@ object Relational {
   /** Same parity proof through JSON lines. */
   def sinkJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_scratch/sink_json"
+    val dir = s"$scratchRoot/sink_json"
     Tables(spark, sfDir, "orders")
       .select($"o_orderstatus", $"o_totalprice")
       .write.mode("overwrite").json(dir)
@@ -87,7 +103,7 @@ object Relational {
     * sink besides parquet). */
   def sinkOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_scratch/sink_orc"
+    val dir = s"$scratchRoot/sink_orc"
     Tables(spark, sfDir, "part")
       .select($"p_brand", $"p_size", $"p_retailprice")
       .write.mode("overwrite").orc(dir)
@@ -104,7 +120,7 @@ object Relational {
     * schema, aggregate. */
   def sinkXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_scratch/sink_xml"
+    val dir = s"$scratchRoot/sink_xml"
     Tables(spark, sfDir, "supplier")
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
       .write.mode("overwrite").option("rowTag", "row").xml(dir)
@@ -126,7 +142,7 @@ object Relational {
     * pruning happens at file listing, before any IO. */
   def sinkPartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = "/tmp/graft_scratch/sink_part"
+    val dir = s"$scratchRoot/sink_part"
     Tables(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"value", $"event_type")
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)

@@ -484,6 +484,28 @@ object OracleSql {
         |  path_udf AS path_builtin
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "q_udf_despath_multi" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |    '2013' || lpad(cast(o_orderkey % 500 as varchar), 4, '0') AS run,
+        |    'DECam_' || lpad(cast(o_orderkey % 100 as varchar), 8, '0') AS expname,
+        |    lpad(cast(o_orderkey % 62 + 1 as varchar), 2, '0') AS ccd,
+        |    'DES' || lpad(cast(o_orderkey % 300 as varchar), 4, '0') || '-5540' AS tilename,
+        |    (['g','r','i','z','Y'])[cast(o_orderkey % 5 as int) + 1] AS band
+        |  FROM orders)
+        |SELECT o_orderkey, filetype,
+        |  CASE filetype
+        |    WHEN 'coadd_cat' THEN '/desdata/OPS/coadd/' || run || '/coadd/' || tilename || '_' || band || '_cat.fits'
+        |    WHEN 'coadd_image' THEN '/desdata/OPS/coadd/' || run || '/coadd/' || tilename || '_' || band || '.fits'
+        |    WHEN 'meds' THEN '/desdata/meds/y3v02/' || run || '/' || tilename || '-' || band || '-meds-y3v02.fits'
+        |    WHEN 'red_bkg' THEN '/desdata/OPS/red/' || run || '/red/' || expname || '/' || expname || '_' || ccd || '_bkg.fits'
+        |    WHEN 'red_cat' THEN '/desdata/OPS/red/' || run || '/red/' || expname || '/' || expname || '_' || ccd || '_cat.fits'
+        |    WHEN 'red_image' THEN '/desdata/OPS/red/' || run || '/red/' || expname || '/' || expname || '_' || ccd || '.fits'
+        |  END AS path
+        |FROM c CROSS JOIN (SELECT unnest(['coadd_cat','coadd_image','meds',
+        |  'red_bkg','red_cat','red_image']) AS filetype) f
+        |ORDER BY o_orderkey, filetype""".stripMargin,
+
     "q_udaf_welford" ->
       """SELECT l_returnflag,
         |  round(var_samp(l_quantity), 4) AS welford_var,
@@ -840,7 +862,11 @@ object OracleSql {
     "q_mix_weighted" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN cast(regexp_extract(source, 'src([0-9]+)', 1) as int)
+        |    -- try_cast: on a source that doesn't match the src([0-9]+)
+        |    -- shape, regexp_extract returns '' and a plain cast RAISES
+        |    -- in DuckDB while Spark yields null → 'full'; try_cast
+        |    -- makes both engines classify the row identically
+        |    CASE WHEN try_cast(regexp_extract(source, 'src([0-9]+)', 1) as int)
         |              < 10
         |      THEN 'low_weight' ELSE 'full' END AS grp
         |  FROM documents),

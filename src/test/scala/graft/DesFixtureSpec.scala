@@ -30,6 +30,46 @@ class DesFixtureSpec extends SparkSpec {
       (31L, 11L, 2), (21L, 11L, 1), (11L, 11L, 0)))
   }
 
+  test("resolveUntil stops at filetype='red' even when deeper parents exist") {
+    val nodes = image.select($"id")
+    // FULL edge set — including the red files' own parents (→ 0), which
+    // desdb never follows because its loop stops AT filetype='red'
+    val edges = image.select($"id".as("child"), $"parentid".as("parent"))
+    val stops = image.filter($"filetype" === "red").select($"id")
+    val out = DesFiles.resolveUntil(nodes, edges, stops, maxDepth = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out === Set(
+      (30L, 10L, 2), (20L, 10L, 1), (10L, 10L, 0),
+      (31L, 11L, 2), (21L, 11L, 1), (11L, 11L, 0)))
+    // contrast: the stop-free walk on the same edges runs past red to
+    // the absolute root (parentid 0 is outside the node set → dead end)
+    val plain = DesFiles.resolveToRoots(nodes, edges, maxDepth = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(plain.contains((30L, 0L, 3)) && plain.contains((10L, 0L, 1)))
+  }
+
+  test("template table formats coadd and meds paths; unknown vars fail loudly") {
+    assert(DesFiles.desPath("coadd_image", Map("DESDATA" -> "/desdata",
+      "RUN" -> "20130305", "TILENAME" -> "DES0347-5540", "BAND" -> "i"))
+      === "/desdata/OPS/coadd/20130305/coadd/DES0347-5540_i.fits")
+    assert(DesFiles.desPath("coadd_cat", Map("DESDATA" -> "/desdata",
+      "RUN" -> "20130305", "TILENAME" -> "DES0347-5540", "BAND" -> "i"))
+      === "/desdata/OPS/coadd/20130305/coadd/DES0347-5540_i_cat.fits")
+    assert(DesFiles.desPath("meds", Map("DESDATA" -> "/desdata",
+      "MEDSCONF" -> "y3v02", "RUN" -> "20130305",
+      "TILENAME" -> "DES0347-5540", "BAND" -> "i"))
+      === "/desdata/meds/y3v02/20130305/DES0347-5540-i-meds-y3v02.fits")
+    assert(DesFiles.desPath("red_bkg", Map("DESDATA" -> "/d",
+      "RUN" -> "r", "EXPNAME" -> "e", "CCD" -> "07"))
+      === "/d/OPS/red/r/red/e/e_07_bkg.fits")
+    assertThrows[RuntimeException] {
+      DesFiles.desPath("meds", Map("DESDATA" -> "/desdata"))
+    }
+    assertThrows[RuntimeException] {
+      DesFiles.desPath("not_a_filetype", Map.empty)
+    }
+  }
+
   test("cycle guard trips on cyclic parent links") {
     val cyc = Seq((100L, 101L), (101L, 100L)).toDF("child", "parent")
     val nodes = cyc.select($"child".as("id"))
