@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * | `conn.quickWrite(sql, fmt)` → stdout   | `quickWrite(sql, fmt)`    |
   * | `conn.describe(table)`                 | `describe(table)`         |
   * | `conn.list_tables()`                   | `listTables()`            |
-  * | `desdb.files.DESFiles().url(type,...)` | `desUrl(run, expname, ccd)` |
+  * | `desdb.files.DESFiles().url(type,...)` | `desUrl(filetype, vars)`  |
   * | `get-coadd-srclist` / `Coadd.load`     | `srclist(nodes, edges)`   |
   *
   * The result type is the upgrade: the reference returns list-of-dicts
@@ -44,7 +44,27 @@ class DesDb(spark: SparkSession, sfDir: String) {
   /** `Connection.list_tables()`. */
   def listTables(): DataFrame = graft.sources.Sources.listTables(spark)
 
-  /** `DESFiles.url('red_image', run=, expname=, ccd=)`. */
+  /** Persistent-catalog slot — the analogue of the reference's durable
+    * Oracle catalog (`all_tables` sees every table regardless of which
+    * session created it [pub: desdb/desdb.py]): `saveAsTable` registers
+    * the data in the EXTERNAL catalog, which is shared across sessions
+    * (proven via `newSession()` in DesDbSpec) and metastore-durable on
+    * a cluster with Hive/catalog support enabled. Temp views, by
+    * contrast, die with the session that registered them. */
+  def saveTable(df: DataFrame, name: String): Unit =
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+
+  /** `DESFiles.url(filetype, **kwargs)` over the full template table
+    * (red_image/red_cat/red_bkg/coadd_image/coadd_cat/meds) — vars by
+    * template name, e.g. `desUrl("coadd_image", Map("RUN" -> …,
+    * "TILENAME" -> …, "BAND" -> "i"))`. DESDATA defaults to the
+    * reference's root. */
+  def desUrl(filetype: String, vars: Map[String, String]): String =
+    ops.DesFiles.desPath(filetype,
+      Map("DESDATA" -> "/desdata") ++ vars)
+
+  /** Back-compat red_image shorthand (`DESFiles.url('red_image',
+    * run=, expname=, ccd=)`). */
   def desUrl(run: String, expname: String, ccd: Int,
       root: String = "/desdata"): String =
     ops.DesFiles.redImagePath(root, run, expname, ccd)

@@ -389,6 +389,34 @@ object LlmOps {
 
   // ---- text analysis -----------------------------------------------------
 
+  /** Sequence PACKING (concat-and-chunk) — the pretraining batch-prep
+    * step: per source, documents are concatenated in doc_id order and
+    * chunked into fixed token-budget context windows; a document's
+    * chunk id is floor(start_offset / budget) of its running token
+    * offset. Pure window arithmetic — ONE shuffle on source, no
+    * recursion: greedy never-split bin packing needs a sequential
+    * scan, while this chunked form is exactly the GPT-style
+    * concat-then-chunk layout and stays embarrassingly parallel per
+    * source at any corpus size (each source's window evaluates
+    * independently; at 100 TB `source` is the natural partition key
+    * the table is already laid out by). */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source", size(split($"text", " ")).as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("chunk", floor(($"cum" - $"n_tokens") / budget))
+      .groupBy($"source", $"chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.lsum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"chunk")
+  }
+
   /** Corpus stats per language. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -779,6 +807,7 @@ object LlmOps {
     "q_sim_ann_bucketed" -> simAnnBucketed,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_text_stats" -> textStats,
+    "q_pack_chunks" -> packChunks,
     "q_text_quality" -> textQuality,
     "q_text_langid" -> textLangid,
     "q_text_fingerprint" -> textFingerprint,

@@ -739,6 +739,22 @@ object OracleSql {
         |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    "q_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(string_split(text, ' ')) as int) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source,
+        |  cast(floor((cum - n_tokens) / 256.0) as bigint) AS chunk,
+        |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, chunk""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |  cast(len(string_split(text, ' ')) as int) AS n_ws,

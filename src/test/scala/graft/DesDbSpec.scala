@@ -36,6 +36,28 @@ class DesDbSpec extends SparkSpec {
     assert(got === Seq((1L, 100L, 2), (10L, 100L, 1), (100L, 100L, 0)))
   }
 
+  test("desUrl over the full template catalog") {
+    assert(db.desUrl("red_cat", Map("RUN" -> "20130305",
+      "EXPNAME" -> "DECam_00001234", "CCD" -> "07")) ===
+      "/desdata/OPS/red/20130305/red/DECam_00001234/DECam_00001234_07_cat.fits")
+    assert(db.desUrl("meds", Map("RUN" -> "20130305",
+      "TILENAME" -> "DES0347-5540", "BAND" -> "z", "MEDSCONF" -> "y3v02")) ===
+      "/desdata/meds/y3v02/20130305/DES0347-5540-z-meds-y3v02.fits")
+  }
+
+  test("saveTable registers in the external catalog, visible to a NEW session") {
+    db.saveTable(db.quick("SELECT r_regionkey, r_name FROM region"),
+      "des_catalog_probe")
+    // temp views are session-scoped; saved tables live in the shared
+    // external catalog — the durable-catalog analogue of desdb's
+    // all_tables. A fresh session (no registerViews) still sees it.
+    val fresh = spark.newSession()
+    assert(fresh.catalog.tableExists("des_catalog_probe"))
+    assert(fresh.table("des_catalog_probe").count() === 5L)
+    assert(!fresh.catalog.tableExists("region")) // temp views did NOT leak
+    spark.sql("DROP TABLE des_catalog_probe")
+  }
+
   test("quickWrite streams csv to stdout") {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out)) {
