@@ -167,6 +167,24 @@ object DesFiles {
     resolveToRoots(nodes, edges, maxDepth = 20).orderBy($"leaf")
   }
 
+  /** [[hierarchySrclist]] with desdb's STOP-PREDICATE semantics as a
+    * hash-verified declared query: the walk halts at the first
+    * ancestor carrying the stop attribute (here: o_orderkey % 7 == 0,
+    * standing in for `filetype='red'`) instead of at the absolute
+    * root. Same orders-derived hierarchy and edge set as the plain
+    * walk, so the two keys differ exactly by the stop rule. */
+  def hierarchySrclistStop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables(spark, sfDir, "orders").select($"o_orderkey".as("id"))
+    val edges = nodes
+      .withColumn("parent", expr("id div 10"))
+      .filter($"parent" =!= $"id")
+      .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
+      .select($"id".as("child"), $"parent")
+    val stops = nodes.filter($"id" % 7 === 0)
+    resolveUntil(nodes, edges, stops, maxDepth = 20).orderBy($"leaf")
+  }
+
   /** Generic parent-chasing core (shared by the declared query and the
     * DES-shaped fixture tests): walk every node of `nodes` ("id") up
     * the `edges` ("child" → "parent") relation until no edge applies;
@@ -237,6 +255,7 @@ object DesFiles {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_udf_despath" -> udfDespath,
     "q_udf_despath_multi" -> udfDespathMulti,
-    "q_hierarchy_srclist" -> hierarchySrclist
+    "q_hierarchy_srclist" -> hierarchySrclist,
+    "q_hierarchy_srclist_stop" -> hierarchySrclistStop
   )
 }

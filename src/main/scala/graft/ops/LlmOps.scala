@@ -255,6 +255,13 @@ object LlmOps {
     val v = Tables(spark, sfDir, "embeddings")
     val a = spread(v.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
     val b = v.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    // the dot appears in BOTH the join condition and the projection,
+    // but this costs only one extra kernel call per SURVIVING pair
+    // (the condition's key inequality short-circuits first, so the
+    // condition evaluates the dot n²/2 times — the floor for any
+    // formulation — and survivors are a tiny fraction). The seemingly
+    // cheaper project-then-filter form is rewritten right back to this
+    // plan by PushPredicateThroughJoin, so there is nothing to save.
     a.join(b, $"vec_a" < $"vec_b"
         && Det.r4(dot(spark)($"ea", $"eb")) >= threshold)
       .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
@@ -318,6 +325,30 @@ object LlmOps {
       .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(5)
+  }
+
+  /** Batch ANN through the 256-cell sign-hash index — the production
+    * query shape (queries arrive in batches, not singly): top-3
+    * neighbors for EVERY query in a 10-vector batch. The query batch
+    * is a broadcast (batches are bounded; the corpus is not); each
+    * corpus vector meets only same-cell queries; the per-query ranking
+    * window partitions on qid, so its width is the per-query candidate
+    * list — never global. At 100 TB the cell is the table's partition
+    * key and a batch fans out to exactly the touched cells. */
+  def simTopkBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, sfDir, "embeddings").withColumn("bucket", bucketExpr)
+    val q = v.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket")
+    v.filter($"vec_id" >= 10)
+      .join(broadcast(q), "bucket")
+      .select($"qid", $"vec_id",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rk" <= 3)
+      .orderBy($"qid", $"rk")
   }
 
   /** IVF ANN with LEARNED centroids — the production ANN shape (FAISS
@@ -805,6 +836,7 @@ object LlmOps {
     "q_dedup_embedding" -> dedupEmbedding,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_ann_bucketed" -> simAnnBucketed,
+    "q_sim_topk_batch" -> simTopkBatch,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,

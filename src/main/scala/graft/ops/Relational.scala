@@ -154,6 +154,24 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Catalog-table sink: `saveAsTable` into the session's EXTERNAL
+    * catalog (the durable-catalog analogue of desdb's Oracle tables —
+    * metastore-backed on a real cluster) and read back via
+    * `spark.table`, proving the managed-table write/read path end to
+    * end the same way the file sinks do. The oracle computes the same
+    * aggregate straight off the source parquet. */
+  def sinkTableRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "nation")
+      .select($"n_nationkey", $"n_regionkey", $"n_name")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_nation_rt")
+    spark.table("graft_nation_rt")
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), min($"n_name").as("first_name"))
+      .orderBy($"n_regionkey")
+  }
+
   /** CDC upsert (MERGE INTO semantics on plain parquet): a change
     * batch (updates for existing keys + inserts for new ones) applied
     * onto a base snapshot via ONE full-outer join on the key +
@@ -468,6 +486,7 @@ object Relational {
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,
     "q_sink_json_roundtrip" -> sinkJsonRoundtrip,
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
+    "q_sink_table_roundtrip" -> sinkTableRoundtrip,
     "q_sink_partitioned_prune" -> sinkPartitionedPrune,
     "q_sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "q_merge_upsert" -> mergeUpsert,

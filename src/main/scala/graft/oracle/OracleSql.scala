@@ -512,6 +512,25 @@ object OracleSql {
         |  round(var_samp(l_quantity), 4) AS builtin_var
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_sink_table_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_hierarchy_srclist_stop" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT o_orderkey AS leaf, o_orderkey AS cur, 0 AS depth FROM orders
+        |  UNION ALL
+        |  SELECT w.leaf, w.cur // 10 AS cur, w.depth + 1 AS depth FROM walk w
+        |  WHERE w.cur % 7 <> 0
+        |    AND w.cur // 10 <> w.cur
+        |    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10))
+        |SELECT leaf, cur AS root, cast(depth as int) AS depth
+        |FROM walk w
+        |WHERE w.cur % 7 = 0
+        |   OR w.cur // 10 = w.cur
+        |   OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10)
+        |ORDER BY leaf""".stripMargin,
+
     "q_hierarchy_srclist" ->
       """WITH RECURSIVE walk AS (
         |  SELECT o_orderkey AS leaf, o_orderkey AS cur, 0 AS depth FROM orders
@@ -673,6 +692,20 @@ object OracleSql {
          |  ON a.bucket = q.bucket
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin,
+
+    "q_sim_topk_batch" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |j AS (
+         |  SELECT q.vec_id AS qid, a.vec_id AS vec_id, $dotSql AS sim
+         |  FROM b a JOIN (SELECT vec_id, embedding, bucket FROM b
+         |                 WHERE vec_id < 10) q
+         |    ON a.bucket = q.bucket
+         |  WHERE a.vec_id >= 10),
+         |r AS (SELECT qid, vec_id, sim,
+         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+         |  FROM j)
+         |SELECT qid, vec_id, sim, cast(rk as int) AS rk FROM r
+         |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,

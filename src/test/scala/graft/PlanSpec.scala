@@ -109,4 +109,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(500))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final")
   }
+
+  /** The AQE plan string prints Final AND Initial sections — node
+    * COUNTS must look at the final section only. */
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  test("pack_chunks runs on ONE data shuffle (source partitioning reused)") {
+    val plan = finalSection(finalPlan(LlmOps.packChunks(spark, sfDir)))
+    // window by source, then groupBy (source, chunk): the aggregation's
+    // required distribution is satisfied by a hash partitioning on a
+    // SUBSET column only when Catalyst reuses the window's exchange —
+    // count the data-path exchanges (the final orderBy range exchange
+    // is presentation-only)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n${plan.take(1200)}")
+  }
+
+  test("despath_multi keeps the template expansion codegen'd (no UDF)") {
+    val plan = finalPlan(DesFiles.udfDespathMulti(spark, sfDir))
+    assert(!plan.contains("UDF") && !plan.contains("ScalaUDF"), plan.take(800))
+  }
+
+  test("jaccard_prefix dedups candidates BEFORE the set-verify joins") {
+    val plan = finalSection(
+      finalPlan(LlmOps.queries("q_dedup_jaccard_prefix")(spark, sfDir)))
+    // the (doc_a, doc_b) distinct is a HashAggregate whose output feeds
+    // the two ShuffledHashJoins; if the distinct drifted back below the
+    // joins, the aggregate keys would include the jaccard column
+    val shj = "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shj === 2, s"expected both set-verify joins shuffled-hash:\n${plan.take(1000)}")
+    assert("HashAggregate\\(keys=\\[doc_a#\\d+L?, doc_b#\\d+L?\\]".r
+      .findFirstIn(plan).isDefined,
+      s"expected a (doc_a, doc_b) distinct aggregate:\n${plan.take(1500)}")
+  }
 }
