@@ -97,9 +97,17 @@ object Tables {
     * sub-128MB parquet file arrives as ONE input partition, which would
     * serialize every downstream per-row computation onto a single task.
     * The explicit partition count pins a REPARTITION_BY_NUM shuffle
-    * origin, which AQE is not allowed to coalesce back down. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    * origin, which AQE is not allowed to coalesce back down.
+    *
+    * Guarded for scale: an input that already has at least the target
+    * parallelism (a 100 TB table arrives as thousands of file splits)
+    * is returned UNCHANGED — spread must never become a full-data
+    * reshuffle of a big input. The probe reads the physical partition
+    * count off the planned RDD (no job is run). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

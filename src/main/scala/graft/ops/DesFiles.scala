@@ -215,30 +215,43 @@ object DesFiles {
       stopIds: Option[DataFrame], maxDepth: Int,
       broadcastEdges: Boolean): DataFrame = {
     import nodes.sparkSession.implicits._
-    val edgesCp = edges0.transform(graft.Tables.truncate)
+    // the stop attribute is resolved ONCE, up front: edges carry
+    // whether their parent is a stop node, the level-0 frontier whether
+    // the node itself is — so each level is ONE frontier⨝edges join
+    // plus filters, with no per-level stop joins or broadcast builds
+    val stamped = stopIds match {
+      case Some(s) =>
+        val st = s.select($"id".as("sid"))
+        edges0.join(st, edges0("parent") === $"sid", "left")
+          .select($"child", $"parent", $"sid".isNotNull.as("p_stop"))
+      case None => edges0.select($"child", $"parent", lit(false).as("p_stop"))
+    }
+    val edgesCp = stamped.transform(graft.Tables.truncate)
     val edges = if (broadcastEdges) broadcast(edgesCp) else edgesCp
-    val stops = stopIds.map(s => broadcast(
-      s.select($"id".as("stop_id")).transform(graft.Tables.truncate)))
-    var frontier = nodes
-      .select($"id".as("leaf"), $"id".as("cur"), lit(0).as("depth"))
+    var frontier = (stopIds match {
+      case Some(s) =>
+        val st = s.select($"id".as("sid"))
+        nodes.join(st, nodes("id") === $"sid", "left")
+          .select(nodes("id").as("leaf"), nodes("id").as("cur"),
+            lit(0).as("depth"), $"sid".isNotNull.as("at_stop"))
+      case None => nodes.select($"id".as("leaf"), $"id".as("cur"),
+        lit(0).as("depth"), lit(false).as("at_stop"))
+    })
     var frontierLive = !frontier.isEmpty
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var level = 0
     while (level < maxDepth && frontierLive) {
-      val walking = stops match {
-        case Some(st) =>
-          resolved += frontier
-            .join(st, frontier("cur") === st("stop_id"), "left_semi")
-            .select($"leaf", $"cur".as("root"), $"depth")
-          frontier.join(st, frontier("cur") === st("stop_id"), "left_anti")
-        case None => frontier
-      }
+      // a frontier node carrying the stop attribute resolves to itself
+      resolved += frontier.filter($"at_stop")
+        .select($"leaf", $"cur".as("root"), $"depth")
+      val walking = frontier.filter(!$"at_stop")
       val j = walking.join(edges, walking("cur") === edges("child"), "left")
       resolved += j.filter($"parent".isNull)
         .select($"leaf", $"cur".as("root"), $"depth")
       val (cp, live) = graft.Tables.truncateCountTrue(
         j.filter($"parent".isNotNull)
-          .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"))
+          .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"),
+            $"p_stop".as("at_stop"))
           .withColumn("live", lit(true)),
         "live")
       frontier = cp

@@ -75,6 +75,24 @@ object LlmOps {
       .orderBy($"keep_id")
   }
 
+  /** Keep-LATEST-record dedup (the CDC flavor): one survivor per
+    * (user_id, event_type), the row with the newest (ts, event_id).
+    * One shuffle on the dedup key; the rank window's width is the
+    * per-key update history — at 100 TB this is the standard
+    * compact-a-changelog shape (same plan MERGE-on-read table formats
+    * execute), never a global window. */
+  def dedupLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables(spark, sfDir, "events")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** Near-dup pairs by exact n-gram Jaccard ≥ 0.6, candidates via the
     * shingle inverted index — a SINGLE self-join pass: the same join
     * that discovers a pair also counts its common shingles (map-side
@@ -828,6 +846,7 @@ object LlmOps {
     "q_multimodal_frames" -> multimodalFrames,
     "q_multimodal_features" -> multimodalFeatures,
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_latest" -> dedupLatest,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "q_dedup_cluster" -> dedupCluster,

@@ -162,6 +162,15 @@ object Relational {
     * aggregate straight off the source parquet. */
   def sinkTableRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // idempotent across JVMs: DROP clears a live catalog entry, and the
+    // defensive location delete clears a LEFTOVER managed directory
+    // from a previous process (a fresh in-memory catalog doesn't know
+    // the table, and CTAS refuses a non-empty location since Spark 3.2)
+    spark.sql("DROP TABLE IF EXISTS graft_nation_rt")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_nation_rt")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     Tables(spark, sfDir, "nation")
       .select($"n_nationkey", $"n_regionkey", $"n_name")
       .write.mode("overwrite").format("parquet")

@@ -693,6 +693,16 @@ object OracleSql {
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin,
 
+    "q_dedup_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, cast(ts as timestamp) AS ts,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY cast(ts as timestamp) DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts, value FROM r
+        |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
+
     "q_sim_topk_batch" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
          |j AS (

@@ -92,4 +92,14 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() === plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("spread widens narrow inputs but passes already-parallel inputs through") {
+    // session shuffle partitions = 4 (SparkSpec)
+    val narrow = spark.range(0, 10).toDF("id").coalesce(1)
+    assert(Tables.spread(narrow).rdd.getNumPartitions === 4)
+    // a 100 TB table arrives as thousands of splits — spread must NOT
+    // become a full-data reshuffle of it
+    val wide = spark.range(0, 1000).toDF("id").repartition(8)
+    assert(Tables.spread(wide).rdd.getNumPartitions === 8)
+  }
 }
