@@ -12,8 +12,11 @@ object Bench {
     * intermediates (the Tables plan cache holds parquet scan plans
     * only, never checkpoints). */
   private def release(spark: SparkSession): Unit = {
+    // blocking = true: the async form only enqueues RemoveRdd, so the
+    // next query's timed region could still be paying this query's
+    // eviction; this runs in the untimed gap, where waiting is free
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     System.gc()
   }
   def main(args: Array[String]): Unit = {

@@ -50,9 +50,12 @@ class DesDb(spark: SparkSession, sfDir: String) {
     * the data in the EXTERNAL catalog, which is shared across sessions
     * (proven via `newSession()` in DesDbSpec) and metastore-durable on
     * a cluster with Hive/catalog support enabled. Temp views, by
-    * contrast, die with the session that registered them. */
+    * contrast, die with the session that registered them. Idempotent
+    * across processes: a leftover managed directory from a crashed
+    * prior run is cleared before the write (CTAS refuses a non-empty
+    * location since Spark 3.2). */
   def saveTable(df: DataFrame, name: String): Unit =
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    Tables.replaceManagedTable(df, name)
 
   /** `DESFiles.url(filetype, **kwargs)` over the full template table
     * (red_image/red_cat/red_bkg/coadd_image/coadd_cat/meds) — vars by

@@ -90,7 +90,10 @@ object Tables {
       if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1)
       r
     }
-    (truncate(counted.toDF()).drop(flag), acc.value)
+    // project the flag away BEFORE checkpointing — the stored blocks
+    // carry one column less per fixpoint round (the accumulator has
+    // already fired inside the map stage)
+    (truncate(counted.toDF().drop(flag)), acc.value)
   }
 
   /** Round-robin spread of a small scan across the full core count: a
@@ -99,18 +102,48 @@ object Tables {
     * The explicit partition count pins a REPARTITION_BY_NUM shuffle
     * origin, which AQE is not allowed to coalesce back down.
     *
-    * Guarded for scale: an input that already has at least the target
-    * parallelism (a 100 TB table arrives as thousands of file splits)
-    * is returned UNCHANGED — spread must never become a full-data
-    * reshuffle of a big input. The probe reads the physical partition
-    * count off the planned RDD (no job is run). */
+    * Guarded for scale, in two layers:
+    *  - a plan that already contains a shuffle-producing operator
+    *    (join/aggregate/window/sort/repartition) is returned UNCHANGED:
+    *    its parallelism is already spark.sql.shuffle.partitions, and
+    *    probing such a plan via `.rdd` would materialize its query
+    *    stages under AQE;
+    *  - a scan-shaped plan (where `.rdd` is a metadata-only split
+    *    enumeration — no job) is probed, and only widened when it has
+    *    fewer partitions than the target. A 100 TB table arrives as
+    *    thousands of splits and passes through untouched — spread can
+    *    never become a full-data reshuffle. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: RepartitionOperation | _: Distinct | _: Deduplicate) => p
+    }.nonEmpty
+    if (shuffled) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Idempotent managed-table replacement: DROP clears a live catalog
+    * entry; the defensive location delete clears a LEFTOVER managed
+    * directory from a crashed/previous process (a fresh in-memory
+    * catalog doesn't know the table, and CTAS refuses a non-empty
+    * location since Spark 3.2). Shared by the catalog sink query and
+    * the DesDb facade. */
+  def replaceManagedTable(df: DataFrame, name: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  }
 
   // Plan-object cache: DataFrames are immutable lazy plans, so reusing
   // one skips the parquet footer read/schema inference that

@@ -21,11 +21,11 @@ object Verify {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release this query's localCheckpoint blocks (same rationale as
-      // Bench.release): 99 queries' retained blocks otherwise build
-      // heap pressure through the dump run
+      // release this query's localCheckpoint blocks synchronously (same
+      // rationale as Bench.release): retained blocks otherwise build
+      // heap pressure through the 100-query dump run
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

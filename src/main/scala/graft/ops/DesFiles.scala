@@ -219,18 +219,19 @@ object DesFiles {
     // whether their parent is a stop node, the level-0 frontier whether
     // the node itself is — so each level is ONE frontier⨝edges join
     // plus filters, with no per-level stop joins or broadcast builds
-    val stamped = stopIds match {
-      case Some(s) =>
-        val st = s.select($"id".as("sid"))
+    // distinct: a duplicated id in the stop set must test MEMBERSHIP,
+    // not fan the left joins out once per duplicate row
+    val stampSet = stopIds.map(_.select($"id".as("sid")).distinct())
+    val stamped = stampSet match {
+      case Some(st) =>
         edges0.join(st, edges0("parent") === $"sid", "left")
           .select($"child", $"parent", $"sid".isNotNull.as("p_stop"))
       case None => edges0.select($"child", $"parent", lit(false).as("p_stop"))
     }
     val edgesCp = stamped.transform(graft.Tables.truncate)
     val edges = if (broadcastEdges) broadcast(edgesCp) else edgesCp
-    var frontier = (stopIds match {
-      case Some(s) =>
-        val st = s.select($"id".as("sid"))
+    var frontier = (stampSet match {
+      case Some(st) =>
         nodes.join(st, nodes("id") === $"sid", "left")
           .select(nodes("id").as("leaf"), nodes("id").as("cur"),
             lit(0).as("depth"), $"sid".isNotNull.as("at_stop"))

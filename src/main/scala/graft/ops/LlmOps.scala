@@ -142,19 +142,19 @@ object LlmOps {
     // doc by construction) + set size, for the verification join
     val sets = sh.groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh_set"), count(lit(1)).as("n_sh"))
-    // per-doc set size alone: one narrow (doc_id, n_sh) row per doc —
-    // broadcast it into the prefix stream instead of recomputing the
-    // size as a second window pass over the full shingle stream
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val wDoc = Window.partitionBy($"doc_id")
     // the global prefix order is (frequency, shingle HASH): any single
     // consistent total order satisfies the candidate rule, and 8-byte
     // longs sort and join far cheaper than shingle strings -- exact
-    // verification below makes the result independent of the order
+    // verification below makes the result independent of the order.
+    // n_sh comes from a second Window over the SAME doc_id partitioning
+    // (one exchange feeds both window operators) — NOT a broadcast of
+    // the per-doc sizes, which is an O(corpus)-row structure and would
+    // violate the no-unbounded-driver-payload posture at scale
     val prefix = sh.join(freq, "shingle")
-      .join(broadcast(sizes), "doc_id")
       .withColumn("h", xxhash64($"shingle"))
       .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.6) + 1)
       .select($"doc_id", $"h", $"n_sh")
     // candidate rule + PPJoin LENGTH filter: J >= t also bounds the

@@ -160,22 +160,31 @@ object Relational {
     * `spark.table`, proving the managed-table write/read path end to
     * end the same way the file sinks do. The oracle computes the same
     * aggregate straight off the source parquet. */
+  /** Per-process table name: two JVMs sharing one cwd (one warehouse
+    * dir) must not drop/overwrite each other's managed directory
+    * mid-read — same race scratchRoot prevents for the file sinks.
+    * The unique directory is reclaimed on JVM exit (the in-memory
+    * catalog entry dies with the process anyway). */
+  private lazy val rtTable =
+    s"graft_nation_rt_p${ProcessHandle.current().pid()}"
+  private val rtCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def sinkTableRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // idempotent across JVMs: DROP clears a live catalog entry, and the
-    // defensive location delete clears a LEFTOVER managed directory
-    // from a previous process (a fresh in-memory catalog doesn't know
-    // the table, and CTAS refuses a non-empty location since Spark 3.2)
-    spark.sql("DROP TABLE IF EXISTS graft_nation_rt")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "graft_nation_rt")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    Tables(spark, sfDir, "nation")
-      .select($"n_nationkey", $"n_regionkey", $"n_name")
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable("graft_nation_rt")
-    spark.table("graft_nation_rt")
+    Tables.replaceManagedTable(
+      Tables(spark, sfDir, "nation")
+        .select($"n_nationkey", $"n_regionkey", $"n_name"),
+      rtTable)
+    if (rtCleanup.compareAndSet(false, true)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), rtTable.toLowerCase)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try loc.getFileSystem(hconf).delete(loc, true)
+        catch { case _: Throwable => () }
+      }))
+    }
+    spark.table(rtTable)
       .groupBy($"n_regionkey")
       .agg(count(lit(1)).as("n"), min($"n_name").as("first_name"))
       .orderBy($"n_regionkey")

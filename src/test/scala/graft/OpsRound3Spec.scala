@@ -44,6 +44,57 @@ class OpsRound3Spec extends SparkSpec {
     }
   }
 
+  test("keep-latest dedup equals a driver-side max-per-key replay") {
+    implicit val tsOrd: Ordering[java.sql.Timestamp] =
+      Ordering.fromLessThan(_.before(_))
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"event_id", $"ts", $"value")
+      .as[(Long, String, Long, java.sql.Timestamp, Double)].collect()
+    val want = evs.groupBy(e => (e._1, e._2)).map { case (_, g) =>
+      g.maxBy(e => (e._4, e._3))
+    }.toSet
+    val got = graft.ops.LlmOps.queries("q_dedup_latest")(spark, sfDir)
+      .as[(Long, String, Long, java.sql.Timestamp, Double)].collect().toSet
+    assert(got === want)
+  }
+
+  test("resolveUntil equals a driver-side stop walk on random hierarchies") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.ops.DesFiles
+    // acyclic by construction: each node's parent has a smaller id
+    val hierGen = for {
+      parents <- Gen.sequence[List[(Long, Long)], (Long, Long)](
+        (1 to 19).toList.map(i =>
+          Gen.choose(0L, (i - 1).toLong).map(p => (i.toLong, p))))
+      keep <- Gen.listOfN(19, Gen.oneOf(true, false))
+      stops <- Gen.listOfN(5, Gen.choose(0L, 19L))
+    } yield (parents.zip(keep).collect { case (e, true) => e }, stops.distinct)
+    val prop = Prop.forAll(hierGen) { case (edges, stops) =>
+      val nodes = (0L to 19L).toDF("id")
+      val edgesDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("child", "parent")
+        else edges.toDF("child", "parent")
+      val stopDf =
+        if (stops.isEmpty) Seq.empty[Long].toDF("id") else stops.toDF("id")
+      val got = DesFiles.resolveUntil(nodes, edgesDf, stopDf, maxDepth = 25)
+        .as[(Long, Long, Int)].collect().toSet
+      val pmap = edges.toMap
+      val stopSet = stops.toSet
+      val want = (0L to 19L).map { n =>
+        var cur = n
+        var d = 0
+        while (!stopSet.contains(cur) && pmap.contains(cur)) {
+          cur = pmap(cur); d += 1
+        }
+        (n, cur, d)
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("truncateCountTrue counts flagged rows inside the checkpoint job and drops the flag") {
     val df = spark.range(10).toDF("id").withColumn("f", $"id" % 3 === 0)
     val (cp, n) = Tables.truncateCountTrue(df, "f")

@@ -93,12 +93,14 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("spread widens narrow inputs but passes already-parallel inputs through") {
-    // session shuffle partitions = 4 (SparkSpec)
-    val narrow = spark.range(0, 10).toDF("id").coalesce(1)
+  test("spread widens narrow scans but passes shuffled plans through") {
+    // session shuffle partitions = 4 (SparkSpec); region is one tiny
+    // parquet file → a 1-partition scan-shaped plan → widened
+    val narrow = Tables(spark, sfDir, "region").select($"r_regionkey")
     assert(Tables.spread(narrow).rdd.getNumPartitions === 4)
-    // a 100 TB table arrives as thousands of splits — spread must NOT
-    // become a full-data reshuffle of it
+    // a plan that already went through a shuffle keeps its parallelism
+    // untouched (and is never probed — probing would materialize its
+    // query stages under AQE)
     val wide = spark.range(0, 1000).toDF("id").repartition(8)
     assert(Tables.spread(wide).rdd.getNumPartitions === 8)
   }
