@@ -34,6 +34,26 @@ object Profile {
           }
           .toDF("doc_id", "shingle")
       }),
+      // stop-shingle stress corpus: every document gains a universal
+      // 12-token boilerplate suffix (10 corpus-wide shingles), the
+      // web-corpus condition the prefix-filtered join is designed for.
+      // The inverted-index formulation pairs ALL n²/2 docs through
+      // EACH universal shingle; the prefix filter never emits them
+      // (the most frequent shingles sort last and fall outside every
+      // doc's rarest-40% prefix). Run both probes for the asymmetry —
+      // measured numbers are recorded in SCALE.md.
+      "x_ngram_stopshingle" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LlmOps.dedupNgramJaccardOn(
+          Tables(s, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"))))
+      }),
+      "x_prefix_stopshingle" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LlmOps.dedupJaccardPrefixOn(
+          Tables(s, dir, "documents")
+            .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"))))
+      }),
       "x_shingle_join" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._

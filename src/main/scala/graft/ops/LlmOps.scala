@@ -100,9 +100,16 @@ object LlmOps {
     * Fastest shape when no shingle is corpus-frequent; for corpora with
     * heavy-hitter shingles see [[dedupJaccardPrefix]], the same result
     * through a prefix-filtered set-similarity join. */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNgramJaccardOn(Tables(spark, sfDir, "documents"))
+
+  /** Core over an arbitrary documents relation — also driven by the
+    * Profile stop-shingle probes that measure this formulation's n²
+    * blow-up territory (see SCALE.md). */
+  private[graft] def dedupNgramJaccardOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
+    val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.select($"doc_id".as("doc_a"), $"shingle")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
@@ -133,10 +140,16 @@ object LlmOps {
     * [[dedupNgramJaccard]] is faster; at web scale, where stop-shingle
     * frequency grows with corpus size, this is the shape that survives
     * — candidate count tracks true-near-dup density, not corpus². */
-  def dedupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    dedupJaccardPrefixOn(Tables(spark, sfDir, "documents"))
+
+  /** Core over an arbitrary documents relation (see
+    * [[dedupNgramJaccardOn]] — same probe rationale). */
+  private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
+    val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
     // per-doc shingle set as ONE array row (shingles are distinct per
     // doc by construction) + set size, for the verification join
