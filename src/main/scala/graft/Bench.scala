@@ -25,6 +25,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned like Query/Verify/Profile: launched outside sbt on a
+      // non-UTC host, timestamp-literal casts would otherwise select a
+      // different workload than the one Verify hash-matches
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,6 +87,12 @@ object Profile {
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"rep $i: $sec%.3f s ($n rows)")
+        // same untimed per-rep release as Bench: otherwise a
+        // checkpoint-heavy query's reps accumulate retained blocks and
+        // later reps measure heap pressure, not the query
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
       }
     } finally spark.stop()
   }

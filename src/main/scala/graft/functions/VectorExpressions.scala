@@ -19,22 +19,33 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Numerics: accumulates left-to-right in double over float lanes —
   * bit-identical to the DuckDB oracle's sequential
   * `list_sum(list_transform(...))` pipeline, so hash-matching holds.
-  * Null lanes are not expected (corpus embeddings are dense); a null
-  * element contributes its Tungsten slot value, matching the builtin
-  * behavior for non-null-safe reads.
+  *
+  * Null semantics MATCH the builtin formulation exactly (required for
+  * the RewriteVectorDot optimizer rule to be a sound substitution on
+  * arbitrary user code): mismatched lengths → NULL (zip_with pads the
+  * shorter side with nulls, poisoning the builtin's sum) and any null
+  * lane → NULL. Corpus embeddings are dense and fixed-width, so the
+  * checks never fire there — they are a per-lane bit test, not a
+  * second pass.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // the expression can produce NULL (ragged/null-lane inputs) even when
+  // both children are non-null — force a real isNull slot in codegen
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -51,12 +62,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
     val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin)
   }
 

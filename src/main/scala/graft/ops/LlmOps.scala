@@ -272,9 +272,6 @@ object LlmOps {
   private def dot(spark: SparkSession)(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vecDot(spark)(a, b)
 
-  /** Embedding near-dup pairs, cosine ≥ 0.4 (vectors are L2-normalized
-    * — dot ≡ cosine). Brute-force baseline; the ANN path below is the
-    * scale road. */
   /** All embedding pairs with cosine ≥ `threshold` (vec_a < vec_b).
     * Stream side spread across cores (single-file scan = 1 partition);
     * build side broadcast. The cheap key inequality is FIRST in the
@@ -298,6 +295,9 @@ object LlmOps {
       .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
   }
 
+  /** Embedding near-dup pairs, cosine ≥ 0.4 (vectors are L2-normalized
+    * — dot ≡ cosine). Brute-force baseline marked as such; the
+    * bucketed/IVF ANN paths below are the scale road. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     embedPairs(spark, sfDir, 0.4).orderBy($"vec_a", $"vec_b")
@@ -521,9 +521,13 @@ object LlmOps {
   }
 
   /** Language-ID by marker-substring frequency (n-gram heuristic).
-    * Scores are substring-occurrence counts; argmax with a fixed
-    * tie-break order. (On this synthetic corpus it is a mechanism
-    * demo — the plumbing, scoring and argmax shape are the real part.) */
+    * The score is occurrence-count × marker-length (the
+    * `length(text) - length(replace(text, m, ''))` idiom) — i.e.
+    * LENGTH-WEIGHTED evidence, deliberately favoring longer markers as
+    * stronger signals; argmax with a fixed tie-break order on equal
+    * scores. The DuckDB oracle computes the identical formula. (On
+    * this synthetic corpus it is a mechanism demo — the plumbing,
+    * scoring and argmax shape are the real part.) */
   def textLangid(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def occ(m: String): Column =
@@ -612,12 +616,6 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  /** End-to-end corpus curation — the composed training-data pipeline:
-    * keep docs that (1) are the canonical copy of their exact text,
-    * (2) clear a quality bar, (3) fall in a sane token range; report
-    * the surviving corpus per language. Everything is one declarative
-    * plan: Catalyst fuses the quality predicates into the scan and the
-    * dedup/anti-join shuffles on text hash. */
   /** Per-doc token-distribution Shannon entropy (nats) — the
     * repetitiveness signal text-quality filters threshold on. Two
     * hash aggregations, both partitioned by doc: no data explosion.
@@ -743,6 +741,12 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * keep docs that (1) are the canonical copy of their exact text,
+    * (2) clear a quality bar, (3) fall in a sane token range; report
+    * the surviving corpus per language. Everything is one declarative
+    * plan: Catalyst fuses the quality predicates into the scan and the
+    * dedup/anti-join shuffles on text hash. */
   def pipelineCuration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
@@ -800,12 +804,7 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  /** Frame-sampling stage over the fake-decoded media: every 5th frame
-    * of each document's payload becomes a row with a per-frame feature.
-    * The generator is `posexplode`-style fan-out (sequence + explode —
-    * stays in codegen, no driver involvement); the per-frame "feature"
-    * is a deterministic stand-in for a real per-frame embedding (STUB —
-    * same contract as multimodalBinary's decode). */
+  /** Output row shape of [[multimodalFeatures]]'s batch stage. */
   case class MediaFeature(doc_id: Long, out_w: Int, out_h: Int,
       feature: String)
 
@@ -844,6 +843,12 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Frame-sampling stage over the fake-decoded media: every 5th frame
+    * of each document's payload becomes a row with a per-frame feature.
+    * The generator is `posexplode`-style fan-out (sequence + explode —
+    * stays in codegen, no driver involvement); the per-frame "feature"
+    * is a deterministic stand-in for a real per-frame embedding (STUB —
+    * same contract as multimodalBinary's decode). */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     multimodalBinary(spark, sfDir)

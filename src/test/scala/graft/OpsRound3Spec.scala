@@ -95,6 +95,28 @@ class OpsRound3Spec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("vec_dot matches builtin null semantics on ragged and null-lane arrays") {
+    graft.functions.VectorExpressions.register(spark)
+    def builtinDot = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)), // ragged → both NULL
+      (Array(1f, 2f), Array(3f, 4f))      // clean → both 11.0
+    ).toDF("a", "b")
+      .select(expr("vec_dot(a, b)").as("fast"), builtinDot.as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+    val nullLane = Seq((Seq(Option(1f), None), Seq(Option(1f), Option(2f))))
+      .toDF("a", "b")
+      .select(expr("vec_dot(a, b)").as("fast"), builtinDot.as("builtin"))
+      .collect()(0)
+    assert(nullLane.isNullAt(0) && nullLane.isNullAt(1))
+  }
+
   test("truncateCountTrue counts flagged rows inside the checkpoint job and drops the flag") {
     val df = spark.range(10).toDF("id").withColumn("f", $"id" % 3 === 0)
     val (cp, n) = Tables.truncateCountTrue(df, "f")
