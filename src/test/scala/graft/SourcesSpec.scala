@@ -68,6 +68,40 @@ class SourcesSpec extends SparkSpec {
       s"expected EXPNUM pushed into the JDBC scan:\n$scan")
   }
 
+  test("CSV parse modes: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val f = dir.resolve("rows.csv")
+    java.nio.file.Files.writeString(f,
+      "id,qty\n1,10\n2,not_a_number\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("qty", LongType),
+      StructField("_corrupt", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(f.toString)
+      .cache() // corrupt-record column requires a materialized read
+    assert(permissive.count() === 3)
+    assert(permissive.filter($"_corrupt".isNotNull).count() === 1)
+    assert(permissive.filter($"qty".isNotNull).count() === 2)
+    permissive.unpersist()
+    val dropped = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .csv(f.toString)
+    // collect, not count: count()'s CSV fast path skips column parsing
+    // entirely, so malformed rows are never detected or dropped
+    assert(dropped.collect().length === 2)
+    val failfast = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(f.toString)
+    assertThrows[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("jdbc partitionColumn shards the read into range cursors") {
     val df = Sources.jdbc(spark, derbyUrl, "exposure", "", "",
       partitionColumn = Some(("EXPNUM", 1L, 101L, 4)))
