@@ -99,6 +99,33 @@ object Windows {
       .orderBy($"l_suppkey", $"rk")
   }
 
+  /** Per-group top-k via the native bounded-heap aggregate
+    * (graft.functions.TopKAgg) — same result as [[winTopkPerGroup]]'s
+    * window formulation, different physical shape. The window sorts
+    * every group's FULL row set after the shuffle (O(n log n) rows
+    * through the exchange); the aggregate keeps a k-element heap per
+    * group, combines map-side, and moves only k (score,id) pairs per
+    * group across the wire. At 100 TB with hot groups that is the
+    * difference between shuffling the corpus and shuffling k·|groups|
+    * pairs. Revenue is cast to double BEFORE the heap so the aggregate
+    * orders on exactly the value the oracle orders on. */
+  def winTopkAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopKAgg.register(spark)
+    val rev = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .cast(DoubleType).as("revenue"))
+    rev.groupBy($"l_suppkey")
+      .agg(call_function("topk_agg", $"revenue", $"l_partkey", lit(3))
+        .as("top"))
+      .select($"l_suppkey", posexplode($"top"))
+      .select($"l_suppkey", $"col.id".as("l_partkey"),
+        $"col.score".as("revenue"), ($"pos" + 1).as("rk"))
+      .orderBy($"l_suppkey", $"rk")
+  }
+
   /** ntile / percent_rank / cume_dist. */
   def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -118,6 +145,7 @@ object Windows {
     "q_win_frame_rows" -> winFrameRows,
     "q_win_frame_range" -> winFrameRange,
     "q_win_topk_per_group" -> winTopkPerGroup,
+    "q_win_topk_agg" -> winTopkAgg,
     "q_win_distribution" -> winDistribution
   )
 }

@@ -302,6 +302,21 @@ object OracleSql {
          |SELECT l_suppkey, l_partkey, cast(rev_dec as double) AS revenue, rk
          |FROM rk WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
 
+    // q_win_topk_agg orders inside the heap on the DOUBLE revenue
+    // (score DESC, id ASC), so the oracle casts before ranking —
+    // unlike q_win_topk_per_group, which ranks on the exact decimal.
+    "q_win_topk_agg" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, l_partkey,
+         |    cast(sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}))
+         |      as double) AS revenue
+         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+         |    ORDER BY revenue DESC, l_partkey ASC) AS rk FROM rev)
+         |SELECT l_suppkey, l_partkey, revenue, rk
+         |FROM rk WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
+
     "q_win_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  ntile(4) OVER w AS quartile,

@@ -129,4 +129,58 @@ class OpsRound3Spec extends SparkSpec {
     val (_, m) = Tables.truncateCountTrue(dfn, "f")
     assert(m === 1)
   }
+
+  test("q_win_topk_agg matches the window formulation row for row") {
+    val viaAgg = graft.ops.Windows.winTopkAgg(spark, sfDir)
+      .select($"l_suppkey".cast("long"), $"l_partkey".cast("long"),
+        $"revenue", $"rk".cast("int"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val viaWin = graft.ops.Windows.winTopkPerGroup(spark, sfDir)
+      .select($"l_suppkey".cast("long"), $"l_partkey".cast("long"),
+        $"revenue", $"rk".cast("int"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(viaAgg === viaWin)
+  }
+
+  test("topk_agg runs as an ObjectHashAggregate with a map-side partial") {
+    val plan = finalPlan(graft.ops.Windows.winTopkAgg(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_topkagg"),
+      s"expected a partial (map-side) topkagg in:\n$plan")
+  }
+
+  test("TopKAgg buffer keeps the k best with (score DESC, id ASC) ties and bounded size") {
+    val buf = new graft.functions.TopKAgg.Buffer(3)
+    // ties on score resolve to the smaller id; later offers can evict
+    Seq((1.0, 10L), (5.0, 7L), (5.0, 3L), (2.0, 1L), (5.0, 9L), (7.0, 2L))
+      .foreach { case (s, i) => buf.offer(s, i) }
+    assert(buf.sortedDesc.toSeq === Seq((7.0, 2L), (5.0, 3L), (5.0, 7L)))
+  }
+
+  test("TopKAgg serde roundtrips and merge respects the bound") {
+    val agg = graft.functions.TopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), k = 2)
+    val a = new graft.functions.TopKAgg.Buffer(2)
+    Seq((1.0, 1L), (3.0, 3L)).foreach { case (s, i) => a.offer(s, i) }
+    val b = agg.deserialize(agg.serialize(a))
+    assert(b.sortedDesc.toSeq === a.sortedDesc.toSeq)
+    val c = new graft.functions.TopKAgg.Buffer(2)
+    Seq((2.0, 2L), (4.0, 4L)).foreach { case (s, i) => c.offer(s, i) }
+    val merged = agg.merge(c, b)
+    assert(merged.sortedDesc.toSeq === Seq((4.0, 4L), (3.0, 3L)))
+  }
+
+  test("topk_agg implicit-casts int ids and decimal scores at analysis") {
+    graft.functions.TopKAgg.register(spark)
+    val out = Seq((1, 1.5f, 10), (1, 2.5f, 20), (1, 0.5f, 30))
+      .toDF("g", "s", "i")
+      .groupBy($"g")
+      .agg(call_function("topk_agg", $"s", $"i", lit(2)).as("top"))
+      .select(explode($"top").as("kv"))
+      .select($"kv.score", $"kv.id")
+      .as[(Double, Long)].collect().toSeq
+    assert(out === Seq((2.5, 20L), (1.5, 10L)))
+  }
 }
