@@ -136,13 +136,33 @@ object Tables {
     * location since Spark 3.2). Shared by the catalog sink query and
     * the DesDb facade. */
   def replaceManagedTable(df: DataFrame, name: String): Unit = {
-    val spark = df.sparkSession
+    dropAndClean(df.sparkSession, name)
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+  }
+
+  /** Bucketed managed-table replacement: the co-located-join layout.
+    * Both sides of a hot join written with the SAME bucket count on
+    * the join key never shuffle for that join again — the scan's
+    * output partitioning already satisfies the join's required
+    * distribution. At 100 TB this turns every repeated fact⨝fact join
+    * on the bucketed key from a corpus-wide exchange into a local
+    * per-bucket merge. `sortBy` keeps each bucket file sorted on the
+    * key; Spark 3+'s scan doesn't propagate that order by default
+    * (spark.sql.legacy.bucketedTableScan.outputOrdering), so the SMJ
+    * still does a bucket-local re-sort — local CPU, never a shuffle. */
+  def replaceBucketedTable(
+      df: DataFrame, name: String, nBuckets: Int, key: String): Unit = {
+    dropAndClean(df.sparkSession, name)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
+  }
+
+  private def dropAndClean(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet").saveAsTable(name)
   }
 
   // Plan-object cache: DataFrames are immutable lazy plans, so reusing

@@ -190,6 +190,70 @@ object Relational {
       .orderBy($"n_regionkey")
   }
 
+  // ---- bucketed co-located join ------------------------------------
+  // Per-process table names + write-once guard: the two bucketed
+  // tables are a LAYOUT, written once per (session, sfDir) and then
+  // joined shuffle-free by every caller — exactly how a 100 TB
+  // deployment amortizes the bucketing write across every downstream
+  // join on the key.
+  private lazy val bktSuffix = s"_p${ProcessHandle.current().pid()}"
+  @volatile private var bktWritten: Option[(SparkSession, String)] = None
+
+  /** Writes orders + customer bucketed by custkey (same bucket count)
+    * and returns the co-located join, pre-aggregation. Bucketed scans
+    * carry HashPartitioning(custkey, 8) so the MERGE-hinted sort-merge
+    * join needs NO exchange on either side — the join that would
+    * shuffle the fact table on every run at 100 TB becomes a local
+    * per-bucket merge (PlanSpec pins the zero-exchange plan). */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    if (!bktWritten.contains((spark, sfDir))) synchronized {
+      if (!bktWritten.contains((spark, sfDir))) {
+        // repartition onto the bucket hash first → one file per bucket,
+        // so the scan also preserves the sortBy order (multi-file
+        // buckets would force the SMJ to re-sort)
+        Tables.replaceBucketedTable(
+          Tables(spark, sfDir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+            .repartition(8, $"o_custkey"),
+          s"graft_orders_bkt$bktSuffix", 8, "o_custkey")
+        Tables.replaceBucketedTable(
+          Tables(spark, sfDir, "customer")
+            .select($"c_custkey", $"c_mktsegment")
+            .repartition(8, $"c_custkey"),
+          s"graft_customer_bkt$bktSuffix", 8, "c_custkey")
+        if (bktWritten.isEmpty) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          val wh = spark.conf.get("spark.sql.warehouse.dir")
+          val locs = Seq("graft_orders_bkt", "graft_customer_bkt").map(t =>
+            new org.apache.hadoop.fs.Path(wh, s"$t${bktSuffix.toLowerCase}"))
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            locs.foreach(l =>
+              try l.getFileSystem(hconf).delete(l, true)
+              catch { case _: Throwable => () })
+          }))
+        }
+        bktWritten = Some((spark, sfDir))
+      }
+    }
+    spark.table(s"graft_customer_bkt$bktSuffix")
+      .hint("merge")
+      .join(spark.table(s"graft_orders_bkt$bktSuffix"),
+        $"c_custkey" === $"o_custkey")
+  }
+
+  /** Declared form: the co-located join rolled up per market segment.
+    * The only exchanges in the whole plan are the aggregation's and
+    * the presentation orderBy's — the join itself is bucket-local. */
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bucketedJoin(spark, sfDir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** CDC upsert (MERGE INTO semantics on plain parquet): a change
     * batch (updates for existing keys + inserts for new ones) applied
     * onto a base snapshot via ONE full-outer join on the key +
@@ -522,6 +586,7 @@ object Relational {
     "q_join_range_interval" -> joinRangeInterval,
     "q_join_asof" -> joinAsof,
     "q_join_multiway_star" -> joinMultiwayStar,
+    "q_join_bucketed" -> joinBucketed,
     "q_sort_multikey" -> sortMultikey,
     "q_topk_global" -> topkGlobal,
     "q_union_all" -> unionAll,

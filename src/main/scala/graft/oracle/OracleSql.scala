@@ -130,6 +130,14 @@ object OracleSql {
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
 
+    // q_join_bucketed: the bucketed LAYOUT is invisible to the result —
+    // the oracle is the plain join+rollup off the source parquet.
+    "q_join_bucketed" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_join_multiway_star" ->
       s"""SELECT n_name,
          |  ${dsumDec(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")} AS revenue,

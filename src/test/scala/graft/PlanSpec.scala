@@ -143,4 +143,21 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(plan).isDefined,
       s"expected a (doc_a, doc_b) distinct aggregate:\n${plan.take(1500)}")
   }
+
+  test("bucketed join is exchange-free (co-located sort-merge)") {
+    val plan = finalSection(finalPlan(Relational.bucketedJoin(spark, sfDir)))
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join:\n${plan.take(1000)}")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 0,
+      s"bucketed scans must satisfy the join distribution, got " +
+        s"$exchanges exchanges:\n${plan.take(1500)}")
+    // the SMJ's per-side Sorts are bucket-LOCAL (no exchange under
+    // them): Spark 3+ deliberately doesn't propagate bucket sortBy
+    // order from the scan (spark.sql.legacy.bucketedTableScan.
+    // outputOrdering), so a local re-sort remains — the scale win is
+    // the absent shuffle, and both scans must come up bucketed
+    assert("Bucketed: true".r.findAllIn(plan).size === 2,
+      s"both scans should be bucketed:\n${plan.take(1500)}")
+  }
 }
