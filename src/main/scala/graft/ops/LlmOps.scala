@@ -726,6 +726,76 @@ object LlmOps {
       .orderBy($"grp")
   }
 
+  /** Benchmark DECONTAMINATION — the train/eval overlap check every
+    * training corpus needs before release: flag training docs whose
+    * 3-gram shingle sets overlap a held-out benchmark set (here the
+    * deterministic pseudo-benchmark `doc_id % 97 = 0`).
+    *
+    * Scale posture: the benchmark side is, by nature, tiny relative to
+    * the corpus (thousands of eval docs vs billions of train docs), so
+    * its distinct-shingle set is BROADCAST — the overlap count is a
+    * map-side broadcast semi-join on the train shingle stream followed
+    * by one doc_id aggregation. No shuffle ever carries the corpus
+    * pair space; at 100 TB the only big movement is the per-doc
+    * count's partial agg. */
+  def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val banned = shingleDf(docs.filter($"doc_id" % 97 === 0))
+      .select($"shingle").distinct()
+    val sh = shingleDf(docs.filter($"doc_id" % 97 =!= 0))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // banned shingles are distinct, and shingleDf emits distinct
+    // shingles per doc — inner-join row count IS the overlap size
+    val overlap = sh.join(broadcast(banned), Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+    sz.join(overlap, Seq("doc_id"))
+      .select($"doc_id", $"n_sh", $"n_overlap",
+        Det.r4($"n_overlap" * 1.0 / $"n_sh").as("overlap_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Intra-document REPETITION scoring (the Gopher-style quality
+    * signal): the most frequent word bigram's share of all bigram
+    * occurrences — boilerplate/spam text repeats itself and scores
+    * high. Non-distinct bigrams (unlike shingleDf) because repetition
+    * is exactly what dedup's distinct would erase. Two partial-agged
+    * doc_id shuffles; per-doc state is one (bigram, count) stream —
+    * no full-text window, holds at any corpus size. */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(1, size(toks) - 1),
+          |       i -> array_join(slice(toks, i, 2), ' '))
+          |  ELSE array() END""".stripMargin)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(Det.lsum($"c").as("n_bigrams"),
+        max($"c").as("top_freq"))
+      .select($"doc_id", $"n_bigrams", $"top_freq",
+        Det.r4($"top_freq" * 1.0 / $"n_bigrams").as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** TEMPERATURE-scaled mixture weights (the multilingual/multi-source
+    * sampling rule: w_i ∝ n_i^α, α = 0.5 flattens the source
+    * distribution toward uniform without discarding head data).
+    * Two-level aggregation: per-source counts, then the α-powered
+    * normalizer broadcast back over the (tiny) source table — the only
+    * corpus-sized work is the first count's partial agg. */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val norm = c.agg(sum(pow($"n_docs", 0.5)).as("t"))
+    c.crossJoin(broadcast(norm))
+      .select($"source", $"n_docs",
+        Det.r4(pow($"n_docs", 0.5) / $"t").as("weight"))
+      .orderBy($"source")
+  }
+
   /** PII masking pass: digit runs → `<num>`, user@host tokens →
     * `<email>` — the redaction shape of a text-curation pipeline
     * (regex row-local, fully codegen'd, zero shuffle). */
@@ -889,6 +959,9 @@ object LlmOps {
     "q_embed_quantize" -> embedQuantize,
     "q_sample_stratified" -> sampleStratified,
     "q_mix_weighted" -> mixWeighted,
+    "q_mix_temperature" -> mixTemperature,
+    "q_text_decontaminate" -> textDecontaminate,
+    "q_text_repetition" -> textRepetition,
     "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,

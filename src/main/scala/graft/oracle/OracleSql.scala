@@ -960,6 +960,40 @@ object OracleSql {
         |  round(n_sampled * 1.0 / n_total, 4) AS rate
         |FROM s JOIN t ON s.grp = t.grp ORDER BY s.grp""".stripMargin,
 
+    "q_text_decontaminate" ->
+      s"""WITH $shingleCte,
+         |banned AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+         |ov AS (SELECT t.doc_id, count(*) AS n_overlap
+         |       FROM tr t JOIN banned b USING (shingle) GROUP BY t.doc_id)
+         |SELECT s.doc_id, n_sh, n_overlap,
+         |  round(n_overlap * 1.0 / n_sh, 4) AS overlap_ratio
+         |FROM sz s JOIN ov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 1, 0) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM tk),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c
+        |        FROM bg GROUP BY doc_id, bigram)
+        |SELECT doc_id, cast(sum(c) as bigint) AS n_bigrams,
+        |  max(c) AS top_freq,
+        |  round(max(c) * 1.0 / sum(c), 4) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |n AS (SELECT sum(pow(n_docs, 0.5)) AS t FROM c)
+        |SELECT source, n_docs, round(pow(n_docs, 0.5) / t, 4) AS weight
+        |FROM c CROSS JOIN n ORDER BY source""".stripMargin,
+
     "q_text_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(

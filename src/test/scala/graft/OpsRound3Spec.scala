@@ -172,6 +172,65 @@ class OpsRound3Spec extends SparkSpec {
     assert(merged.sortedDesc.toSeq === Seq((4.0, 4L), (3.0, 3L)))
   }
 
+  private def shingles(text: String): Set[String] = {
+    val toks = text.split(" ")
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("q_text_decontaminate equals a driver-side shingle-overlap replay") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val banned = docs.filter(_._1 % 97 == 0).flatMap(d => shingles(d._2)).toSet
+    val expected = docs.filter(_._1 % 97 != 0).flatMap { case (id, text) =>
+      val sh = shingles(text)
+      val ov = sh.count(banned.contains)
+      if (sh.isEmpty || ov == 0) None
+      else Some((id, sh.size.toLong, ov.toLong,
+        BigDecimal(ov.toDouble / sh.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toSet
+    val got = graft.ops.LlmOps.textDecontaminate(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_text_repetition equals a driver-side bigram replay and is ordered") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length < 2) None
+      else {
+        val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val top = bigrams.groupBy(identity).values.map(_.size).max
+        Some((id, bigrams.size.toLong, top.toLong,
+          BigDecimal(top.toDouble / bigrams.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = graft.ops.LlmOps.textRepetition(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("q_mix_temperature weights sum to 1 and follow n^0.5 ordering") {
+    val got = graft.ops.LlmOps.mixTemperature(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-2)
+    // temperature flattening: weight is monotone in n_docs, and the
+    // weight RATIO between extreme sources is compressed vs the raw
+    // count ratio (alpha < 1)
+    val byN = got.sortBy(_._2)
+    assert(byN.map(_._3) === byN.map(_._3).sorted)
+    val (lo, hi) = (byN.head, byN.last)
+    if (lo._2 < hi._2) {
+      assert(hi._3 / lo._3 <= hi._2.toDouble / lo._2 + 1e-9)
+    }
+  }
+
   test("topk_agg implicit-casts int ids and decimal scores at analysis") {
     graft.functions.TopKAgg.register(spark)
     val out = Seq((1, 1.5f, 10), (1, 2.5f, 20), (1, 0.5f, 30))
