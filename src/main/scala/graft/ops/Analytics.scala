@@ -65,6 +65,60 @@ object Analytics {
       .orderBy($"stage")
   }
 
+  /** The HOT-KEY-SAFE funnel: same greedy-earliest state machine as
+    * [[funnelStages]], but with O(1) state per user instead of
+    * O(that user's events) — the fallback the fold's scaladoc promises
+    * for corpora where one bot/service user holds an unbounded share
+    * of the stream.
+    *
+    * Shape: secondary sort. ONE hash exchange on user_id, then a
+    * per-partition EXTERNAL sort on (user_id, ts, event_type) —
+    * Spark's sort spills to disk, so a billion-event user costs disk,
+    * never heap — then a single forward scan runs the state machine
+    * across each user's contiguous, time-ordered run. Event-time ties
+    * order by event_type exactly like the fold's array_sort on
+    * struct(ts, tp), so the two formulations agree bit-for-bit
+    * (differential property test + shared oracle). */
+  private[graft] def funnelStagesBounded(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select($"user_id".cast("long"), unix_micros($"ts").as("tus"),
+        $"event_type")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"tus", $"event_type")
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(Long, Int)] {
+          def hasNext: Boolean = in.hasNext
+          def next(): (Long, Int) = {
+            val user = in.head._1
+            var stage = 0
+            var t = 0L
+            while (in.hasNext && in.head._1 == user) {
+              val (_, ts, tp) = in.next()
+              if (stage == 0 && tp == "view") { stage = 1; t = ts }
+              else if (stage == 1 && tp == "click" && ts > t) {
+                stage = 2; t = ts
+              } else if (stage == 2 && tp == "purchase" && ts > t) {
+                stage = 3; t = ts
+              }
+            }
+            (user, stage)
+          }
+        }
+      }
+      .toDF("user_id", "stage")
+  }
+
+  def eventsFunnelBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    funnelStagesBounded(Tables(spark, sfDir, "events"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; n_active = distinct users of that cohort active
     * `week_offset` weeks later. */
@@ -84,6 +138,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_funnel" -> eventsFunnel,
+    "q_events_funnel_bounded" -> eventsFunnelBounded,
     "q_retention_cohort" -> retentionCohort
   )
 }

@@ -901,27 +901,34 @@ object OracleSql {
         |FROM f ORDER BY doc_id""".stripMargin
   )
 
+  // greedy-earliest conditional-MIN funnel — the reference formulation
+  // both funnel implementations (fold + secondary-sort) are proven
+  // equal to (greedy earliest matching = existence of an increasing
+  // view<click<purchase subsequence)
+  private val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      |      GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  count(*) AS n_users
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
   private val analytics: Map[String, String] = Map(
-    "q_events_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
-        |           WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
-        |      JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.tv
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
-        |      JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
-        |      GROUP BY e.user_id),
-        |u AS (SELECT DISTINCT user_id FROM events)
-        |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
-        |            WHEN c.user_id IS NOT NULL THEN 2
-        |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
-        |  count(*) AS n_users
-        |FROM u LEFT JOIN v ON u.user_id = v.user_id
-        |LEFT JOIN c ON u.user_id = c.user_id
-        |LEFT JOIN p ON u.user_id = p.user_id
-        |GROUP BY 1 ORDER BY stage""".stripMargin,
+    "q_events_funnel" -> funnelSql,
+    "q_events_funnel_bounded" -> funnelSql,
 
     "q_retention_cohort" ->
       """WITH f AS (SELECT user_id,

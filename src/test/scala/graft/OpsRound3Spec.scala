@@ -231,6 +231,36 @@ class OpsRound3Spec extends SparkSpec {
     }
   }
 
+  test("bounded funnel equals the fold funnel per user on the corpus") {
+    val fold = graft.ops.Analytics
+      .funnelStages(Tables(spark, sfDir, "events"))
+      .as[(Long, Int)].collect().toMap
+    val bounded = graft.ops.Analytics
+      .funnelStagesBounded(Tables(spark, sfDir, "events"))
+      .as[(Long, Int)].collect().toMap
+    assert(bounded === fold)
+    assert(bounded.nonEmpty)
+  }
+
+  test("bounded funnel agrees with the fold on a tie-heavy hot key") {
+    // one hot user holding most of the stream, with equal-timestamp
+    // view/click/purchase collisions that exercise the tie ordering
+    val rnd = new scala.util.Random(7)
+    val types = Array("view", "click", "purchase", "other")
+    val rows = (1 to 5000).map { i =>
+      val user = if (i % 10 == 0) (i % 7).toLong else 999L
+      (user, 1700000000L + rnd.nextInt(50), types(rnd.nextInt(4)))
+    }
+    val df = rows.toDF("user_id", "sec", "event_type")
+      .select($"user_id", timestamp_seconds($"sec").as("ts"), $"event_type")
+    val fold = graft.ops.Analytics.funnelStages(df)
+      .as[(Long, Int)].collect().toMap
+    val bounded = graft.ops.Analytics.funnelStagesBounded(df)
+      .as[(Long, Int)].collect().toMap
+    assert(bounded === fold)
+    assert(bounded(999L) === 3) // the hot key completes the funnel
+  }
+
   test("topk_agg implicit-casts int ids and decimal scores at analysis") {
     graft.functions.TopKAgg.register(spark)
     val out = Seq((1, 1.5f, 10), (1, 2.5f, 20), (1, 0.5f, 30))
