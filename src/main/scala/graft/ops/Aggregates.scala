@@ -185,7 +185,31 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** Heavy hitters via the native Misra–Gries sketch
+    * (graft.functions.FreqAgg): the answer to "which event types
+    * dominate the stream?" without a full `GROUP BY` over the
+    * cardinality — each partial carries at most k counters across the
+    * shuffle, whatever the type cardinality is.
+    *
+    * Declared with k = 64 ≥ distinct(event_type), where the sketch is
+    * provably exact (no decrement ever fires, merges are plain sums),
+    * so the result hash-matches the GROUP BY oracle; the lossy
+    * regime's guarantees (no overcount, ≤ n/(k+1) undercount,
+    * heavy-item containment) are property-tested in the suite over
+    * the corpus token stream. */
+  def aggHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.FreqAgg.register(spark)
+    Tables(spark, sfDir, "events")
+      .agg(call_function("freq_agg", $"event_type", lit(64)).as("hh"))
+      .select(posexplode($"hh"))
+      .select($"col.item".as("event_type"), $"col.est".as("n_events"),
+        ($"pos" + 1).cast("int").as("rk"))
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_hash_q1" -> q1,
     "q_udaf_welford" -> udafWelford,
     "q_agg_distinct" -> aggDistinct,

@@ -251,7 +251,15 @@ object OracleSql {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
         |  round(median(l_extendedprice), 4) AS med_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact-regime twin: k = 64 >= distinct(event_type) makes the
+    // Misra-Gries sketch exactly the group count (see FreqAgg scaladoc)
+    "q_agg_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  cast(row_number() OVER (ORDER BY count(*) DESC, event_type)
+        |       as int) AS rk
+        |FROM events GROUP BY event_type ORDER BY rk""".stripMargin
   )
 
   private val windows: Map[String, String] = Map(

@@ -261,6 +261,59 @@ class OpsRound3Spec extends SparkSpec {
     assert(bounded(999L) === 3) // the hot key completes the funnel
   }
 
+  test("freq_agg lossy regime: no overcount, bounded undercount, heavy items present") {
+    graft.functions.FreqAgg.register(spark)
+    val k = 8 // corpus vocabulary is ~31 types — 8 counters force decrements
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+    val exact = toks.groupBy($"token").count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    assert(exact.size > k, "need distinct >> k to exercise decrements")
+    val sketch = toks
+      .agg(call_function("freq_agg", $"token", lit(k)).as("hh"))
+      .select(explode($"hh").as("kv"))
+      .select($"kv.item", $"kv.est").as[(String, Long)].collect().toMap
+    val bound = n / (k + 1) + 1
+    sketch.foreach { case (item, est) =>
+      val truth = exact.getOrElse(item, 0L)
+      assert(est <= truth, s"overcount on $item: $est > $truth")
+      assert(truth - est <= bound,
+        s"undercount beyond n/(k+1) on $item: $truth - $est > $bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach { heavy =>
+      assert(sketch.contains(heavy), s"heavy item $heavy missing")
+    }
+  }
+
+  test("FreqAgg buffer: MG decrement and mergeable-summaries absorb") {
+    val buf = new graft.functions.FreqAgg.Buffer(2)
+    Seq("a", "a", "b", "c", "a").foreach(buf.offer)
+    // offers: a=1, a=2, b=1; c hits the full buffer -> decrement-all
+    // (a=1, b evicted); final a -> a=2
+    assert(buf.sortedDesc.toSeq === Seq(("a", 2L)))
+    val other = new graft.functions.FreqAgg.Buffer(2)
+    Seq("b", "b", "d").foreach(other.offer)
+    buf.absorb(other)
+    // summed: a=2, b=2, d=1; over k=2 -> subtract 3rd-largest (1):
+    // a=1, b=1, d dropped
+    assert(buf.sortedDesc.toSeq === Seq(("a", 1L), ("b", 1L)))
+  }
+
+  test("freq_agg exact regime survives serde and map-side merge (many partitions)") {
+    graft.functions.FreqAgg.register(spark)
+    val df = spark.range(0, 10000)
+      .repartition(32)
+      .select(concat(lit("t"), (col("id") % 7)).as("item"))
+    val got = df.agg(call_function("freq_agg", col("item"), lit(64)).as("hh"))
+      .select(explode(col("hh")).as("kv"))
+      .select(col("kv.item"), col("kv.est")).as[(String, Long)]
+      .collect().toMap
+    val expect = (0 until 7).map(i =>
+      s"t$i" -> (10000 / 7 + (if (i < 10000 % 7) 1 else 0)).toLong).toMap
+    assert(got === expect)
+  }
+
   test("topk_agg implicit-casts int ids and decimal scores at analysis") {
     graft.functions.TopKAgg.register(spark)
     val out = Seq((1, 1.5f, 10), (1, 2.5f, 20), (1, 0.5f, 30))

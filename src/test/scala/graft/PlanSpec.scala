@@ -144,6 +144,35 @@ class PlanSpec extends SparkSpec {
       s"expected a (doc_a, doc_b) distinct aggregate:\n${plan.take(1500)}")
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val plan = finalSection(
+      finalPlan(LlmOps.textDecontaminate(spark, sfDir)))
+    // the held-out set is tiny by nature; the overlap probe must be a
+    // broadcast join on shingle, never a corpus-sized shuffle pair-up
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the banned-shingle probe broadcast:\n${plan.take(1200)}")
+  }
+
+  test("temperature mixing broadcasts the one-row normalizer") {
+    val plan = finalSection(
+      finalPlan(LlmOps.mixTemperature(spark, sfDir)))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast for the normalizer:\n${plan.take(1200)}")
+  }
+
+  test("bounded funnel runs on ONE data exchange (secondary sort)") {
+    val plan = finalSection(finalPlan(
+      Analytics.funnelStagesBounded(Tables(spark, sfDir, "events"))))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected exactly the user_id repartition, got $exchanges:\n" +
+        plan.take(1200))
+    // and the per-partition sort carries no exchange of its own
+    assert(plan.contains("Sort ["), s"expected the secondary sort:\n" +
+      plan.take(1200))
+  }
+
   test("bucketed join is exchange-free (co-located sort-merge)") {
     val plan = finalSection(finalPlan(Relational.bucketedJoin(spark, sfDir)))
     assert(plan.contains("SortMergeJoin"),

@@ -17,7 +17,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_na_functions",    // crossJoin of two 1-row aggregates
     "q_dedup_cluster",   // brute-force pair edges (vec_a < vec_b), as above
     "q_sim_ann_ivf",     // k-row broadcast centroid table per Lloyd step
-    "q_vocab_coverage"   // 1-row broadcast corpus-total crossJoin
+    "q_vocab_coverage",  // 1-row broadcast corpus-total crossJoin
+    "q_mix_temperature"  // 1-row broadcast normalizer crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
