@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[functions.SimHashAgg].getName, "simhash_agg"),
       exprs => functions.SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[functions.TopKAgg].getName, "topk_agg"),
+      exprs => functions.TopKAgg.fromExpressions(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("freq_agg"),
+      new ExpressionInfo(classOf[functions.FreqAgg].getName, "freq_agg"),
+      exprs => functions.FreqAgg.fromExpressions(exprs)))
     // builtin zip_with/aggregate dot products → the native kernel
     e.injectOptimizerRule(_ => graft.plans.RewriteVectorDot)
   }

@@ -182,20 +182,21 @@ object FreqAgg {
     }
   }
 
-  /** Idempotently register as `freq_agg(item, k)`; k must be a
-    * foldable integer literal. */
+  /** Builder shared by per-session registration and GraftExtensions:
+    * `freq_agg(item, k)` with a foldable integer k. */
+  def fromExpressions(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "usage: freq_agg(item, k) with literal k")
+    val kv = exprs(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"freq_agg k must be integral, got $other")
+    }
+    FreqAgg(Cast(exprs(0), StringType), kv).toAggregateExpression()
+  }
+
+  /** Idempotently register as `freq_agg(item, k)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_agg",
-      exprs => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "usage: freq_agg(item, k) with literal k")
-        val kv = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => sys.error(s"freq_agg k must be integral, got $other")
-        }
-        FreqAgg(Cast(exprs(0), StringType), kv).toAggregateExpression()
-      },
-      "scala_udf")
+      "freq_agg", fromExpressions, "scala_udf")
 }

@@ -156,23 +156,24 @@ object TopKAgg {
         .sortWith { case ((sa, ia), (sb, ib)) => beats(sa, ia, sb, ib) }
   }
 
-  /** Idempotently register as `topk_agg(score, id, k)`; k must be a
-    * foldable integer literal. */
+  /** Builder shared by per-session registration and GraftExtensions:
+    * `topk_agg(score, id, k)` with a foldable integer k; coerces
+    * int/float/decimal score and int id columns up front (Cast is a
+    * no-op when the type already matches). */
+  def fromExpressions(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3 && exprs(2).foldable,
+      "usage: topk_agg(score, id, k) with literal k")
+    val kv = exprs(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => sys.error(s"topk_agg k must be integral, got $other")
+    }
+    TopKAgg(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), kv)
+      .toAggregateExpression()
+  }
+
+  /** Idempotently register as `topk_agg(score, id, k)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_agg",
-      exprs => {
-        require(exprs.length == 3 && exprs(2).foldable,
-          "usage: topk_agg(score, id, k) with literal k")
-        val kv = exprs(2).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => sys.error(s"topk_agg k must be integral, got $other")
-        }
-        // coerce int/float/decimal score and int id columns up front
-        // (Cast is a no-op when the type already matches)
-        TopKAgg(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), kv)
-          .toAggregateExpression()
-      },
-      "scala_udf")
+      "topk_agg", fromExpressions, "scala_udf")
 }

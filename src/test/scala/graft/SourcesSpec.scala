@@ -26,6 +26,19 @@ class SourcesSpec extends SparkSpec {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("extension builders resolve topk_agg and freq_agg like registration") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // same builders GraftExtensions injects — a (score,id,k) call and
+    // an (item,k) call must produce typed aggregate expressions
+    val topk = graft.functions.TopKAgg.fromExpressions(
+      Seq(Literal(1.0), Literal(2L), Literal(3)))
+    assert(topk.dataType.simpleString.startsWith("array<struct"))
+    val freq = graft.functions.FreqAgg.fromExpressions(
+      Seq(Literal.create("x",
+        org.apache.spark.sql.types.StringType), Literal(4)))
+    assert(freq.dataType.simpleString.startsWith("array<struct"))
+  }
+
   // ---- JDBC contract against embedded Derby (the closest stand-in
   // for the reference's live Oracle DSN that a zero-egress environment
   // allows; Derby ships in Spark's own jars). Proves the Sources.jdbc
