@@ -94,9 +94,20 @@ case class TopKAgg(
 
 object TopKAgg {
 
-  /** (score DESC, id ASC)-best pair A beats B? */
-  private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa > sb || (sa == sb && ia < ib)
+  /** (score DESC, id ASC)-best pair A beats B? Total order via
+    * Double.compare — NaN ranks greatest (as in Spark's ORDER BY
+    * DESC, where NaN sorts above every value), and -0.0 is
+    * normalized to 0.0 first (Double.compare would otherwise split
+    * the tie Spark's NormalizeFloatingNumbers collapses). A plain
+    * `>` / `==` here is not total under NaN: every comparison
+    * answers false, the heap rejects genuine candidates, and the
+    * result becomes merge-order dependent. */
+  private def beats(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val a = if (sa == 0.0) 0.0 else sa
+    val b = if (sb == 0.0) 0.0 else sb
+    val c = java.lang.Double.compare(a, b)
+    c > 0 || (c == 0 && ia < ib)
+  }
 
   /** Bounded "keep the k best" buffer: a binary min-heap ordered
     * worst-first, so the root is the candidate to evict. O(log k) per

@@ -744,12 +744,16 @@ object LlmOps {
     val banned = shingleDf(docs.filter($"doc_id" % 97 === 0))
       .select($"shingle").distinct()
     val sh = shingleDf(docs.filter($"doc_id" % 97 =!= 0))
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    // banned shingles are distinct, and shingleDf emits distinct
-    // shingles per doc — inner-join row count IS the overlap size
-    val overlap = sh.join(broadcast(banned), Seq("shingle"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
-    sz.join(overlap, Seq("doc_id"))
+    // ONE pass over the train shingle stream (shingling is the
+    // CPU-heavy step — see shingleDf): a broadcast LEFT join keeps
+    // every shingle row exactly once (banned is distinct, per-doc
+    // shingles are distinct), so count(*) is n_sh and count(match)
+    // is the overlap size in the same aggregation
+    sh.join(broadcast(banned.withColumn("hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"), count($"hit").as("n_overlap"))
+      .filter($"n_overlap" > 0)
       .select($"doc_id", $"n_sh", $"n_overlap",
         Det.r4($"n_overlap" * 1.0 / $"n_sh").as("overlap_ratio"))
       .orderBy($"doc_id")

@@ -196,8 +196,13 @@ object Relational {
   // joined shuffle-free by every caller — exactly how a 100 TB
   // deployment amortizes the bucketing write across every downstream
   // join on the key.
-  private lazy val bktSuffix = s"_p${ProcessHandle.current().pid()}"
-  @volatile private var bktWritten: Option[(SparkSession, String)] = None
+  // suffix carries the sfDir fingerprint too: a second sfDir in the
+  // same process gets its OWN tables instead of overwriting the ones
+  // an earlier (lazily-evaluated) DataFrame still reads
+  private def bktSuffix(sfDir: String): String =
+    s"_p${ProcessHandle.current().pid()}_${(sfDir.hashCode & 0x7fffffff).toHexString}"
+  private val bktWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Writes orders + customer bucketed by custkey (same bucket count)
     * and returns the co-located join, pre-aggregation. Bucketed scans
@@ -207,6 +212,7 @@ object Relational {
     * per-bucket merge (PlanSpec pins the zero-exchange plan). */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val sfx = bktSuffix(sfDir)
     if (!bktWritten.contains((spark, sfDir))) synchronized {
       if (!bktWritten.contains((spark, sfDir))) {
         // repartition onto the bucket hash first → one file per bucket,
@@ -216,29 +222,27 @@ object Relational {
           Tables(spark, sfDir, "orders")
             .select($"o_orderkey", $"o_custkey", $"o_totalprice")
             .repartition(8, $"o_custkey"),
-          s"graft_orders_bkt$bktSuffix", 8, "o_custkey")
+          s"graft_orders_bkt$sfx", 8, "o_custkey")
         Tables.replaceBucketedTable(
           Tables(spark, sfDir, "customer")
             .select($"c_custkey", $"c_mktsegment")
             .repartition(8, $"c_custkey"),
-          s"graft_customer_bkt$bktSuffix", 8, "c_custkey")
-        if (bktWritten.isEmpty) {
-          val hconf = spark.sparkContext.hadoopConfiguration
-          val wh = spark.conf.get("spark.sql.warehouse.dir")
-          val locs = Seq("graft_orders_bkt", "graft_customer_bkt").map(t =>
-            new org.apache.hadoop.fs.Path(wh, s"$t${bktSuffix.toLowerCase}"))
-          Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            locs.foreach(l =>
-              try l.getFileSystem(hconf).delete(l, true)
-              catch { case _: Throwable => () })
-          }))
-        }
-        bktWritten = Some((spark, sfDir))
+          s"graft_customer_bkt$sfx", 8, "c_custkey")
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val locs = Seq("graft_orders_bkt", "graft_customer_bkt").map(t =>
+          new org.apache.hadoop.fs.Path(wh, s"$t${sfx.toLowerCase}"))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          locs.foreach(l =>
+            try l.getFileSystem(hconf).delete(l, true)
+            catch { case _: Throwable => () })
+        }))
+        bktWritten.add((spark, sfDir))
       }
     }
-    spark.table(s"graft_customer_bkt$bktSuffix")
+    spark.table(s"graft_customer_bkt$sfx")
       .hint("merge")
-      .join(spark.table(s"graft_orders_bkt$bktSuffix"),
+      .join(spark.table(s"graft_orders_bkt$sfx"),
         $"c_custkey" === $"o_custkey")
   }
 

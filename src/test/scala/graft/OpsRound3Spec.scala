@@ -158,6 +158,22 @@ class OpsRound3Spec extends SparkSpec {
     assert(buf.sortedDesc.toSeq === Seq((7.0, 2L), (5.0, 3L), (5.0, 7L)))
   }
 
+  test("TopKAgg ordering is total under NaN and -0.0 (Spark DESC semantics)") {
+    val buf = new graft.functions.TopKAgg.Buffer(2)
+    // NaN ranks GREATEST (like ORDER BY score DESC in Spark); a
+    // non-total > / == comparison would reject 2.0 and 3.0 here
+    Seq((Double.NaN, 1L), (1.0, 2L), (2.0, 3L), (3.0, 4L))
+      .foreach { case (s, i) => buf.offer(s, i) }
+    val kept = buf.sortedDesc.toSeq
+    assert(kept.head._1.isNaN && kept.head._2 === 1L)
+    assert(kept(1) === ((3.0, 4L)))
+    // -0.0 ties with 0.0 → smaller id wins, not the sign bit
+    val z = new graft.functions.TopKAgg.Buffer(1)
+    z.offer(-0.0, 9L)
+    z.offer(0.0, 2L)
+    assert(z.sortedDesc.toSeq.map(_._2) === Seq(2L))
+  }
+
   test("TopKAgg serde roundtrips and merge respects the bound") {
     val agg = graft.functions.TopKAgg(
       org.apache.spark.sql.catalyst.expressions.Literal(0.0),
