@@ -1108,8 +1108,33 @@ object OracleSql {
         |ORDER BY table_name, ord""".stripMargin
   )
 
+  /** Morton interleave of two 16-bit ints — same 32-term shift/mask
+    * tree the Spark Layout.zvalue expression compiles to. */
+  private def zSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i + 1}) | ((($y >> $i) & 1) << ${2 * i}))"
+    }.mkString(" | ")
+
+  private val layout: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    date_diff('day', DATE '1992-01-01', o_orderdate) AS day
+         |  FROM orders),
+         |d AS (SELECT max(o_custkey) AS max_ck, max(day) AS max_day FROM o),
+         |s AS (SELECT o_orderkey,
+         |    (o_custkey * 65536) // (max_ck + 1) AS x16,
+         |    (day * 65536) // (max_day + 1) AS y16
+         |  FROM o CROSS JOIN d),
+         |z AS (SELECT *, ${zSql("x16", "y16")} AS zval FROM s)
+         |SELECT zval >> 26 AS z_bucket, count(*) AS n,
+         |  min(x16) AS min_x, max(x16) AS max_x,
+         |  min(y16) AS min_y, max(y16) AS max_y
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    analytics ++
+    analytics ++ layout ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,

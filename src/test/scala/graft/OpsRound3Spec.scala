@@ -330,6 +330,34 @@ class OpsRound3Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("zvalue equals a driver-side Morton interleave") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    def morton(x: Int, y: Int): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1).toLong << (2 * i + 1)) |
+          (((y >> i) & 1).toLong << (2 * i))
+      }.reduce(_ | _)
+    val got = pts.toDF("x", "y")
+      .select(graft.ops.Layout.zvalue($"x", $"y").as("z"))
+      .as[Long].collect().toSeq
+    assert(got === pts.map { case (x, y) => morton(x, y) })
+  }
+
+  test("z-bucket extents: 64 buckets pin the top 3 bits of BOTH dims") {
+    val rows = graft.ops.Layout.layoutZorder(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, _, minX, maxX, minY, maxY) =>
+      // top 6 z-bits = x15 y15 x14 y14 x13 y13 ⇒ within a bucket each
+      // dimension varies only in its low 13 bits
+      assert(maxX - minX < 8192, s"bucket $b x-span ${maxX - minX}")
+      assert(maxY - minY < 8192, s"bucket $b y-span ${maxY - minY}")
+      assert((minX >> 13) === (maxX >> 13), s"bucket $b splits x top bits")
+      assert((minY >> 13) === (maxY >> 13), s"bucket $b splits y top bits")
+    }
+  }
+
   test("topk_agg implicit-casts int ids and decimal scores at analysis") {
     graft.functions.TopKAgg.register(spark)
     val out = Seq((1, 1.5f, 10), (1, 2.5f, 20), (1, 0.5f, 30))

@@ -80,6 +80,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout skips files on a trailing-dimension box; linear cannot") {
+    // 20k uniform 2-d points, written 16-files two ways: range-
+    // partitioned by x (the linear "sorted by leading column" layout)
+    // and range-partitioned by zvalue(x, y). A y-only box predicate
+    // (top two y bits zero) is the pruning case linear layouts lose:
+    // every x-range file contains all y values, while only z-buckets
+    // whose interleaved y bits match can hold matching rows.
+    val pts = spark.range(0, 20000).select(
+      (pmod(hash($"id" * 2 + 1), lit(65536))).as("x"),
+      (pmod(hash($"id" * 7 + 3), lit(65536))).as("y"))
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    val ldir = Files.createTempDirectory("graft_linear").toString
+    pts.withColumn("z", graft.ops.Layout.zvalue($"x", $"y"))
+      .repartitionByRange(16, $"z")
+      .write.mode("overwrite").parquet(zdir)
+    pts.repartitionByRange(16, $"x")
+      .write.mode("overwrite").parquet(ldir)
+    def filesHit(dir: String): Long =
+      spark.read.parquet(dir).filter($"y" < 16384)
+        .select(input_file_name()).distinct().count()
+    val (zHit, lHit) = (filesHit(zdir), filesHit(ldir))
+    // linear: all 16 files contain small-y rows; z-order: only the
+    // buckets whose y15=y14=0 slice (~1/4 of the space, plus range-
+    // boundary slop) can
+    assert(lHit === 16, s"linear layout unexpectedly pruned: $lHit")
+    assert(zHit <= 8, s"z-order should prune most files, hit $zHit of 16")
+  }
+
   test("salted join equals the plain equi-join") {
     val o = Tables(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
