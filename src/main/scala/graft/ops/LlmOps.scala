@@ -783,6 +783,52 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** SPAN-level exact-substring dedup (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" modality): 40-char
+    * windows at stride 20 over the raw text, reporting spans that
+    * recur across ≥ 2 documents — catches boilerplate/licence blocks
+    * that token-shingle Jaccard (a per-doc SET similarity) dilutes
+    * away on long documents.
+    *
+    * Scale: one explode (5% row inflation per 20-char stride) into a
+    * partial-agged span groupBy; the distinct-doc count is Spark's
+    * two-level distinct aggregation, so a universal boilerplate span
+    * (the hottest key imaginable) still combines map-side. No pair
+    * space is ever formed — the span IS the join key. */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", $"text", length($"text").as("len"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN len >= 40
+          |  THEN transform(sequence(1, cast((len - 40) / 20 as int) + 1),
+          |       i -> substring(text, (i - 1) * 20 + 1, 40))
+          |  ELSE array() END""".stripMargin)).as("span"))
+      .groupBy($"span")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"span")
+  }
+
+  /** One BPE training step: adjacent character-pair frequencies over
+    * the whitespace-token stream, top-10 merge candidates with a
+    * total (n DESC, pair ASC) order — the inner loop of
+    * byte-pair-encoding tokenizer training as one declarative plan
+    * (explode → partial-agged count → TakeOrderedAndProject; the
+    * full pair cardinality never leaves the executors). */
+  def bpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spread(Tables(spark, sfDir, "documents"))
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, length(tok) - 1),
+          |  i -> substring(tok, i, 2))""".stripMargin)).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(10)
+  }
+
   /** TEMPERATURE-scaled mixture weights (the multilingual/multi-source
     * sampling rule: w_i ∝ n_i^α, α = 0.5 flattens the source
     * distribution toward uniform without discarding head data).
@@ -966,6 +1012,8 @@ object LlmOps {
     "q_mix_temperature" -> mixTemperature,
     "q_text_decontaminate" -> textDecontaminate,
     "q_text_repetition" -> textRepetition,
+    "q_dedup_spans" -> dedupSpans,
+    "q_bpe_pairs" -> bpePairs,
     "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,

@@ -1002,6 +1002,27 @@ object OracleSql {
         |  round(max(c) * 1.0 / sum(c), 4) AS rep_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, CASE WHEN length(text) >= 40
+        |               THEN (length(text) - 40) // 20 + 1 ELSE 0 END + 1),
+        |    i -> substring(text, (i - 1) * 20 + 1, 40))) AS span
+        |  FROM documents)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY span""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(tok)),
+        |    i -> substring(tok, i, 2))) AS pair
+        |  FROM t WHERE length(tok) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+
     "q_mix_temperature" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -330,6 +330,38 @@ class OpsRound3Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_dedup_spans equals a driver-side window replay") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val windows = docs.flatMap { case (id, text) =>
+      if (text.length < 40) Seq.empty
+      else (0 to (text.length - 40) / 20).map(i =>
+        (id, text.substring(i * 20, i * 20 + 40)))
+    }
+    val expected = windows.groupBy(_._2).collect {
+      case (span, occ) if occ.map(_._1).distinct.size >= 2 =>
+        (span, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.toSet
+    val got = graft.ops.LlmOps.dedupSpans(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_bpe_pairs equals a driver-side pair count") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"text").as[String].collect()
+    val counts = docs.flatMap(_.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(t => (0 until t.length - 1).map(i => t.substring(i, i + 2)))
+      .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+    val expected = counts.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = graft.ops.LlmOps.bpePairs(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("zvalue equals a driver-side Morton interleave") {
     val rnd = new scala.util.Random(11)
     val pts = Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))
