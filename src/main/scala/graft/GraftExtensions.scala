@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => functions.FreqAgg.fromExpressions(exprs)))
     // builtin zip_with/aggregate dot products → the native kernel
     e.injectOptimizerRule(_ => graft.plans.RewriteVectorDot)
+    // whole-operator extension: native as-of join planning
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

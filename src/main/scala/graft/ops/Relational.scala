@@ -476,6 +476,26 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** The same as-of semantics through the NATIVE operator
+    * (graft.plans.AsOfJoin → AsOfJoinExec): co-clustered hash
+    * exchanges + per-partition (key, time) sorts + one O(1)-state
+    * forward merge scan — the plan shape of a sort-merge join, with
+    * no union row inflation and no window buffer. Shares
+    * q_join_asof's oracle; a differential test pins equality with
+    * the union+window formulation row for row. */
+  def joinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user_id"), $"ts".as("last_click_ts"))
+    graft.plans.AsOf
+      .join(purchases, clicks, "user_id", "ts", "c_user_id", "last_click_ts")
+      .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+      .orderBy($"event_id")
+  }
+
   /** 5-way star join (TPC-H Q5 shape): revenue per nation for one
     * region and one order-date year. Dims broadcast; the fact-side
     * scan carries a pushed date-range predicate (not year(col)=…,
@@ -589,6 +609,7 @@ object Relational {
     "q_join_theta" -> joinTheta,
     "q_join_range_interval" -> joinRangeInterval,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_native" -> joinAsofNative,
     "q_join_multiway_star" -> joinMultiwayStar,
     "q_join_bucketed" -> joinBucketed,
     "q_sort_multikey" -> sortMultikey,

@@ -8,6 +8,16 @@ import graft.Det.Sql._
   */
 object OracleSql {
 
+  // greedy latest-at-or-before match — shared by the union+window and
+  // the native-operator formulation (proven equal in the suite)
+  private val asofSql: String =
+    """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
+      |  cast((SELECT max(c.ts) FROM events c
+      |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |          AND c.ts <= p.ts) as timestamp) AS last_click_ts
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   private val relational: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
@@ -122,13 +132,9 @@ object OracleSql {
          |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
          |GROUP BY 1 ORDER BY yr""".stripMargin,
 
-    "q_join_asof" ->
-      """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
-        |  cast((SELECT max(c.ts) FROM events c
-        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
-        |          AND c.ts <= p.ts) as timestamp) AS last_click_ts
-        |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof" -> asofSql,
+    // native AsOfJoinExec computes the identical result
+    "q_join_asof_native" -> asofSql,
 
     // q_join_bucketed: the bucketed LAYOUT is invisible to the result —
     // the oracle is the plain join+rollup off the source parquet.

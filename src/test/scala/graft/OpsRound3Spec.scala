@@ -362,6 +362,46 @@ class OpsRound3Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("native as-of join equals the union+window formulation on the corpus") {
+    val native = graft.ops.Relational.joinAsofNative(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    val window = graft.ops.Relational.joinAsof(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    assert(native === window)
+    assert(native.nonEmpty)
+    assert(native.exists(_._4.isEmpty), "expect some unmatched purchases")
+  }
+
+  test("native as-of join: ties, no-match keys, and a hot key") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(13)
+    // hot key 7 with 2000 times incl. duplicates; keys 100+ sparse;
+    // key 999 exists only on the left (no right rows at all)
+    val lRows = (1 to 2500).map { i =>
+      val k = if (i % 5 == 0) (100 + i % 13).toLong else 7L
+      (i.toLong, k, 1000L + rnd.nextInt(500))
+    } :+ (9999L, 999L, 1250L)
+    val rRows = (1 to 3000).map { i =>
+      val k = if (i % 7 == 0) (100 + i % 13).toLong else 7L
+      (k, 1000L + rnd.nextInt(500), s"p$i")
+    }
+    val l: DataFrame = lRows.toDF("id", "k", "t")
+    val r: DataFrame = rRows.toDF("rk", "rt", "payload")
+    val got = graft.plans.AsOf.join(l, r, "k", "t", "rk", "rt")
+      .select($"id", $"rt").as[(Long, Option[Long])].collect().toMap
+    // driver replay: max right time at-or-before, per key
+    val byKey = rRows.groupBy(_._1)
+    lRows.foreach { case (id, k, t) =>
+      val expect = byKey.get(k).flatMap { rs =>
+        val ts = rs.map(_._2).filter(_ <= t)
+        if (ts.isEmpty) None else Some(ts.max)
+      }
+      assert(got(id) === expect, s"row $id key $k t $t")
+    }
+  }
+
   test("zvalue equals a driver-side Morton interleave") {
     val rnd = new scala.util.Random(11)
     val pts = Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))

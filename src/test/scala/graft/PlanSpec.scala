@@ -173,6 +173,21 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("native as-of join plans like a sort-merge join (2 exchanges, sorted children)") {
+    val plan = finalSection(
+      finalPlan(Relational.joinAsofNative(spark, sfDir)))
+    assert(plan.contains("AsOfJoin "),
+      s"expected the native operator:\n${plan.take(1200)}")
+    // EnsureRequirements gives each side ONE co-clustered hash
+    // exchange; the only other exchange is the presentation orderBy's
+    // range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n" +
+      plan.take(1500))
+    assert("Sort \\[".r.findAllIn(plan).size >= 2,
+      s"expected both children sorted on (key, time):\n${plan.take(1500)}")
+  }
+
   test("bucketed join is exchange-free (co-located sort-merge)") {
     val plan = finalSection(finalPlan(Relational.bucketedJoin(spark, sfDir)))
     assert(plan.contains("SortMergeJoin"),

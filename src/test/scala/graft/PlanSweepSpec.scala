@@ -18,7 +18,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_cluster",   // brute-force pair edges (vec_a < vec_b), as above
     "q_sim_ann_ivf",     // k-row broadcast centroid table per Lloyd step
     "q_vocab_coverage",  // 1-row broadcast corpus-total crossJoin
-    "q_mix_temperature"  // 1-row broadcast normalizer crossJoin
+    "q_mix_temperature", // 1-row broadcast normalizer crossJoin
+    "q_layout_zorder"    // 1-row broadcast domain-max crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
