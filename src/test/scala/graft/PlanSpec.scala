@@ -173,6 +173,18 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("window top-k gets the builtin rank-limit pushdown (WindowGroupLimit)") {
+    val plan = finalSection(
+      finalPlan(Windows.queries("q_win_topk_per_group")(spark, sfDir)))
+    // InferWindowGroupLimit bounds each group's sorted buffer to k
+    // BEFORE the full window evaluation — the builtin complement to
+    // our topk_agg (which additionally shrinks the SHUFFLE to
+    // k·groups pairs); if this stops firing, per-group top-k
+    // silently degrades to full-group sorts
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown:\n${plan.take(1200)}")
+  }
+
   test("native as-of join plans like a sort-merge join (2 exchanges, sorted children)") {
     val plan = finalSection(
       finalPlan(Relational.joinAsofNative(spark, sfDir)))
