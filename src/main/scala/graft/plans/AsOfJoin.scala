@@ -41,7 +41,8 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    tolerance: Option[Long] = None)
     extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -59,7 +60,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-        planLater(j.left), planLater(j.right)) :: Nil
+        j.tolerance, planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -69,6 +70,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
     extends BinaryExecNode {
@@ -122,6 +124,8 @@ case class AsOfJoinExec(
       // heldKey (rows are copied out of the iterator's reused buffer)
       var held: UnsafeRow = null
       var heldKey = 0L
+      var heldTime = 0L
+      val tol = tolerance.getOrElse(Long.MaxValue)
 
       lIter.map { lRow =>
         val lkt = lProj(lRow)
@@ -140,6 +144,7 @@ case class AsOfJoinExec(
               if (rk < lk) {
                 rBuf.next() // behind the current key: discard
               } else if (rk == lk && rkt.getLong(1) <= lt) {
+                heldTime = rkt.getLong(1)
                 held = rBuf.next().asInstanceOf[UnsafeRow].copy()
                 heldKey = rk
               } else {
@@ -147,8 +152,11 @@ case class AsOfJoinExec(
               }
             }
           }
-          if (held != null && heldKey == lk) resultProj(joined(lRow, held))
-          else resultProj(joined(lRow, nullRight))
+          // the held row is the LATEST at-or-before candidate; if even
+          // it falls outside the lookback tolerance, nothing matches
+          if (held != null && heldKey == lk && lt - heldTime <= tol) {
+            resultProj(joined(lRow, held))
+          } else resultProj(joined(lRow, nullRight))
         }
       }
     }
@@ -171,12 +179,15 @@ object AsOf {
 
   /** `left` as-of-joined with `right`: every left row plus the columns
     * of the last right row with `right(rightKey) = left(leftKey)` and
-    * `right(rightTime) <= left(leftTime)` (nulls when none). Column
-    * names must exist on their respective sides; disambiguate by
-    * renaming before the call. */
+    * `right(rightTime) <= left(leftTime)` (nulls when none). An
+    * optional `tolerance` bounds the lookback:
+    * `leftTime - rightTime <= tolerance` (in the time column's units —
+    * micros for timestamps). Column names must exist on their
+    * respective sides; disambiguate by renaming before the call. */
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     def attr(df: DataFrame, name: String) =
@@ -185,6 +196,6 @@ object AsOf {
     GraftSqlShim.ofRows(spark, AsOfJoin(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       attr(left, leftKey), attr(right, rightKey),
-      attr(left, leftTime), attr(right, rightTime)))
+      attr(left, leftTime), attr(right, rightTime), tolerance))
   }
 }

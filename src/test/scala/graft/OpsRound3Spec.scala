@@ -400,6 +400,18 @@ class OpsRound3Spec extends SparkSpec {
       }
       assert(got(id) === expect, s"row $id key $k t $t")
     }
+    // bounded lookback: matches further back than `tol` become nulls
+    val tol = 5L
+    val gotTol = graft.plans.AsOf
+      .join(l, r, "k", "t", "rk", "rt", tolerance = Some(tol))
+      .select($"id", $"rt").as[(Long, Option[Long])].collect().toMap
+    lRows.foreach { case (id, k, t) =>
+      val expect = byKey.get(k).flatMap { rs =>
+        val ts = rs.map(_._2).filter(x => x <= t && t - x <= tol)
+        if (ts.isEmpty) None else Some(ts.max)
+      }
+      assert(gotTol(id) === expect, s"tol row $id key $k t $t")
+    }
   }
 
   test("zvalue equals a driver-side Morton interleave") {
