@@ -846,6 +846,30 @@ object LlmOps {
       .orderBy($"source")
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * A-Res): per row draw u ∈ (0,1), keep the global top-k by
+    * u^(1/w) — inclusion probability proportional to weight w (here
+    * n_chars: longer documents over-sampled, the curriculum /
+    * importance-sampling knob). The "randomness" is a deterministic
+    * Knuth multiplicative mix of doc_id, so the sample is
+    * reproducible, partition-count independent, AND the DuckDB twin
+    * computes the identical keys — a weighted sampler that
+    * hash-matches its oracle.
+    *
+    * Scale: keys are computed row-local (codegen'd) and the top-k is
+    * `TakeOrderedAndProject` — per-partition heaps, k rows to the
+    * driver, never a global sort. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val u = (($"doc_id" * 2654435761L) % 2147483647L + 1L) / 2147483648.0
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars",
+        pow(u, lit(1.0) / $"n_chars").as("res_key"))
+      .orderBy($"res_key".desc, $"doc_id")
+      .limit(50)
+      .select($"doc_id", $"n_chars", Det.r4($"res_key").as("res_key"))
+  }
+
   /** PII masking pass: digit runs → `<num>`, user@host tokens →
     * `<email>` — the redaction shape of a text-curation pipeline
     * (regex row-local, fully codegen'd, zero shuffle). */
@@ -1008,6 +1032,7 @@ object LlmOps {
     "q_vocab_coverage" -> vocabCoverage,
     "q_embed_quantize" -> embedQuantize,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_weighted" -> sampleWeighted,
     "q_mix_weighted" -> mixWeighted,
     "q_mix_temperature" -> mixTemperature,
     "q_text_decontaminate" -> textDecontaminate,

@@ -1008,6 +1008,17 @@ object OracleSql {
         |  round(max(c) * 1.0 / sum(c), 4) AS rep_ratio
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        |  round(pow(((doc_id * 2654435761) % 2147483647 + 1)
+        |              / 2147483648.0,
+        |            1.0 / n_chars), 4) AS res_key
+        |FROM documents
+        |ORDER BY pow(((doc_id * 2654435761) % 2147483647 + 1)
+        |              / 2147483648.0,
+        |            1.0 / n_chars) DESC, doc_id
+        |LIMIT 50""".stripMargin,
+
     "q_dedup_spans" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -330,6 +330,37 @@ class OpsRound3Spec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("weighted sample: driver replay, weight bias, and partition independence") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val keyed = docs.map { case (id, w) =>
+      val u = ((id * 2654435761L) % 2147483647L + 1L) / 2147483648.0
+      (id, w, math.pow(u, 1.0 / w))
+    }
+    val expected = keyed.sortBy { case (id, _, k) => (-k, id) }.take(50)
+      .map { case (id, w, k) =>
+        (id, w, BigDecimal(k).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.toSeq
+    val got = graft.ops.LlmOps.sampleWeighted(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    // A-Res bias: the weighted sample over-represents heavy rows
+    val corpusAvgW = docs.map(_._2).sum.toDouble / docs.length
+    val sampleAvgW = got.map(_._2).sum.toDouble / got.length
+    assert(sampleAvgW > corpusAvgW,
+      s"weighted sample should skew heavy: $sampleAvgW vs $corpusAvgW")
+    // partition-count independence (the property rand()-based
+    // sampling loses): same sample from a different layout
+    val re = Tables(spark, sfDir, "documents").repartition(17)
+      .select($"doc_id", $"n_chars",
+        pow((($"doc_id" * 2654435761L) % 2147483647L + 1L) / 2147483648.0,
+          lit(1.0) / $"n_chars").as("k"))
+      .orderBy($"k".desc, $"doc_id").limit(50)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(re === got.map(_._1))
+  }
+
   test("q_dedup_spans equals a driver-side window replay") {
     val docs = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
