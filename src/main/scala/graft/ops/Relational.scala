@@ -31,7 +31,7 @@ object Relational {
     * run) race each other's mode(overwrite) writes and read a
     * half-written directory. Unique per process, reclaimed on exit;
     * stable WITHIN a process so repeated reps overwrite in place. */
-  private lazy val scratchRoot: String = {
+  private[graft] lazy val scratchRoot: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {

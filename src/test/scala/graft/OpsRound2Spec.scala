@@ -95,7 +95,7 @@ class OpsRound2Spec extends SparkSpec {
         && l.contains("purchase")), scan.take(800))
     // and the files actually READ (scan metric) are exactly the
     // purchase directory's files — fewer than the table's total
-    val pruned = spark.read.parquet("/tmp/graft_scratch/sink_part")
+    val pruned = spark.read.parquet(s"${Relational.scratchRoot}/sink_part")
       .filter($"event_type" === "purchase")
     pruned.collect()
     val numFilesRead = pruned.queryExecution.executedPlan.collectLeaves()
@@ -106,7 +106,7 @@ class OpsRound2Spec extends SparkSpec {
     def parquetFiles(d: java.io.File): Int =
       Option(d.listFiles).toSeq.flatten
         .count(_.getName.endsWith(".parquet"))
-    val root = new java.io.File("/tmp/graft_scratch/sink_part")
+    val root = new java.io.File(s"${Relational.scratchRoot}/sink_part")
     val purchase = parquetFiles(
       new java.io.File(root, "event_type=purchase"))
     val total = Option(root.listFiles).toSeq.flatten
