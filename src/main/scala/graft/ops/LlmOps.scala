@@ -205,6 +205,74 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.7 over the
+    * 3-gram shingle sets. Containment is the asymmetric twin of
+    * Jaccard and the standard doc-inside-doc detector — a short
+    * document fully quoted inside a long one scores containment ≈ 1
+    * while its Jaccard (diluted by the long doc's extra shingles)
+    * stays below any dedup threshold. Same single-pass inverted-index
+    * candidate generation as [[dedupNgramJaccardOn]]: only docs
+    * SHARING a shingle ever pair, the pair stream partial-aggs
+    * map-side, no n² space exists. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleDf(Tables(spark, sfDir, "documents"))
+      .transform(graft.Tables.truncate)
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        Det.r4($"common" / least($"na", $"nb")).as("containment"))
+      .filter($"containment" >= 0.7)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Character-level EDIT-DISTANCE near-dup verification — the
+    * second-stage check real pipelines run when token-set similarity
+    * is too coarse (shingle sets are insensitive to within-token
+    * typos and reorderings; edit distance is not). Candidates come
+    * from the shingle inverted index (≥ 5 shared 3-gram shingles AND
+    * lengths within 32 chars — dist ≤ d requires |len_a − len_b| ≤ d,
+    * so the length filter is lossless for the 5% relative threshold
+    * on this corpus's ≤553-char docs); a naive length-bucket blocking
+    * was measured at ~10⁹ banded-DP cell ops at sf0.1 — candidate
+    * generation MUST be content-based, which is also the production
+    * shape (LSH/set candidates → edit-distance verify).
+    *
+    * Verification uses the banded `levenshtein(l, r, threshold)`
+    * (O(len·threshold) early-bail DP, codegen'd) with the compile-time
+    * cap = 5% of the corpus max length; the exact relative filter
+    * `dist ≤ 0.05·max(len)` is applied on the surviving distances.
+    * Scale: the candidate pair stream is 16-byte id pairs deduped
+    * BEFORE texts join in (same discipline as [[dedupJaccardPrefixOn]]). */
+  def dedupEdit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = shingleDf(docs).transform(graft.Tables.truncate)
+    val cand = sh.select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      .filter($"common" >= 5)
+      .select($"doc_a", $"doc_b")
+    val t = docs.select($"doc_id", $"text", length($"text").as("len"))
+    cand
+      .join(t.select($"doc_id".as("doc_a"), $"text".as("ta"),
+        $"len".as("la")), "doc_a")
+      .join(t.select($"doc_id".as("doc_b"), $"text".as("tb"),
+        $"len".as("lb")), "doc_b")
+      .filter(abs($"la" - $"lb") <= 32)
+      // banded DP, bails at 32 edits; -1 = over the band
+      .withColumn("dist", levenshtein($"ta", $"tb", 32))
+      .filter($"dist" >= 0 && $"dist" <= greatest($"la", $"lb") * 0.05)
+      .select($"doc_a", $"doc_b", $"dist")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** MinHash + LSH banding: 32 permutations (xxhash64 seeded by
     * permutation index), 8 bands × 4 rows; candidates share a band
     * bucket, then exact Jaccard verifies ≥ 0.6. Sketch values are
@@ -319,6 +387,33 @@ object LlmOps {
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
     val nodes = Tables(spark, sfDir, "embeddings").select($"vec_id".as("id"))
     Graph.connectedComponents(nodes, pairs).orderBy($"id")
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: assign whole near-dup
+    * CLUSTERS (not rows) to splits, so a pair of near-duplicates can
+    * never straddle the train/eval boundary — the standard fix for
+    * contamination-by-duplication when holding out eval data from the
+    * training corpus. Components come from [[dedupCluster]]'s
+    * embedding near-dup graph; the split is `component mod 10`
+    * (8/1/1), deterministic because the component label is the
+    * cluster's min id. Reports per-split row and cluster counts.
+    * Scale: adds ONE map-side projection + a 3-group agg on top of
+    * the connected-components labels — the split column would be the
+    * partition key of the written corpus at 100 TB. */
+  def splitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = embedPairs(spark, sfDir, 0.42)
+      .select($"vec_a".as("src"), $"vec_b".as("dst"))
+    val nodes = Tables(spark, sfDir, "embeddings").select($"vec_id".as("id"))
+    Graph.connectedComponents(nodes, pairs)
+      .withColumn("split",
+        when(pmod($"component", lit(10)) < 8, "train")
+          .when(pmod($"component", lit(10)) === 8, "val")
+          .otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct($"component").as("n_clusters"))
+      .orderBy($"split")
   }
 
   // ---- similarity search -------------------------------------------------
@@ -829,6 +924,79 @@ object LlmOps {
       .limit(10)
   }
 
+  /** Full BPE TRAINING loop — the iterative merge learning that
+    * [[bpePairs]] is one step of: 8 rounds of (count adjacent symbol
+    * pairs weighted by word frequency → pick the most frequent pair →
+    * merge it left-to-right non-overlapping in every word). Returns
+    * the learned merge table (step, left, right, pair_freq) — the
+    * artifact a tokenizer trainer ships.
+    *
+    * Distributed layout (how BPE actually trains at corpus scale):
+    * the loop runs over the WORD-FREQUENCY vocab, which is
+    * type-counted — orders of magnitude smaller than the corpus and
+    * independent of corpus size growth once the type inventory
+    * saturates (Heaps' law). Per round: ONE partial-agged pair-count
+    * aggregation over the vocab plus a 1-row argmax to the driver (a
+    * scalar — the legitimate driver-side payload); the merge rewrite
+    * is a codegen'd array fold, no shuffle. Lineage is truncated per
+    * round so round k's plan doesn't replay rounds 1..k-1.
+    * Tie-break (freq DESC, left ASC, right ASC) makes the learned
+    * merges a deterministic function of the corpus. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = spread(Tables(spark, sfDir, "documents"))
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), $"freq")
+    var cur = graft.Tables.truncate(words)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= 8 && !exhausted) {
+      val top = cur
+        .filter(size($"syms") >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"), $"freq")
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case None => exhausted = true
+        case Some((l, r, n)) =>
+          merges += ((step, l, r, n))
+          // left-to-right non-overlapping merge as a codegen'd fold:
+          // append each symbol; when the running tail is `l` and the
+          // incoming symbol is `r`, replace the tail with the merged
+          // symbol (so "aaa" under merge (a,a) becomes ["aa","a"])
+          val merged = aggregate(
+            $"syms", array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0
+                  && element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + r))))
+                .otherwise(concat(acc, array(x))))
+          // old rounds' checkpoint blocks are reclaimed by the caller's
+          // query-boundary release (Bench/Verify) — same contract as
+          // Graph.connectedComponents' per-round checkpoints
+          cur = graft.Tables.truncate(
+            cur.select(merged.as("syms"), $"freq"))
+          step += 1
+      }
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("step", "left", "right", "pair_freq")
+      .orderBy($"step")
+  }
+
   /** TEMPERATURE-scaled mixture weights (the multilingual/multi-source
     * sampling rule: w_i ∝ n_i^α, α = 0.5 flattens the source
     * distribution toward uniform without discarding head data).
@@ -1011,7 +1179,10 @@ object LlmOps {
     "q_dedup_latest" -> dedupLatest,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
+    "q_dedup_containment" -> dedupContainment,
+    "q_dedup_edit" -> dedupEdit,
     "q_dedup_cluster" -> dedupCluster,
+    "q_split_leakage_safe" -> splitLeakageSafe,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
@@ -1039,6 +1210,7 @@ object LlmOps {
     "q_text_repetition" -> textRepetition,
     "q_dedup_spans" -> dedupSpans,
     "q_bpe_pairs" -> bpePairs,
+    "q_bpe_train" -> bpeTrain,
     "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,

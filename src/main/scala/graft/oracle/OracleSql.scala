@@ -692,6 +692,60 @@ object OracleSql {
          |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_containment" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(common / least(x.n_sh, y.n_sh), 4) AS containment
+         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
+         |JOIN sz y ON p.doc_b = y.doc_id
+         |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // DuckDB's levenshtein is BYTE-based while Spark's is
+    // character-based; the corpus is verified pure ASCII at every SF
+    // (strlen == length for all rows), where the two coincide.
+    "q_dedup_edit" ->
+      s"""WITH $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT doc_a, doc_b FROM pairs WHERE common >= 5)
+         |SELECT doc_a, doc_b,
+         |  cast(levenshtein(da.text, db.text) as int) AS dist
+         |FROM cand JOIN documents da ON doc_a = da.doc_id
+         |JOIN documents db ON doc_b = db.doc_id
+         |WHERE abs(length(da.text) - length(db.text)) <= 32
+         |  AND levenshtein(da.text, db.text)
+         |      <= greatest(length(da.text), length(db.text)) * 0.05
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE
+         |pairs AS (
+         |  SELECT a.vec_id AS src, q.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
+         |  WHERE $dotSql >= 0.42),
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst, src FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sp AS (SELECT id, component,
+         |  CASE WHEN component % 10 < 8 THEN 'train'
+         |       WHEN component % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split FROM comp)
+         |SELECT split, count(*) AS n_vecs,
+         |  count(DISTINCT component) AS n_clusters
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS vec_a, q.vec_id AS vec_b, $dotSql AS sim
          |FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
