@@ -81,6 +81,49 @@ object StreamingOps {
         col("pts").as("ts"), col("n_clicks_1h"))
   }
 
+  /** WATERMARK late-data accounting, replayed deterministically in
+    * batch. The corpus's event stream is perfectly time-ordered, so
+    * disorder is modeled the way it actually arises in production —
+    * skewed per-source ingest latency: source `user_id % 4` delivers
+    * with `(user_id % 4) · lagUnitMin` minutes of arrival lag (event
+    * TIME unchanged). Microbatches are arrival-time buckets
+    * (`batchSeconds`, default hourly — a processing-time trigger), and
+    * — exactly Structured Streaming's semantics — a batch's rows are
+    * judged against the watermark from PRECEDING batches only (max
+    * event time seen minus the delay; watermarks advance between
+    * microbatches, never within one). Reports per-batch event and
+    * late-drop counts. StreamingSpec proves the engine parity: the
+    * same crafted stream fed through `dropDuplicates` + `withWatermark`
+    * in real microbatches drops exactly the rows this replay counts.
+    *
+    * Scale posture: per-batch maxima are a partial-agged groupBy; the
+    * running max runs over BATCH-COUNT rows (microbatch METADATA, the
+    * same per-batch scalar state the real engine keeps — bounded like
+    * vocabCoverage's top-k window), and the batch→watermark map joins
+    * back as a broadcast. The corpus-sized work is two partial-agged
+    * passes. */
+  def lateDrop(events: DataFrame, watermarkDelayMin: Int = 10,
+      batchSeconds: Long = 3600L, lagUnitMin: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events
+      .withColumn("arr", expr(s"ts + make_interval(0, 0, 0, 0, 0, " +
+        s"cast(user_id % 4 as int) * $lagUnitMin, 0)"))
+      .withColumn("batch_id",
+        floor(unix_timestamp($"arr") / batchSeconds).cast("long"))
+    val bmax = ev.groupBy($"batch_id").agg(max($"ts").as("bmax"))
+    val wm = bmax.select($"batch_id",
+      (max($"bmax").over(Window.orderBy($"batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1))
+        - expr(s"INTERVAL $watermarkDelayMin MINUTES")).as("watermark"))
+    ev.join(broadcast(wm), "batch_id")
+      .groupBy($"batch_id")
+      .agg(max($"watermark").as("watermark"),
+        count(lit(1)).as("n_events"),
+        count(when($"ts" < $"watermark", 1)).as("n_late"))
+      .orderBy($"batch_id")
+  }
+
   /** Streaming source for events-shaped directories (schema pinned from
     * the directory's existing files — streaming sources require an
     * explicit schema), so every transform above runs unchanged under
@@ -120,11 +163,15 @@ object StreamingOps {
       .orderBy($"event_id")
   }
 
+  def streamLateDrop(spark: SparkSession, sfDir: String): DataFrame =
+    lateDrop(Tables(spark, sfDir, "events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
     "q_stream_session" -> streamSession,
     "q_stream_dedup" -> streamDedup,
-    "q_stream_join" -> streamJoin
+    "q_stream_join" -> streamJoin,
+    "q_stream_late_drop" -> streamLateDrop
   )
 }

@@ -637,7 +637,31 @@ object OracleSql {
         |  AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2, 3
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // watermark judged against PRECEDING batches' max event time only
+    // (Structured Streaming advances watermarks between microbatches);
+    // the first batch has no watermark -> NULL -> nothing late.
+    // Arrival = event time + per-source lag (user_id%4 * 5 min);
+    // microbatch = arrival hour (processing-time trigger).
+    "q_stream_late_drop" ->
+      """WITH ev AS (
+        |  SELECT cast(ts as timestamp) AS ts,
+        |    cast(floor(epoch(cast(ts as timestamp)
+        |      + (user_id % 4) * INTERVAL '5 minutes') / 3600) as bigint)
+        |      AS batch_id
+        |  FROM events),
+        |bm AS (SELECT batch_id, max(ts) AS bmax FROM ev GROUP BY 1),
+        |wm AS (SELECT batch_id,
+        |  max(bmax) OVER (ORDER BY batch_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    - INTERVAL '10 minutes' AS watermark
+        |  FROM bm)
+        |SELECT e.batch_id, w.watermark, count(*) AS n_events,
+        |  count(CASE WHEN e.ts < w.watermark THEN 1 END) AS n_late
+        |FROM ev e JOIN wm w ON e.batch_id = w.batch_id
+        |GROUP BY 1, 2
+        |ORDER BY e.batch_id""".stripMargin
   )
 
   private val shingleCte: String =

@@ -200,4 +200,46 @@ class StreamingSpec extends SparkSpec {
       .agg(max($"n").as("n")).as[(Long, Long)].collect().toMap
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("q_stream_late_drop replay matches real microbatch watermark drops") {
+    // crafted 3-arrival-hour stream: source user_id=3 lags 15 min, so
+    // event 4 (ts 00:46) ARRIVES in hour 1, after the watermark has
+    // advanced to 00:59 - 10min = 00:49 → late. Event 6 arrives in
+    // hour 2 with watermark 01:30 - 10min = 01:20 → on time.
+    val rows = Seq(
+      (0L, ts("2024-01-01 00:30:00"), 0L),
+      (1L, ts("2024-01-01 00:50:00"), 0L),
+      (2L, ts("2024-01-01 00:59:00"), 0L),
+      (3L, ts("2024-01-01 01:10:00"), 0L),
+      (4L, ts("2024-01-01 00:46:00"), 3L), // arr 01:01 — LATE
+      (5L, ts("2024-01-01 01:30:00"), 0L),
+      (6L, ts("2024-01-01 01:46:00"), 3L)) // arr 02:01 — on time
+    val ev = rows.toDF("event_id", "ts", "user_id")
+    val replay = StreamingOps.lateDrop(ev)
+      .select($"batch_id", $"n_events", $"n_late")
+      .as[(Long, Long, Long)].collect().toSeq
+    val base = replay.map(_._1).min
+    assert(replay.map { case (b, n, l) => (b - base, n, l) } ===
+      Seq((0L, 3L, 0L), (1L, 3L, 1L), (2L, 1L, 0L)))
+
+    // the REAL engine fed the same arrival batches: stateful dedup on
+    // (event_id, ts) with the same 10-minute watermark must drop
+    // exactly the one row the replay counts late
+    val mem = MemoryStream[(Long, Timestamp)](spark)
+    val q = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.format("memory").queryName("late_parity")
+      .outputMode("append").start()
+    def feed(ids: Long*): Unit = {
+      mem.addData(ids.map(i => (i, rows(i.toInt)._2)))
+      q.processAllAvailable()
+    }
+    try {
+      feed(0L, 1L, 2L) // arrival hour 0
+      feed(3L, 4L, 5L) // arrival hour 1 (4 is late)
+      feed(6L)         // arrival hour 2
+    } finally q.stop()
+    assert(spark.table("late_parity").count() === rows.size - 1)
+  }
 }
