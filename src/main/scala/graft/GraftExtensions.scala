@@ -34,8 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("freq_agg"),
       new ExpressionInfo(classOf[functions.FreqAgg].getName, "freq_agg"),
       exprs => functions.FreqAgg.fromExpressions(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("array_overlap_count"),
+      new ExpressionInfo(classOf[functions.StringArrayOverlap].getName,
+        "array_overlap_count"),
+      exprs => functions.StringArrayOverlap(exprs(0), exprs(1))))
     // builtin zip_with/aggregate dot products → the native kernel
     e.injectOptimizerRule(_ => graft.plans.RewriteVectorDot)
+    // builtin size(array_intersect(…)) overlap counts → the kernel
+    e.injectOptimizerRule(_ => graft.plans.RewriteSetOverlap)
     // whole-operator extension: native as-of join planning
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared row-level kernel for [[StringArrayOverlap]] — called from
+  * both interpreted eval and generated code (via `addReferenceObj`).
+  *
+  * Counts |set(x) ∩ set(y)| over string arrays: hash-set the SMALLER
+  * side, probe with the larger, `remove` on match so duplicates count
+  * once — exactly `size(array_intersect(x, y))` (which deduplicates),
+  * including the null-element rule (null ∈ both sides counts one).
+  * Early-exits once the small side's set is exhausted, which on skewed
+  * set-similarity verify pairs skips most of the large array. */
+object OverlapKernel extends Serializable {
+  def count(x: ArrayData, y: ArrayData): Int = {
+    val (small, large) =
+      if (x.numElements() <= y.numElements()) (x, y) else (y, x)
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(8, n * 2))
+    var smallHasNull = false
+    var i = 0
+    while (i < n) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var c = 0
+    var nullMatched = false
+    var j = 0
+    val m = large.numElements()
+    while (j < m && !(set.isEmpty && (!smallHasNull || nullMatched))) {
+      if (large.isNullAt(j)) {
+        if (smallHasNull && !nullMatched) { c += 1; nullMatched = true }
+      } else if (set.remove(large.getUTF8String(j))) c += 1
+      j += 1
+    }
+    c
+  }
+}
+
+/** Native overlap count for string arrays:
+  * `array_overlap_count(a, b) == size(array_intersect(a, b))` without
+  * materializing the intersection ARRAY — the set-similarity verify
+  * kernel (Jaccard/containment share it: both need only |A∩B|, never
+  * the intersection itself). The builtin composition builds an
+  * `array_intersect` result array per row only for `size` to read its
+  * length; on the candidate-pair verify stage of a web-scale dedup
+  * that is one array allocation per pair for nothing.
+  *
+  * Null semantics match the builtin composition exactly (required for
+  * [[graft.plans.RewriteSetOverlap]] to be a sound substitution):
+  * either input NULL → NULL (modern `size(NULL) = NULL`; the rewrite
+  * rule gates on `legacySizeOfNull = false`), null ELEMENTS present in
+  * both arrays count once, duplicates count once. */
+case class StringArrayOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    OverlapKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the kernel rides the references array — the generated code stays
+    // one static-shaped call, and the hash-set logic is JIT'd once in
+    // the kernel class instead of duplicated per codegen site
+    val kernel = ctx.addReferenceObj("overlapKernel", OverlapKernel,
+      OverlapKernel.getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernel.count($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetExpressions {
+  /** Idempotently register on the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_overlap_count",
+      exprs => StringArrayOverlap(exprs(0), exprs(1)), "scala_udf")
+
+  /** Column-level API: distinct-overlap count of two string-array
+    * columns. */
+  def overlapCount(spark: SparkSession)(a: Column, b: Column): Column = {
+    register(spark)
+    call_function("array_overlap_count", a, b)
+  }
+}

@@ -198,7 +198,12 @@ object LlmOps {
         $"n_sh".as("na")).hint("SHUFFLE_HASH"), "doc_a")
       .join(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
         $"n_sh".as("nb")).hint("SHUFFLE_HASH"), "doc_b")
-      .withColumn("common", size(array_intersect($"sa", $"sb")))
+      // native overlap kernel: |A∩B| without materializing the
+      // intersection array per pair (== size(array_intersect(sa, sb));
+      // user code writing the builtin form gets the same kernel via
+      // the RewriteSetOverlap extension rule)
+      .withColumn("common",
+        graft.functions.SetExpressions.overlapCount(spark)($"sa", $"sb"))
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.6)

@@ -91,6 +91,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("RewriteSetOverlap: builtin size(array_intersect) becomes the kernel") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.RewriteSetOverlap
+    try {
+      val builtinForm = Tables(spark, sfDir, "documents")
+        .select($"doc_id", split($"text", " ").as("a"),
+          split(reverse($"text"), " ").as("b"))
+        .select($"doc_id", size(array_intersect($"a", $"b")).as("n"))
+      val plan = finalPlan(builtinForm)
+      assert(plan.contains("stringarrayoverlap"), plan.take(600))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteSetOverlap)
+      val raw = Tables(spark, sfDir, "documents")
+        .select($"doc_id", split($"text", " ").as("a"),
+          split(reverse($"text"), " ").as("b"))
+        .select($"doc_id", size(array_intersect($"a", $"b")).as("n"))
+      assert(builtinForm.collect().toSeq === raw.collect().toSeq)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.RewriteSetOverlap)
+    }
+  }
+
+  test("array_overlap_count matches size(array_intersect) incl. nulls and dups") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    graft.functions.SetExpressions.register(spark)
+    // small alphabet forces collisions, duplicates, and null elements
+    val elemGen = Gen.frequency(
+      (8, Gen.oneOf("a", "b", "c", "d").map(Option(_))),
+      (1, Gen.const(Option.empty[String])))
+    val arrGen = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, elemGen))
+    val prop = Prop.forAll(Gen.listOfN(12, Gen.zip(arrGen, arrGen))) { rows =>
+      val df = rows.toDF("a", "b")
+        .select(expr("array_overlap_count(a, b)").as("fast"),
+          size(array_intersect($"a", $"b")).as("builtin"))
+      df.collect().forall(r => r.getInt(0) == r.getInt(1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    // NULL arrays: both forms are NULL
+    val n = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("a", "b")
+      .select(expr("array_overlap_count(a, b)").as("fast"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("Observation hook reports pipeline metrics without a second scan") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation()
