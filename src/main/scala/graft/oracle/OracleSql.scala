@@ -1221,7 +1221,26 @@ object OracleSql {
         |FROM information_schema.columns
         |WHERE table_name IN ('region','nation','customer','supplier',
         |  'part','orders','lineitem','events','documents','embeddings')
-        |ORDER BY table_name, ord""".stripMargin
+        |ORDER BY table_name, ord""".stripMargin,
+
+    // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
+    // exposures x 8 ccds, path from the red_image template
+    "q_source_catalog_pushdown" ->
+      """WITH g AS (
+        |  SELECT r, lpad(cast(r * 4 + e as varchar), 2, '0') AS eid,
+        |    c + 1 AS ccd
+        |  FROM range(10) t1(r)
+        |  CROSS JOIN range(4) t2(e) CROSS JOIN range(8) t3(c)),
+        |rows_ AS (
+        |  SELECT 'run' || r AS run, 'exp' || eid AS expname,
+        |    cast(ccd as int) AS ccd,
+        |    '/desdata/OPS/red/run' || r || '/red/exp' || eid || '/exp'
+        |      || eid || '_' || lpad(cast(ccd as varchar), 2, '0')
+        |      || '.fits' AS path
+        |  FROM g)
+        |SELECT run, expname, ccd, path FROM rows_
+        |WHERE run = 'run3' AND ccd <= 4
+        |ORDER BY expname, ccd""".stripMargin
   )
 
   /** Morton interleave of two 16-bit ints — same 32-term shift/mask

@@ -80,7 +80,21 @@ object Sources {
       .orderBy($"table_name", $"ord")
   }
 
+  /** Declared query over the custom DSv2 connector
+    * ([[DesCatalogSource]]): the run-equality predicate is consumed by
+    * PARTITION PRUNING at planning time (1 of 10 partitions planned —
+    * asserted in SourcesSpec), the ccd bound is a residual Spark
+    * post-filter, and column pruning reaches the readers. */
+  def catalogPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graft.sources.DesCatalogSource").load()
+      .filter($"run" === "run3" && $"ccd" <= 4)
+      .select($"run", $"expname", $"ccd", $"path")
+      .orderBy($"expname", $"ccd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_describe_schema" -> describeSchema
+    "q_describe_schema" -> describeSchema,
+    "q_source_catalog_pushdown" -> catalogPushdown
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Sources
+import graft.sources.{DesCatalogSource, Sources}
 
 /** Schema-introspection surface (SURVEY §2.1 design rows). */
 class SourcesSpec extends SparkSpec {
@@ -120,5 +120,43 @@ class SourcesSpec extends SparkSpec {
       partitionColumn = Some(("EXPNUM", 1L, 101L, 4)))
     assert(df.rdd.getNumPartitions === 4)
     assert(df.count() === 100)
+  }
+
+  // ---- DSv2 custom connector contract ------------------------------------
+
+  private def catalog = spark.read
+    .format("graft.sources.DesCatalogSource").load()
+
+  test("DSv2 connector: full scan plans one partition per run") {
+    val df = catalog
+    assert(df.count() === 10L * 4 * 8)
+    assert(df.rdd.getNumPartitions === 10)
+    // paths come from the shared DesFiles template
+    val p = df.filter($"run" === "run0" && $"expname" === "exp00"
+      && $"ccd" === 1).select($"path").as[String].collect()
+    assert(p === Array(graft.ops.DesFiles.redImagePath(
+      "/desdata", "run0", "exp00", 1)))
+  }
+
+  test("DSv2 connector: run equality prunes partitions at planning time") {
+    val one = catalog.filter($"run" === "run3")
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 4 * 8)
+    assert(DesCatalogSource.lastPushed.nonEmpty,
+      "run filter must be pushed, not post-scan only")
+    val two = catalog.filter($"run".isin("run1", "run4"))
+    assert(two.rdd.getNumPartitions === 2)
+    assert(two.count() === 2 * 4 * 8)
+    // residual (non-run) predicates are NOT claimed as pushed
+    val res = catalog.filter($"ccd" <= 4)
+    assert(res.count() === 10 * 4 * 4)
+    assert(DesCatalogSource.lastPushed.isEmpty)
+  }
+
+  test("DSv2 connector: column pruning reaches the readers") {
+    val df = catalog.select($"run", $"ccd")
+    df.collect()
+    assert(DesCatalogSource.lastReadSchema.fieldNames.toSeq
+      === Seq("run", "ccd"))
   }
 }
