@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared row-level kernel for [[StringArrayOverlap]] — called from
@@ -59,9 +59,16 @@ object OverlapKernel extends Serializable {
   * rule gates on `legacySizeOfNull = false`), null ELEMENTS present in
   * both arrays count once, duplicates count once. */
 case class StringArrayOverlap(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = IntegerType
+
+  // registered as a user-callable SQL function — wrong argument types
+  // must fail at ANALYSIS, not as a mid-query ClassCastException (or,
+  // worse, an UnsafeArrayData reinterpreting int words as string
+  // offsets and returning garbage)
+  // (return type inferred — AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
 
   override def nullSafeEval(a: Any, b: Any): Any =
     OverlapKernel.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

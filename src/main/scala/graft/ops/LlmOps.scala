@@ -103,6 +103,18 @@ object LlmOps {
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     dedupNgramJaccardOn(Tables(spark, sfDir, "documents"))
 
+  /** Shingle inverted-index candidate pass shared by the Jaccard /
+    * containment / edit-distance dedups: ONE self-join on shingle
+    * (only docs SHARING a shingle ever pair), ordered pairs, common
+    * count partial-agged map-side. */
+  private def shinglePairCounts(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    sh.select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+  }
+
   /** Core over an arbitrary documents relation — also driven by the
     * Profile stop-shingle probes that measure this formulation's n²
     * blow-up territory (see SCALE.md). */
@@ -111,11 +123,7 @@ object LlmOps {
     import spark.implicits._
     val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.select($"doc_id".as("doc_a"), $"shingle")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
-    common
+    shinglePairCounts(sh)
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
       .select($"doc_a", $"doc_b",
@@ -224,10 +232,7 @@ object LlmOps {
     val sh = shingleDf(Tables(spark, sfDir, "documents"))
       .transform(graft.Tables.truncate)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.select($"doc_id".as("doc_a"), $"shingle")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    shinglePairCounts(sh)
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
       .select($"doc_a", $"doc_b",
@@ -241,27 +246,30 @@ object LlmOps {
     * is too coarse (shingle sets are insensitive to within-token
     * typos and reorderings; edit distance is not). Candidates come
     * from the shingle inverted index (≥ 5 shared 3-gram shingles AND
-    * lengths within 32 chars — dist ≤ d requires |len_a − len_b| ≤ d,
-    * so the length filter is lossless for the 5% relative threshold
-    * on this corpus's ≤553-char docs); a naive length-bucket blocking
-    * was measured at ~10⁹ banded-DP cell ops at sf0.1 — candidate
-    * generation MUST be content-based, which is also the production
-    * shape (LSH/set candidates → edit-distance verify).
+    * lengths within the relative threshold — dist ≤ d requires
+    * |len_a − len_b| ≤ d, so the length gate is lossless); a naive
+    * length-bucket blocking was measured at ~10⁹ banded-DP cell ops
+    * at sf0.1 — candidate generation MUST be content-based, which is
+    * also the production shape (LSH/set candidates → edit-distance
+    * verify).
     *
     * Verification uses the banded `levenshtein(l, r, threshold)`
-    * (O(len·threshold) early-bail DP, codegen'd) with the compile-time
-    * cap = 5% of the corpus max length; the exact relative filter
-    * `dist ≤ 0.05·max(len)` is applied on the surviving distances.
+    * (O(len·threshold) early-bail DP, codegen'd). The band is DERIVED
+    * from the corpus: ceil(5% · max doc length), read from a one-row
+    * min/max aggregate at plan-build time (parquet-stat cheap) — a
+    * hardcoded band would silently under-report distances the 5% rule
+    * admits the moment a longer corpus arrives. The exact relative
+    * filter `dist ≤ 0.05·max(len)` then runs per pair.
     * Scale: the candidate pair stream is 16-byte id pairs deduped
     * BEFORE texts join in (same discipline as [[dedupJaccardPrefixOn]]). */
   def dedupEdit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
+    // corpus-wide band for the early-bail DP: 5% of the longest doc
+    val band = math.max(1, math.ceil(
+      docs.agg(max(length($"text"))).as[Int].collect()(0) * 0.05).toInt)
     val sh = shingleDf(docs).transform(graft.Tables.truncate)
-    val cand = sh.select($"doc_id".as("doc_a"), $"shingle")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+    val cand = shinglePairCounts(sh)
       .filter($"common" >= 5)
       .select($"doc_a", $"doc_b")
     val t = docs.select($"doc_id", $"text", length($"text").as("len"))
@@ -270,9 +278,11 @@ object LlmOps {
         $"len".as("la")), "doc_a")
       .join(t.select($"doc_id".as("doc_b"), $"text".as("tb"),
         $"len".as("lb")), "doc_b")
-      .filter(abs($"la" - $"lb") <= 32)
-      // banded DP, bails at 32 edits; -1 = over the band
-      .withColumn("dist", levenshtein($"ta", $"tb", 32))
+      // lossless pre-filter: dist >= |la - lb|, so any pair past the
+      // relative threshold on length alone can skip the DP entirely
+      .filter(abs($"la" - $"lb") <= greatest($"la", $"lb") * 0.05)
+      // banded DP, bails at `band` edits; -1 = over the band
+      .withColumn("dist", levenshtein($"ta", $"tb", band))
       .filter($"dist" >= 0 && $"dist" <= greatest($"la", $"lb") * 0.05)
       .select($"doc_a", $"doc_b", $"dist")
       .orderBy($"doc_a", $"doc_b")
@@ -386,12 +396,20 @@ object LlmOps {
     * [[Graph.connectedComponents]] (driver-loop shortcutting min-label
     * propagation, one distributed join per round — Spark's
     * recursive-CTE substitute). */
-  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (id, component) labels of the embedding near-dup graph at cosine
+    * ≥ 0.42 — the shared clustering both [[dedupCluster]] and
+    * [[splitLeakageSafe]] build on. */
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pairs = embedPairs(spark, sfDir, 0.42)
       .select($"vec_a".as("src"), $"vec_b".as("dst"))
     val nodes = Tables(spark, sfDir, "embeddings").select($"vec_id".as("id"))
-    Graph.connectedComponents(nodes, pairs).orderBy($"id")
+    Graph.connectedComponents(nodes, pairs)
+  }
+
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(spark, sfDir).orderBy($"id")
   }
 
   /** LEAKAGE-SAFE train/val/test split: assign whole near-dup
@@ -405,16 +423,17 @@ object LlmOps {
     * Scale: adds ONE map-side projection + a 3-group agg on top of
     * the connected-components labels — the split column would be the
     * partition key of the written corpus at 100 TB. */
+  /** The cluster → split assignment rule (mod-10, 8/1/1) — one
+    * definition serving the operator AND its leakage property test. */
+  private[graft] def splitOf(component: Column): Column =
+    when(pmod(component, lit(10)) < 8, "train")
+      .when(pmod(component, lit(10)) === 8, "val")
+      .otherwise("test")
+
   def splitLeakageSafe(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = embedPairs(spark, sfDir, 0.42)
-      .select($"vec_a".as("src"), $"vec_b".as("dst"))
-    val nodes = Tables(spark, sfDir, "embeddings").select($"vec_id".as("id"))
-    Graph.connectedComponents(nodes, pairs)
-      .withColumn("split",
-        when(pmod($"component", lit(10)) < 8, "train")
-          .when(pmod($"component", lit(10)) === 8, "val")
-          .otherwise("test"))
+    clusterLabels(spark, sfDir)
+      .withColumn("split", splitOf($"component"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct($"component").as("n_clusters"))

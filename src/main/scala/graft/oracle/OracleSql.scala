@@ -744,7 +744,8 @@ object OracleSql {
          |  cast(levenshtein(da.text, db.text) as int) AS dist
          |FROM cand JOIN documents da ON doc_a = da.doc_id
          |JOIN documents db ON doc_b = db.doc_id
-         |WHERE abs(length(da.text) - length(db.text)) <= 32
+         |WHERE abs(length(da.text) - length(db.text))
+         |      <= greatest(length(da.text), length(db.text)) * 0.05
          |  AND levenshtein(da.text, db.text)
          |      <= greatest(length(da.text), length(db.text)) * 0.05
          |ORDER BY doc_a, doc_b""".stripMargin,

@@ -550,10 +550,7 @@ class OpsRound3Spec extends SparkSpec {
 
   test("q_split_leakage_safe: no near-dup pair straddles a split boundary") {
     val comp = graft.ops.LlmOps.dedupCluster(spark, sfDir)
-      .withColumn("split",
-        when(pmod($"component", lit(10)) < 8, "train")
-          .when(pmod($"component", lit(10)) === 8, "val")
-          .otherwise("test"))
+      .withColumn("split", graft.ops.LlmOps.splitOf($"component"))
     // dedupEmbedding reports pairs at cosine>=0.4; the cluster graph
     // uses >=0.42, so restrict to the edges clustering actually saw
     val pairs = graft.ops.LlmOps.dedupEmbedding(spark, sfDir)

@@ -240,6 +240,10 @@ class StreamingSpec extends SparkSpec {
       feed(3L, 4L, 5L) // arrival hour 1 (4 is late)
       feed(6L)         // arrival hour 2
     } finally q.stop()
-    assert(spark.table("late_parity").count() === rows.size - 1)
+    // assert WHICH rows survived, not just how many — the parity claim
+    // is that the engine dropped exactly the row the replay counts late
+    val survived = spark.table("late_parity")
+      .select($"event_id").as[Long].collect().toSet
+    assert(survived === rows.map(_._1).toSet - 4L)
   }
 }
