@@ -822,6 +822,58 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-LABEL class centroids over the embedding corpus — the
+    * nearest-class-mean prototype computation (classifier prototypes,
+    * per-class drift monitoring, seed centroids for clustering).
+    * Reports per label: vector count and the centroid's L2 norm.
+    *
+    * Determinism discipline (Det rules): per-dim means are EXACT
+    * decimal sums (order-independent at any partitioning); the norm's
+    * 64-term Σm² runs as a sequential left-to-right fold over the
+    * pos-SORTED mean array — the same order DuckDB's `list_sum` uses —
+    * so the only order-dependent accumulation is bit-identical in both
+    * engines, then r4.
+    *
+    * Scale: posexplode is a narrow 64× fan-out feeding a partial-agged
+    * (label, pos) aggregation — the shuffle carries labels×dims partial
+    * sums, independent of corpus size; the per-label array is
+    * dims-bounded. */
+  def embedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(Det.davgDec($"x".cast(DecimalType(27, 10))).as("m"),
+        count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(max($"n").as("n_vecs"),
+        array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label", $"n_vecs",
+        Det.r4(sqrt(expr(
+          "aggregate(pm, cast(0.0 as double), (acc, s) -> acc + s.m * s.m)")))
+          .as("centroid_norm"))
+      .orderBy($"label")
+  }
+
+  /** APPROXIMATE per-group quantiles via the built-in mergeable GK
+    * sketch (`percentile_approx`) — the quantile path that survives
+    * 100 TB: bounded-memory partials merge associatively across the
+    * shuffle, vs the exact percentile's per-group sort. Accuracy 10⁴
+    * bounds rank error at n/10⁴; the suite asserts that bound against
+    * the exact driver-side quantile. Sketch internals are
+    * engine-specific → rows-only by contract (the EXACT twin
+    * `q_agg_percentile` is the hash-matched one). */
+  def aggPercentileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(
+        percentile_approx($"n_chars", lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx($"n_chars", lit(0.95), lit(10000)).as("p95_approx"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
   /** Training-MIXTURE construction: combine source groups at different
     * weights (src0–9 at 1/4, src10–19 in full), tag each row with its
     * mixture component, and report achieved per-component rates. The
@@ -1226,6 +1278,8 @@ object LlmOps {
     "q_text_entropy" -> textEntropy,
     "q_vocab_coverage" -> vocabCoverage,
     "q_embed_quantize" -> embedQuantize,
+    "q_embed_centroids" -> embedCentroids,
+    "q_agg_percentile_approx" -> aggPercentileApprox,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_mix_weighted" -> mixWeighted,

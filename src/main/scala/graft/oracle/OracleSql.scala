@@ -716,6 +716,23 @@ object OracleSql {
          |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // per-dim means are exact decimal sums; the norm's 64-term fold is
+    // sequential over pos order in BOTH engines (list_sum vs aggregate)
+    "q_embed_centroids" ->
+      """WITH d AS (
+        |  SELECT label, i,
+        |    cast(sum(cast(embedding[i] as decimal(27,10))) as double)
+        |      / count(*) AS m,
+        |    count(*) AS n
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT label, max(n) AS n_vecs, list(m ORDER BY i) AS ms
+        |      FROM d GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  round(sqrt(list_sum(list_transform(ms, x -> x * x))), 4)
+        |    AS centroid_norm
+        |FROM a ORDER BY label""".stripMargin,
+
     "q_dedup_containment" ->
       s"""WITH $shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

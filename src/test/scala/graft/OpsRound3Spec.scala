@@ -567,6 +567,31 @@ class OpsRound3Spec extends SparkSpec {
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q_agg_percentile_approx respects the GK rank-error bound") {
+    val rows = graft.ops.LlmOps.aggPercentileApprox(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = Tables(spark, sfDir, "documents")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, p50, p95, n) =>
+      val xs = byLang(lang)
+      assert(n === xs.length)
+      def rankOk(v: Long, p: Double): Unit = {
+        assert(xs.contains(v), s"$lang approx value $v not a data element")
+        // GK guarantee: rank error <= n/accuracy (+2 for the rank
+        // definition's off-by-one latitude at tiny n)
+        val lo = xs.count(_ < v)
+        val hi = xs.count(_ <= v)
+        val slack = n / 10000.0 + 2
+        assert(lo - slack <= p * n && p * n <= hi + slack,
+          s"$lang p=$p v=$v lo=$lo hi=$hi n=$n")
+      }
+      rankOk(p50, 0.5)
+      rankOk(p95, 0.95)
+    }
+  }
+
   test("q_bpe_train matches a driver-side reference BPE trainer") {
     val wordFreq = Tables(spark, sfDir, "documents")
       .select(explode(split($"text", " ")).as("w"))
