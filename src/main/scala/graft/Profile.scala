@@ -62,8 +62,39 @@ object Profile {
           .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
           .filter($"doc_a" < $"doc_b")
           .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      }),
+      // A/B for the set-overlap verify kernel: the same banded pair
+      // workload (each doc against its next 10 ids — ~10n pairs of
+      // ~290-element shingle-set arrays) counted via the builtin
+      // size(array_intersect(…)) vs the allocation-free
+      // array_overlap_count expression. Measured numbers in SCALE.md.
+      "x_overlap_builtin" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        overlapWorkload(s, dir)
+          .select(size(array_intersect(col("sa"), col("sb"))).as("c"))
+          .agg(sum(col("c")))
+      }),
+      "x_overlap_kernel" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        overlapWorkload(s, dir)
+          .select(graft.functions.SetExpressions
+            .overlapCount(s)(col("sa"), col("sb")).as("c"))
+          .agg(sum(col("c")))
       })
     )
+
+  /** Banded all-pairs set-array workload shared by the x_overlap
+    * probes. */
+  private def overlapWorkload(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val sets = graft.ops.LlmOps.shingleDf(Tables(s, dir, "documents"))
+      .groupBy($"doc_id").agg(collect_list($"shingle").as("sh"))
+      .transform(Tables.truncate)
+    sets.select($"doc_id".as("ida"), $"sh".as("sa"))
+      .join(sets.select($"doc_id".as("idb"), $"sh".as("sb")),
+        $"idb" > $"ida" && $"idb" <= $"ida" + 10)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -11,33 +11,55 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Shared row-level kernel for [[StringArrayOverlap]] — called from
   * both interpreted eval and generated code (via `addReferenceObj`).
   *
-  * Counts |set(x) ∩ set(y)| over string arrays: hash-set the SMALLER
-  * side, probe with the larger, `remove` on match so duplicates count
-  * once — exactly `size(array_intersect(x, y))` (which deduplicates),
-  * including the null-element rule (null ∈ both sides counts one).
-  * Early-exits once the small side's set is exhausted, which on skewed
-  * set-similarity verify pairs skips most of the large array. */
+  * Counts |set(x) ∩ set(y)| over string arrays — exactly
+  * `size(array_intersect(x, y))` (which deduplicates), including the
+  * null-element rule (null ∈ both sides counts one).
+  *
+  * Implementation: open-addressing linear-probe table over the
+  * SMALLER side (two flat arrays, zero per-element node allocations —
+  * a `java.util.HashSet` variant measured ~25% SLOWER than the
+  * builtin here because every `add` allocates a Node; see the
+  * `x_overlap_*` Profile probes). Matches are marked in a parallel
+  * bitmap instead of removed (open addressing can't cheaply delete),
+  * which preserves duplicate-counts-once semantics; the probe loop
+  * early-exits once every distinct small-side element is matched. */
 object OverlapKernel extends Serializable {
   def count(x: ArrayData, y: ArrayData): Int = {
     val (small, large) =
       if (x.numElements() <= y.numElements()) (x, y) else (y, x)
     val n = small.numElements()
-    val set = new java.util.HashSet[UTF8String](math.max(8, n * 2))
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[UTF8String](cap)
+    val matched = new Array[Boolean](cap)
     var smallHasNull = false
+    var distinct = 0
     var i = 0
     while (i < n) {
       if (small.isNullAt(i)) smallHasNull = true
-      else set.add(small.getUTF8String(i))
+      else {
+        val e = small.getUTF8String(i)
+        var s = e.hashCode & mask
+        while (table(s) != null && !table(s).equals(e)) s = (s + 1) & mask
+        if (table(s) == null) { table(s) = e; distinct += 1 }
+      }
       i += 1
     }
+    val target = distinct + (if (smallHasNull) 1 else 0)
     var c = 0
     var nullMatched = false
     var j = 0
     val m = large.numElements()
-    while (j < m && !(set.isEmpty && (!smallHasNull || nullMatched))) {
+    while (j < m && c < target) {
       if (large.isNullAt(j)) {
         if (smallHasNull && !nullMatched) { c += 1; nullMatched = true }
-      } else if (set.remove(large.getUTF8String(j))) c += 1
+      } else {
+        val e = large.getUTF8String(j)
+        var s = e.hashCode & mask
+        while (table(s) != null && !table(s).equals(e)) s = (s + 1) & mask
+        if (table(s) != null && !matched(s)) { matched(s) = true; c += 1 }
+      }
       j += 1
     }
     c
