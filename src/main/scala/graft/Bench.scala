@@ -30,6 +30,7 @@ object Bench {
       // different workload than the one Verify hash-matches
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: run EVERY query once at the smallest SF so JIT +

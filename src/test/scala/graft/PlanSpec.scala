@@ -179,6 +179,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n${plan.take(1200)}")
   }
 
+  test("late_drop joins the batch->watermark map as a broadcast") {
+    val plan = finalSection(finalPlan(
+      graft.ops.StreamingOps.queries("q_stream_late_drop")(spark, sfDir)))
+    // the watermark table is microbatch METADATA (n/batch rows) — it
+    // must come back as a broadcast, never a corpus-sized shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("embed_centroids runs on two partial-agged hash exchanges") {
+    val plan = finalSection(finalPlan(
+      LlmOps.queries("q_embed_centroids")(spark, sfDir)))
+    // (label, pos) means then per-label fold: both aggregations must be
+    // partial->final (map-side combine on the 64x posexplode fan-out);
+    // the trailing orderBy range exchange is presentation-only
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected 2 hash exchanges:\n${plan.take(1200)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(1200))
+  }
+
   test("despath_multi keeps the template expansion codegen'd (no UDF)") {
     val plan = finalPlan(DesFiles.udfDespathMulti(spark, sfDir))
     assert(!plan.contains("UDF") && !plan.contains("ScalaUDF"), plan.take(800))
