@@ -449,6 +449,40 @@ object Relational {
       .orderBy($"yr")
   }
 
+  /** PURE interval join (NO equi key — the shape Spark plans as an
+    * O(n·m) BroadcastNestedLoop): for each purchase, the number of
+    * click events of ANY user within ±5 minutes. Re-expressed as the
+    * band-join decomposition (Flink's interval join in batch form):
+    * bucketize time into window-width epochs, explode the probe side
+    * onto its three adjacent buckets (|Δt| ≤ w ⟹ bucket distance ≤ 1
+    * — lossless), equi-join on bucket, exact timestamp range as the
+    * residual. Each click carries ONE bucket and the probe's three are
+    * distinct, so no match is double-counted; a clickless purchase
+    * survives the left join as null rows that count 0.
+    *
+    * Scale: turns the nested loop into a partial-agged hash join whose
+    * fan-out is a CONSTANT 3×; the bucket is also the natural
+    * partition key of a time-series corpus at 100 TB. PlanSpec pins
+    * the absence of BroadcastNestedLoop/Cartesian in the final plan. */
+  def joinIntervalBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 300L // window = bucket width, seconds
+    val e = Tables(spark, sfDir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts".as("pts"),
+        floor(unix_timestamp($"ts") / w).as("pb"))
+    val c = e.filter($"event_type" === "click")
+      .select($"ts".as("cts"), floor(unix_timestamp($"ts") / w).as("cb"))
+    p.withColumn("b", explode(array($"pb" - 1, $"pb", $"pb" + 1)))
+      .join(c, $"b" === $"cb"
+        && $"cts" >= $"pts" - expr("INTERVAL 5 MINUTES")
+        && $"cts" <= $"pts" + expr("INTERVAL 5 MINUTES"), "left")
+      .groupBy($"event_id", $"pts")
+      .agg(count($"cts").as("n_nearby_clicks"))
+      .select($"event_id", $"pts".as("ts"), $"n_nearby_clicks")
+      .orderBy($"event_id")
+  }
+
   /** As-of join: for each purchase event, the latest click of the same
     * user at-or-before its timestamp. Spark has no native ASOF —
     * formulated as union + running max over an event-time window:
@@ -608,6 +642,7 @@ object Relational {
     "q_join_cross" -> joinCross,
     "q_join_theta" -> joinTheta,
     "q_join_range_interval" -> joinRangeInterval,
+    "q_join_interval_bucketed" -> joinIntervalBucketed,
     "q_join_asof" -> joinAsof,
     "q_join_asof_native" -> joinAsofNative,
     "q_join_multiway_star" -> joinMultiwayStar,

@@ -132,6 +132,21 @@ object OracleSql {
          |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
          |GROUP BY 1 ORDER BY yr""".stripMargin,
 
+    // the bucket decomposition is lossless — the oracle is the plain
+    // range join the operator re-expresses
+    "q_join_interval_bucketed" ->
+      """SELECT p.event_id, cast(p.ts as timestamp) AS ts,
+        |  count(c.ts) AS n_nearby_clicks
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        |  AND cast(c.ts as timestamp)
+        |      >= cast(p.ts as timestamp) - INTERVAL '5 minutes'
+        |  AND cast(c.ts as timestamp)
+        |      <= cast(p.ts as timestamp) + INTERVAL '5 minutes'
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY p.event_id""".stripMargin,
+
     "q_join_asof" -> asofSql,
     // native AsOfJoinExec computes the identical result
     "q_join_asof_native" -> asofSql,

@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n${plan.take(1200)}")
   }
 
+  test("interval_bucketed plans a hash join, never a nested loop") {
+    val plan = finalSection(finalPlan(
+      graft.ops.Relational.joinIntervalBucketed(spark, sfDir)))
+    // the whole point of the bucket decomposition: the pure range
+    // predicate must NOT fall back to BroadcastNestedLoop / Cartesian
+    assert(!plan.contains("BroadcastNestedLoop")
+      && !plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("HashJoin"), plan.take(800))
+  }
+
   test("late_drop joins the batch->watermark map as a broadcast") {
     val plan = finalSection(finalPlan(
       graft.ops.StreamingOps.queries("q_stream_late_drop")(spark, sfDir)))
