@@ -68,6 +68,24 @@ object Profile {
       // ~290-element shingle-set arrays) counted via the builtin
       // size(array_intersect(…)) vs the allocation-free
       // array_overlap_count expression. Measured numbers in SCALE.md.
+      // the naive pure-range join the bucket decomposition replaces —
+      // Catalyst has no equi key to hash on and plans BNL. Run against
+      // x_interval_bucketed (the shipped q_join_interval_bucketed) for
+      // the measured asymmetry; numbers in SCALE.md.
+      "x_interval_bnl" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val e = Tables(s, dir, "events")
+        val p = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"ts".as("pts"))
+        val c = e.filter($"event_type" === "click").select($"ts".as("cts"))
+        p.join(c, $"cts" >= $"pts" - expr("INTERVAL 5 MINUTES")
+            && $"cts" <= $"pts" + expr("INTERVAL 5 MINUTES"), "left")
+          .groupBy($"event_id", $"pts")
+          .agg(count($"cts").as("n_nearby_clicks"))
+      }),
+      "x_interval_bucketed" -> ((s, dir) =>
+        graft.ops.Relational.joinIntervalBucketed(s, dir)),
       "x_overlap_builtin" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         overlapWorkload(s, dir)
