@@ -63,11 +63,6 @@ object Profile {
           .filter($"doc_a" < $"doc_b")
           .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
       }),
-      // A/B for the set-overlap verify kernel: the same banded pair
-      // workload (each doc against its next 10 ids — ~10n pairs of
-      // ~290-element shingle-set arrays) counted via the builtin
-      // size(array_intersect(…)) vs the allocation-free
-      // array_overlap_count expression. Measured numbers in SCALE.md.
       // the naive pure-range join the bucket decomposition replaces —
       // Catalyst has no equi key to hash on and plans BNL. Run against
       // x_interval_bucketed (the shipped q_join_interval_bucketed) for
@@ -86,8 +81,18 @@ object Profile {
       }),
       "x_interval_bucketed" -> ((s, dir) =>
         graft.ops.Relational.joinIntervalBucketed(s, dir)),
+      // A/B for the set-overlap verify kernel: the same banded pair
+      // workload (each doc against its next 10 ids — ~10n pairs of
+      // ~290-element shingle-set arrays) counted via the builtin
+      // size(array_intersect(…)) vs the array_overlap_count kernel.
+      // The builtin probe must EXCLUDE the RewriteSetOverlap rule this
+      // session ships (GraftExtensions), or the optimizer silently
+      // rewrites the baseline onto the very kernel under test and the
+      // A/B measures kernel vs kernel. Measured numbers in SCALE.md.
       "x_overlap_builtin" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
+        s.conf.set("spark.sql.optimizer.excludedRules",
+          "graft.plans.RewriteSetOverlap")
         overlapWorkload(s, dir)
           .select(size(array_intersect(col("sa"), col("sb"))).as("c"))
           .agg(sum(col("c")))

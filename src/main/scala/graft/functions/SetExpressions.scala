@@ -28,6 +28,12 @@ object OverlapKernel extends Serializable {
     val (small, large) =
       if (x.numElements() <= y.numElements()) (x, y) else (y, x)
     val n = small.numElements()
+    // open addressing needs cap > distinct elements strictly or an
+    // absent-key probe never meets an empty slot; past 2^29 elements
+    // the doubled power-of-two capacity overflows Int, so degrade to
+    // the (slower, allocation-heavy but unconditionally correct)
+    // HashSet path instead
+    if (n >= (1 << 29)) return countViaHashSet(small, large)
     var cap = 8
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1
@@ -60,6 +66,32 @@ object OverlapKernel extends Serializable {
         while (table(s) != null && !table(s).equals(e)) s = (s + 1) & mask
         if (table(s) != null && !matched(s)) { matched(s) = true; c += 1 }
       }
+      j += 1
+    }
+    c
+  }
+
+  /** Fallback for pathologically large small sides (≥ 2^29 elements —
+    * beyond power-of-two table sizing). Same semantics, graceful
+    * degradation. */
+  private def countViaHashSet(small: ArrayData, large: ArrayData): Int = {
+    val n = small.numElements()
+    val set = new java.util.HashSet[UTF8String]()
+    var smallHasNull = false
+    var i = 0
+    while (i < n) {
+      if (small.isNullAt(i)) smallHasNull = true
+      else set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var c = 0
+    var nullMatched = false
+    var j = 0
+    val m = large.numElements()
+    while (j < m && !(set.isEmpty && (!smallHasNull || nullMatched))) {
+      if (large.isNullAt(j)) {
+        if (smallHasNull && !nullMatched) { c += 1; nullMatched = true }
+      } else if (set.remove(large.getUTF8String(j))) c += 1
       j += 1
     }
     c

@@ -837,7 +837,13 @@ object LlmOps {
     * Scale: posexplode is a narrow 64× fan-out feeding a partial-agged
     * (label, pos) aggregation — the shuffle carries labels×dims partial
     * sums, independent of corpus size; the per-label array is
-    * dims-bounded. */
+    * dims-bounded.
+    *
+    * Oracle contract: parity with the DuckDB twin (which iterates a
+    * fixed range(1,65) and divides by count(*)) holds over DENSE
+    * 64-dim, null-free embeddings — the same invariant every dotSql
+    * consumer in this file already relies on; the suite asserts it on
+    * the corpus rather than leaving it implicit. */
   def embedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, sfDir, "embeddings")

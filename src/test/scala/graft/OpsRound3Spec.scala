@@ -567,6 +567,16 @@ class OpsRound3Spec extends SparkSpec {
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("embeddings corpus is dense 64-dim with no null lanes (dot/centroid oracle contract)") {
+    // q_embed_centroids' and every dotSql twin's hash-parity is stated
+    // over this invariant — assert it instead of assuming it
+    val bad = Tables(spark, sfDir, "embeddings")
+      .filter($"embedding".isNull || size($"embedding") =!= 64
+        || exists($"embedding", x => x.isNull))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("q_agg_percentile_approx respects the GK rank-error bound") {
     val rows = graft.ops.LlmOps.aggPercentileApprox(spark, sfDir)
       .as[(String, Long, Long, Long)].collect()
