@@ -701,6 +701,50 @@ object LlmOps {
       .orderBy($"doc_id", $"rk")
   }
 
+  /** BM25 retrieval scoring against a fixed two-term query
+    * ("hash join") — the ranking function a corpus-scale quality /
+    * retrieval pass actually uses (tf saturation via k1, length
+    * normalization via b), built on the same token statistics as
+    * [[textTfidf]]. Top-20 docs by score.
+    *
+    * Determinism: the per-doc score sums exactly TWO double
+    * contributions (IEEE + is commutative — order can't matter), the
+    * corpus stats (Σdl, N) are exact integer sums, and every float
+    * constant is written identically in the DuckDB twin so both
+    * engines evaluate the same literal doubles; then r4. Scale: two
+    * partial-agged token passes + a broadcast 1-row stats table; the
+    * per-term probe is a pushed-down IN filter, and the top-20 is
+    * TakeOrderedAndProject. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qterms = Seq("hash", "join")
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(Det.lsum($"dl").as("total_dl"),
+      count(lit(1)).as("n_docs"))
+    val qtoks = toks.filter($"token".isin(qterms: _*))
+    val tf = qtoks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = qtoks.select($"doc_id", $"token").distinct()
+      .groupBy($"token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"total_dl".cast(DoubleType) / $"n_docs")
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("contrib",
+        $"idf" * ($"tf" * (lit(1.2) + lit(1.0)))
+          / ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75)
+            + lit(0.75) * $"dl" / $"avgdl")))
+      .groupBy($"doc_id", $"dl")
+      .agg(count(lit(1)).as("n_terms"), Det.r4(sum($"contrib")).as("bm25"))
+      .select($"doc_id", $"dl", $"n_terms", $"bm25")
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
   /** Token counting two ways: whitespace and a BPE-ish regex
     * (letter-runs / digit-runs / single punctuation). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1279,6 +1323,7 @@ object LlmOps {
     "q_text_fingerprint" -> textFingerprint,
     "q_token_count" -> tokenCount,
     "q_text_tfidf" -> textTfidf,
+    "q_text_bm25" -> textBm25,
     "q_sample_mod" -> sampleMod,
     "q_sample_hash" -> sampleHash,
     "q_text_entropy" -> textEntropy,

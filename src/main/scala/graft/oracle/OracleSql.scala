@@ -930,6 +930,36 @@ object OracleSql {
         |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    // every float constant written as the SAME literal as the Spark
+    // side ((1.2 + 1), 1.2, (1 - 0.75), 0.75) so both engines
+    // evaluate identical doubles; per-doc sum has exactly <= 2 terms
+    // (IEEE + commutative -> order-independent), then round 4
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |st AS (SELECT cast(sum(dl) as bigint) AS total_dl,
+        |              count(*) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+        |       WHERE token IN ('hash', 'join') GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk
+        |        WHERE token IN ('hash', 'join') GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, dl.dl,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75
+        |          + 0.75 * dl / (cast(total_dl as double) / n_docs)))
+        |      AS contrib
+        |  FROM tf JOIN dfq USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+        |SELECT doc_id, dl, count(*) AS n_terms,
+        |  round(sum(contrib), 4) AS bm25
+        |FROM sc GROUP BY 1, 2
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, source,

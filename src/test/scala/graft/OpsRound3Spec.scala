@@ -567,6 +567,20 @@ class OpsRound3Spec extends SparkSpec {
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("overlap kernel agrees with the builtin on large colliding arrays") {
+    graft.functions.SetExpressions.register(spark)
+    // 5000-element arrays, heavy duplication, partial overlap — drives
+    // the open-addressing table through collisions and mask wraparound
+    val a = (0 until 5000).map(i => s"tok${i % 3000}")
+    val b = (1500 until 6500).map(i => s"tok${i % 4000}")
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(expr("array_overlap_count(a, b)").as("fast"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+      .collect()(0)
+    assert(row.getInt(0) === row.getInt(1))
+    assert(row.getInt(0) > 0)
+  }
+
   test("embeddings corpus is dense 64-dim with no null lanes (dot/centroid oracle contract)") {
     // q_embed_centroids' and every dotSql twin's hash-parity is stated
     // over this invariant — assert it instead of assuming it
