@@ -745,6 +745,44 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Unigram language-model PERPLEXITY scoring (the CCNet-style
+    * quality filter): train corpus unigram MLE probabilities in one
+    * aggregation, score every document by its average token negative
+    * log-probability and perplexity. High-perplexity docs are the
+    * out-of-distribution / noise candidates a curation pipeline
+    * drops or down-weights.
+    *
+    * Determinism: ln runs on identical (count, total) operands in
+    * both engines; the per-doc sum folds sequentially over the
+    * POSITION-sorted token log-probs (DuckDB's `list_sum` order), so
+    * the one order-dependent accumulation is bit-identical; exp on
+    * the identical quotient; then r4. Scale: the unigram table is
+    * vocab-sized (Heaps-bounded) and BROADCAST; the corpus-side work
+    * is one partial-agged count pass + a map-side probe; per-doc
+    * state is the doc's own token list. */
+  def textPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+      .filter($"token" =!= "")
+    val total = toks.agg(count(lit(1)).as("total"))
+    val probs = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select($"token",
+        (-log($"cnt".cast(DoubleType) / $"total")).as("nlp"))
+    toks.join(broadcast(probs), "token")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"),
+        array_sort(collect_list(struct($"pos", $"nlp"))).as("pn"))
+      .withColumn("sum_nlp", expr(
+        "aggregate(pn, cast(0.0 as double), (acc, s) -> acc + s.nlp)"))
+      .select($"doc_id", $"dl",
+        Det.r4($"sum_nlp" / $"dl").as("avg_neg_logprob"),
+        Det.r4(exp($"sum_nlp" / $"dl")).as("perplexity"))
+      .orderBy($"doc_id")
+  }
+
   /** Token counting two ways: whitespace and a BPE-ish regex
     * (letter-runs / digit-runs / single punctuation). */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1324,6 +1362,7 @@ object LlmOps {
     "q_token_count" -> tokenCount,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,
+    "q_text_perplexity" -> textPerplexity,
     "q_sample_mod" -> sampleMod,
     "q_sample_hash" -> sampleHash,
     "q_text_entropy" -> textEntropy,

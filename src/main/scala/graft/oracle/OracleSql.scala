@@ -930,6 +930,32 @@ object OracleSql {
         |SELECT doc_id, token, tf, round(tfidf, 4) AS tfidf, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
+    // ln on identical (cnt, total) operands; per-doc fold over
+    // POSITION-sorted log-probs matches Spark's sorted aggregate;
+    // exp/division on identical quotients; then round 4. DuckDB's
+    // zipped unnest (unnest + generate_subscripts in one SELECT)
+    // yields the same (pos, token) pairs as posexplode.
+    "q_text_perplexity" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |tk AS (SELECT doc_id, pos, token FROM raw WHERE token <> ''),
+        |tot AS (SELECT count(*) AS total FROM tk),
+        |pr AS (
+        |  SELECT token, -ln(cast(count(*) as double) / total) AS nlp
+        |  FROM tk CROSS JOIN tot GROUP BY token, total),
+        |d AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    list_sum(list(nlp ORDER BY pos)) AS sum_nlp
+        |  FROM tk JOIN pr USING (token)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, dl,
+        |  round(sum_nlp / dl, 4) AS avg_neg_logprob,
+        |  round(exp(sum_nlp / dl), 4) AS perplexity
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // every float constant written as the SAME literal as the Spark
     // side ((1.2 + 1), 1.2, (1 - 0.75), 0.75) so both engines
     // evaluate identical doubles; per-doc sum has exactly <= 2 terms
