@@ -77,4 +77,17 @@ class DesDb(spark: SparkSession, sfDir: String) {
   def srclist(nodes: DataFrame, edges: DataFrame,
       maxDepth: Int = 20): DataFrame =
     ops.DesFiles.resolveToRoots(nodes, edges, maxDepth)
+
+  /** The reference's ACTUAL srclist semantics (`Coadd._get_srclist`
+    * walks until `filetype='red'`, not to the absolute root): stop at
+    * the first ancestor in `stops`. */
+  def srclistUntil(nodes: DataFrame, edges: DataFrame, stops: DataFrame,
+      maxDepth: Int = 20): DataFrame =
+    ops.DesFiles.resolveUntil(nodes, edges, stops, maxDepth)
+
+  /** The DES image catalog as a first-class Spark source (DataSource
+    * V2 connector with partition-pruning pushdown — see
+    * `graft.sources.DesCatalogSource`). */
+  def catalog(): DataFrame =
+    spark.read.format("graft.sources.DesCatalogSource").load()
 }

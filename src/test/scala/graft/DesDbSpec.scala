@@ -66,4 +66,30 @@ class DesDbSpec extends SparkSpec {
     val lines = out.toString.trim.linesIterator.toSeq
     assert(lines.head === "r_name" && lines.size === 6)
   }
+
+  test("srclistUntil stops at the stop set, not the absolute root") {
+    import spark.implicits._
+    // 3 <- 2 <- 1 <- 0 with stop at 1: leaf 3 resolves to 1 (depth 2),
+    // while the plain srclist walks through to 0 (depth 3)
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("child", "parent")
+    val stops = Seq(1L).toDF("id")
+    val until = db.srclistUntil(nodes, edges, stops)
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(until(3L) === (1L, 2))
+    val full = db.srclist(nodes, edges)
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(full(3L) === (0L, 3))
+  }
+
+  test("catalog() exposes the DSv2 connector through the facade") {
+    import spark.implicits._
+    val cat = db.catalog()
+    assert(cat.count() === 320)
+    assert(cat.filter($"run" === "run2").rdd.getNumPartitions === 1)
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
