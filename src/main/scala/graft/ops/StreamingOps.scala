@@ -4,6 +4,7 @@ import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.11 — batch/stream-unified event-time queries.
   *
@@ -166,12 +167,50 @@ object StreamingOps {
   def streamLateDrop(spark: SparkSession, sfDir: String): DataFrame =
     lateDrop(Tables(spark, sfDir, "events"))
 
+  /** Per-user running state via the typed `mapGroupsWithState` API —
+    * the custom-state surface (KeyValueGroupedDataset) executed in
+    * BATCH mode: the same lambda runs under `readStream` with
+    * incremental state (exercised in StreamingSpec's counter test);
+    * in batch each group is fed once with empty initial state. State
+    * here is order-insensitive (count / exact decimal sum / max ts),
+    * so the result is deterministic under any partitioning and
+    * SQL-comparable. At scale this is one user_id shuffle with
+    * per-group O(1) state — the `FlatMapGroupsWithStateExec` batch
+    * twin. */
+  def stateRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    Tables(spark, sfDir, "events")
+      // Det.dsum discipline moved into the typed path: cast the base
+      // column to decimal BEFORE the fold so the lambda's accumulation
+      // is exact and order-insensitive
+      .select($"user_id", $"value".cast(DecimalType(27, 4)).as("value"),
+        $"ts")
+      .as[(Long, BigDecimal, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, BigDecimal, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           (Long, BigDecimal, java.sql.Timestamp)]) => {
+          val zero = (0L, BigDecimal(0), new java.sql.Timestamp(0))
+          val acc = rows.foldLeft(state.getOption.getOrElse(zero)) {
+            case ((n, s, mx), (_, v, ts)) =>
+              (n + 1, s + v, if (ts.after(mx)) ts else mx)
+          }
+          state.update(acc)
+          (user, acc._1, acc._2.toDouble, acc._3)
+        })
+      .toDF("user_id", "n_events", "sum_value", "last_ts")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
     "q_stream_session" -> streamSession,
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
-    "q_stream_late_drop" -> streamLateDrop
+    "q_stream_late_drop" -> streamLateDrop,
+    "q_state_running" -> stateRunning
   )
 }

@@ -654,6 +654,14 @@ object OracleSql {
         |GROUP BY 1, 2, 3
         |ORDER BY p.event_id""".stripMargin,
 
+    // the typed mapGroupsWithState fold accumulates the same
+    // decimal(27,4) sum this plain aggregation computes
+    "q_state_running" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(27,4))) as double) AS sum_value,
+        |  max(cast(ts as timestamp)) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // watermark judged against PRECEDING batches' max event time only
     // (Structured Streaming advances watermarks between microbatches);
     // the first batch has no watermark -> NULL -> nothing late.
