@@ -208,7 +208,38 @@ object Aggregates {
       .orderBy($"rk")
   }
 
+  /** COUNT-MIN sketch point-frequency estimates — the sketch family's
+    * frequency member (HLL = distinct, GK = quantiles, Misra–Gries =
+    * heavy hitters, MinHash/SimHash = similarity, CMS = point counts):
+    * one bounded-memory mergeable sketch pass over the stream, then
+    * per-key estimates probed from the sketch next to the exact
+    * counts. CMS guarantees est ≥ true and est ≤ true + ε·n with
+    * probability ≥ confidence — asserted in the suite, and visible in
+    * the output columns.
+    *
+    * Scale: the sketch is a fixed (ε, δ)-sized grid regardless of
+    * input (here ~2.7k counters), partials merge associatively across
+    * the shuffle; the exact-count twin exists only because the corpus
+    * key cardinality is tiny. Sketch internals are engine-specific →
+    * rows-only by contract. */
+  def aggCountmin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val bytes = e.agg(count_min_sketch($"event_type",
+        lit(0.001d), lit(0.99d), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = e.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val rows = exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("event_type", "n_exact", "n_est")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_countmin" -> aggCountmin,
     "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_hash_q1" -> q1,
     "q_udaf_welford" -> udafWelford,

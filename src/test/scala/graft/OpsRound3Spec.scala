@@ -567,6 +567,18 @@ class OpsRound3Spec extends SparkSpec {
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q_agg_countmin: estimates overcount-only within the eps*n bound") {
+    val rows = graft.ops.Aggregates.aggCountmin(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"$t: CMS must never undercount")
+      assert(est <= exact + math.ceil(0.001 * total).toLong,
+        s"$t: est $est exceeds the eps*n bound over exact $exact")
+    }
+  }
+
   test("overlap kernel agrees with the builtin on large colliding arrays") {
     graft.functions.SetExpressions.register(spark)
     // 5000-element arrays, heavy duplication, partial overlap — drives
