@@ -231,7 +231,7 @@ object Aggregates {
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     val exact = e.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
-      .as[(String, Long)].collect().sortBy(_._1)
+      .as[(String, Long)].collect()
     val rows = exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }
     spark.createDataFrame(rows.toSeq)
       .toDF("event_type", "n_exact", "n_est")

@@ -657,10 +657,10 @@ object OracleSql {
     // the typed mapGroupsWithState fold accumulates the same
     // decimal(27,4) sum this plain aggregation computes
     "q_state_running" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  cast(sum(cast(value as decimal(27,4))) as double) AS sum_value,
-        |  max(cast(ts as timestamp)) AS last_ts
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value,
+         |  max(cast(ts as timestamp)) AS last_ts
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // watermark judged against PRECEDING batches' max event time only
     // (Structured Streaming advances watermarks between microbatches);

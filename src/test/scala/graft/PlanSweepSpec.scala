@@ -19,7 +19,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_sim_ann_ivf",     // k-row broadcast centroid table per Lloyd step
     "q_vocab_coverage",  // 1-row broadcast corpus-total crossJoin
     "q_mix_temperature", // 1-row broadcast normalizer crossJoin
-    "q_layout_zorder"    // 1-row broadcast domain-max crossJoin
+    "q_layout_zorder",   // 1-row broadcast domain-max crossJoin
+    "q_text_bm25",       // 1-row broadcast corpus stats crossJoin
+    "q_text_perplexity"  // 1-row broadcast token-total crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
