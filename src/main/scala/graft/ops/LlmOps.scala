@@ -266,8 +266,10 @@ object LlmOps {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
     // corpus-wide band for the early-bail DP: 5% of the longest doc
-    val band = math.max(1, math.ceil(
-      docs.agg(max(length($"text"))).as[Int].collect()(0) * 0.05).toInt)
+    // (Option: max over an EMPTY corpus is null — degrade to band 1)
+    val maxLen = docs.agg(max(length($"text")))
+      .as[Option[Int]].collect()(0).getOrElse(0)
+    val band = math.max(1, math.ceil(maxLen * 0.05).toInt)
     val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val cand = shinglePairCounts(sh)
       .filter($"common" >= 5)

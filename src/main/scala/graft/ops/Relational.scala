@@ -143,10 +143,12 @@ object Relational {
   def sinkPartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = s"$scratchRoot/sink_part"
-    Tables(spark, sfDir, "events")
+    val src = Tables(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"value", $"event_type")
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    spark.read.parquet(dir)
+    src.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // explicit schema: an empty write leaves no partition directories
+    // to infer the partition column from
+    spark.read.schema(src.schema).parquet(dir)
       .filter($"event_type" === "purchase")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"),
