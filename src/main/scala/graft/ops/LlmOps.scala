@@ -290,6 +290,34 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** INCREMENTAL (delta-ingest) dedup — the production shape when a
+    * new batch lands against an EXISTING corpus: does any new doc
+    * near-duplicate an already-ingested one? (Here: docs with
+    * doc_id % 10 = 0 play the incoming batch, the rest the corpus.)
+    * Batch-side shingles probe the corpus inverted index via an
+    * ordinary equi join; candidates are (batch × sharing docs), NOT
+    * corpus², and only the batch side is new work per ingest — the
+    * corpus index is the precomputed, incrementally-maintained
+    * artifact at 100 TB. Match rule: containment of the NEW doc
+    * ≥ 0.6 (a new doc that mostly re-states an existing one is a dup
+    * even when the old doc is longer). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = shingleDf(docs).transform(graft.Tables.truncate)
+    val batch = sh.filter($"doc_id" % 10 === 0)
+    val corpus = sh.filter($"doc_id" % 10 =!= 0)
+    val bsz = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    batch.select($"doc_id".as("new_id"), $"shingle")
+      .join(corpus.select($"doc_id".as("old_id"), $"shingle"), "shingle")
+      .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("common"))
+      .join(bsz.select($"doc_id".as("new_id"), $"n_new"), "new_id")
+      .select($"new_id", $"old_id",
+        Det.r4($"common" / $"n_new").as("containment"))
+      .filter($"containment" >= 0.6)
+      .orderBy($"new_id", $"old_id")
+  }
+
   /** MinHash + LSH banding: 32 permutations (xxhash64 seeded by
     * permutation index), 8 bands × 4 rows; candidates share a band
     * bucket, then exact Jaccard verifies ≥ 0.6. Sketch values are
@@ -1346,6 +1374,7 @@ object LlmOps {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "q_dedup_containment" -> dedupContainment,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_edit" -> dedupEdit,
     "q_dedup_cluster" -> dedupCluster,
     "q_split_leakage_safe" -> splitLeakageSafe,

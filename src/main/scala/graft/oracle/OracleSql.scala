@@ -770,6 +770,22 @@ object OracleSql {
          |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCte,
+         |b AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+         |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+         |bsz AS (SELECT doc_id, count(*) AS n_new FROM b GROUP BY 1),
+         |pairs AS (
+         |  SELECT b.doc_id AS new_id, c.doc_id AS old_id,
+         |    count(*) AS common
+         |  FROM b JOIN c ON b.shingle = c.shingle
+         |  GROUP BY 1, 2)
+         |SELECT new_id, old_id,
+         |  round(common / n_new, 4) AS containment
+         |FROM pairs JOIN bsz ON pairs.new_id = bsz.doc_id
+         |WHERE round(common / n_new, 4) >= 0.6
+         |ORDER BY new_id, old_id""".stripMargin,
+
     // DuckDB's levenshtein is BYTE-based while Spark's is
     // character-based; the corpus is verified pure ASCII at every SF
     // (strlen == length for all rows), where the two coincide.

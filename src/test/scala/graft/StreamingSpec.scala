@@ -201,6 +201,28 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("stream-static join enriches a stream with a broadcast dimension") {
+    // the remaining §2.11 shape: a stream joined against a STATIC
+    // (batch) dim — planned as a per-microbatch broadcast hash join,
+    // no streaming state at all
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("tier_id", "tier")
+    val mem = MemoryStream[(Long, Long)](spark)
+    val q = mem.toDF().toDF("event_id", "tier_id")
+      .join(dim, "tier_id")
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 0L), (11L, 2L))
+      q.processAllAvailable()
+      mem.addData((12L, 1L), (13L, 9L)) // 9 has no dim row → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_join_out")
+      .select($"event_id", $"tier").as[(Long, String)].collect().toSet
+    assert(rows === Set((10L, "bronze"), (11L, "gold"), (12L, "silver")))
+  }
+
   test("q_stream_late_drop replay matches real microbatch watermark drops") {
     // crafted 3-arrival-hour stream: source user_id=3 lags 15 min, so
     // event 4 (ts 00:46) ARRIVES in hour 1, after the watermark has
