@@ -201,6 +201,47 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("flatMapGroupsWithState event-time timeout emits the expired session") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val expired = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "0 seconds")
+      .as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Timestamp, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            // watermark passed the session's horizon → emit and clear
+            val n = state.get
+            state.remove()
+            Iterator((user, n))
+          } else {
+            val events = rows.toSeq
+            state.update(state.getOption.getOrElse(0L) + events.size)
+            // session expires 10 min after its newest event
+            state.setTimeoutTimestamp(
+              events.map(_._1.getTime).max + 10 * 60 * 1000)
+            Iterator.empty
+          }
+        })
+    val q = expired.toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("timeout_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 7L),
+        (ts("2024-01-01 00:05:00"), 7L))
+      q.processAllAvailable() // watermark 00:05 < timeout 00:15 — holds
+      assert(spark.table("timeout_out").count() === 0)
+      mem.addData((ts("2024-01-01 01:00:00"), 8L))
+      q.processAllAvailable() // watermark 01:00 > 00:15 — user 7 expires
+    } finally q.stop()
+    val rows = spark.table("timeout_out")
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((7L, 2L)))
+  }
+
   test("stream-static join enriches a stream with a broadcast dimension") {
     // the remaining §2.11 shape: a stream joined against a STATIC
     // (batch) dim — planned as a per-microbatch broadcast hash join,
