@@ -65,6 +65,42 @@ object Analytics {
       .orderBy($"stage")
   }
 
+  /** CONVERSION-WINDOW funnel — the product-analytics semantics: each
+    * stage must follow the previous within 1 hour, or the user stalls
+    * at the reached stage. Same greedy-earliest-anchor state machine
+    * as [[funnelStages]] (the anchor is the user's FIRST view; a later
+    * view is never re-armed — which is also exactly what the
+    * conditional-MIN oracle computes, so the two definitions agree by
+    * construction), same ONE user_id exchange. */
+  private[graft] def funnelStagesWindowed(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"user_id")
+      .agg(collect_list(struct($"ts", $"event_type".as("tp"))).as("evs"))
+      .select($"user_id", expr(
+        """aggregate(
+          |  array_sort(evs),
+          |  named_struct('stage', 0, 't', cast(null as timestamp)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.stage = 0 AND e.tp = 'view'
+          |      THEN named_struct('stage', 1, 't', e.ts)
+          |    WHEN acc.stage = 1 AND e.tp = 'click' AND e.ts > acc.t
+          |         AND e.ts <= acc.t + INTERVAL 1 HOUR
+          |      THEN named_struct('stage', 2, 't', e.ts)
+          |    WHEN acc.stage = 2 AND e.tp = 'purchase' AND e.ts > acc.t
+          |         AND e.ts <= acc.t + INTERVAL 1 HOUR
+          |      THEN named_struct('stage', 3, 't', e.ts)
+          |    ELSE acc END,
+          |  acc -> acc.stage)""".stripMargin).as("stage"))
+  }
+
+  def eventsFunnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    funnelStagesWindowed(Tables(spark, sfDir, "events"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
   /** The HOT-KEY-SAFE funnel: same greedy-earliest state machine as
     * [[funnelStages]], but with O(1) state per user instead of
     * O(that user's events) — the fallback the fold's scaladoc promises
@@ -139,6 +175,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_funnel" -> eventsFunnel,
     "q_events_funnel_bounded" -> eventsFunnelBounded,
+    "q_events_funnel_windowed" -> eventsFunnelWindowed,
     "q_retention_cohort" -> retentionCohort
   )
 }

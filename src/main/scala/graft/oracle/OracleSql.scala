@@ -1131,9 +1131,35 @@ object OracleSql {
       |LEFT JOIN p ON u.user_id = p.user_id
       |GROUP BY 1 ORDER BY stage""".stripMargin
 
+  /** Conversion-window twin: each stage within 1 hour of the previous;
+    * greedy earliest-anchor semantics match the fold by construction. */
+  private val funnelWindowedSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.tv
+      |        AND e.ts <= v.tv + INTERVAL 1 HOUR
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      |        AND e.ts <= c.tc + INTERVAL 1 HOUR
+      |      GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+      |            WHEN c.user_id IS NOT NULL THEN 2
+      |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  count(*) AS n_users
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |GROUP BY 1 ORDER BY stage""".stripMargin
+
   private val analytics: Map[String, String] = Map(
     "q_events_funnel" -> funnelSql,
     "q_events_funnel_bounded" -> funnelSql,
+    "q_events_funnel_windowed" -> funnelWindowedSql,
 
     "q_retention_cohort" ->
       """WITH f AS (SELECT user_id,

@@ -567,6 +567,41 @@ class OpsRound3Spec extends SparkSpec {
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q_events_funnel_windowed matches a driver-side windowed replay") {
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val hourMs = 60L * 60 * 1000
+    val want = evs.groupBy(_._1).map { case (_, g) =>
+      val sorted = g.sortBy(e => (e._2.getTime, e._3))
+      var stage = 0
+      var t = 0L
+      sorted.foreach { case (_, ts, tp) =>
+        val ms = ts.getTime
+        if (stage == 0 && tp == "view") { stage = 1; t = ms }
+        else if (stage == 1 && tp == "click" && ms > t && ms <= t + hourMs) {
+          stage = 2; t = ms
+        } else if (stage == 2 && tp == "purchase" && ms > t
+            && ms <= t + hourMs) {
+          stage = 3; t = ms
+        }
+      }
+      stage
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.ops.Analytics.eventsFunnelWindowed(spark, sfDir)
+      .as[(Int, Long)].collect().toMap
+    assert(got === want)
+    // the window can only LOWER stages vs the unbounded funnel
+    val unbounded = graft.ops.Analytics.queries("q_events_funnel")(
+      spark, sfDir).as[(Int, Long)].collect().toMap
+    def reached(m: Map[Int, Long], s: Int) =
+      m.collect { case (k, v) if k >= s => v }.sum
+    (1 to 3).foreach { s =>
+      assert(reached(got, s) <= reached(unbounded, s),
+        s"window must not increase stage-$s conversions")
+    }
+  }
+
   test("q_agg_countmin: estimates overcount-only within the eps*n bound") {
     val rows = graft.ops.Aggregates.aggCountmin(spark, sfDir)
       .as[(String, Long, Long)].collect()
