@@ -36,7 +36,12 @@ object Analytics {
     * whose per-key state is O(1) at the cost of the extra exchanges. */
   /** Per-user funnel stage from an events DF (user_id, ts, event_type)
     * — the fold core, exposed for the differential property test. */
-  def funnelStages(events: DataFrame): DataFrame = {
+  /** The greedy-earliest funnel fold, shared by the unbounded and the
+    * conversion-window variants — ONE state-machine definition, the
+    * window bound spliced in as an extra predicate so the two keys
+    * cannot drift (the DuckDB twins are built the same way). */
+  private def funnelFold(events: DataFrame,
+      windowBound: String): DataFrame = {
     import events.sparkSession.implicits._
     // no type pre-filter: users whose events are ALL other types must
     // still appear as stage 0 (non-funnel types fall to the ELSE arm)
@@ -44,19 +49,24 @@ object Analytics {
       .groupBy($"user_id")
       .agg(collect_list(struct($"ts", $"event_type".as("tp"))).as("evs"))
       .select($"user_id", expr(
-        """aggregate(
-          |  array_sort(evs),
-          |  named_struct('stage', 0, 't', cast(null as timestamp)),
-          |  (acc, e) -> CASE
-          |    WHEN acc.stage = 0 AND e.tp = 'view'
-          |      THEN named_struct('stage', 1, 't', e.ts)
-          |    WHEN acc.stage = 1 AND e.tp = 'click' AND e.ts > acc.t
-          |      THEN named_struct('stage', 2, 't', e.ts)
-          |    WHEN acc.stage = 2 AND e.tp = 'purchase' AND e.ts > acc.t
-          |      THEN named_struct('stage', 3, 't', e.ts)
-          |    ELSE acc END,
-          |  acc -> acc.stage)""".stripMargin).as("stage"))
+        s"""aggregate(
+           |  array_sort(evs),
+           |  named_struct('stage', 0, 't', cast(null as timestamp)),
+           |  (acc, e) -> CASE
+           |    WHEN acc.stage = 0 AND e.tp = 'view'
+           |      THEN named_struct('stage', 1, 't', e.ts)
+           |    WHEN acc.stage = 1 AND e.tp = 'click' AND e.ts > acc.t
+           |         $windowBound
+           |      THEN named_struct('stage', 2, 't', e.ts)
+           |    WHEN acc.stage = 2 AND e.tp = 'purchase' AND e.ts > acc.t
+           |         $windowBound
+           |      THEN named_struct('stage', 3, 't', e.ts)
+           |    ELSE acc END,
+           |  acc -> acc.stage)""".stripMargin).as("stage"))
   }
+
+  def funnelStages(events: DataFrame): DataFrame =
+    funnelFold(events, windowBound = "")
 
   def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -72,27 +82,9 @@ object Analytics {
     * view is never re-armed — which is also exactly what the
     * conditional-MIN oracle computes, so the two definitions agree by
     * construction), same ONE user_id exchange. */
-  private[graft] def funnelStagesWindowed(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    events
-      .groupBy($"user_id")
-      .agg(collect_list(struct($"ts", $"event_type".as("tp"))).as("evs"))
-      .select($"user_id", expr(
-        """aggregate(
-          |  array_sort(evs),
-          |  named_struct('stage', 0, 't', cast(null as timestamp)),
-          |  (acc, e) -> CASE
-          |    WHEN acc.stage = 0 AND e.tp = 'view'
-          |      THEN named_struct('stage', 1, 't', e.ts)
-          |    WHEN acc.stage = 1 AND e.tp = 'click' AND e.ts > acc.t
-          |         AND e.ts <= acc.t + INTERVAL 1 HOUR
-          |      THEN named_struct('stage', 2, 't', e.ts)
-          |    WHEN acc.stage = 2 AND e.tp = 'purchase' AND e.ts > acc.t
-          |         AND e.ts <= acc.t + INTERVAL 1 HOUR
-          |      THEN named_struct('stage', 3, 't', e.ts)
-          |    ELSE acc END,
-          |  acc -> acc.stage)""".stripMargin).as("stage"))
-  }
+  private[graft] def funnelStagesWindowed(events: DataFrame): DataFrame =
+    funnelFold(events,
+      windowBound = "AND e.ts <= acc.t + INTERVAL 1 HOUR")
 
   def eventsFunnelWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

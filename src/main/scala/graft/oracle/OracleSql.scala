@@ -1110,51 +1110,38 @@ object OracleSql {
   // both funnel implementations (fold + secondary-sort) are proven
   // equal to (greedy earliest matching = existence of an increasing
   // view<click<purchase subsequence)
-  private val funnelSql: String =
-    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
-      |           WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
-      |      JOIN v ON e.user_id = v.user_id
-      |      WHERE e.event_type = 'click' AND e.ts > v.tv
-      |      GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
-      |      JOIN c ON e.user_id = c.user_id
-      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
-      |      GROUP BY e.user_id),
-      |u AS (SELECT DISTINCT user_id FROM events)
-      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
-      |            WHEN c.user_id IS NOT NULL THEN 2
-      |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
-      |  count(*) AS n_users
-      |FROM u LEFT JOIN v ON u.user_id = v.user_id
-      |LEFT JOIN c ON u.user_id = c.user_id
-      |LEFT JOIN p ON u.user_id = p.user_id
-      |GROUP BY 1 ORDER BY stage""".stripMargin
+  /** One conditional-MIN template for both funnel twins — the optional
+    * conversion-window predicates are spliced in, mirroring the single
+    * Spark-side fold builder so the pairs cannot drift. */
+  private def funnelSqlTemplate(clickBound: String,
+      purchaseBound: String): String =
+    s"""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+       |           WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+       |      JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.tv $clickBound
+       |      GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+       |      JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.tc $purchaseBound
+       |      GROUP BY e.user_id),
+       |u AS (SELECT DISTINCT user_id FROM events)
+       |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+       |            WHEN c.user_id IS NOT NULL THEN 2
+       |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       |  count(*) AS n_users
+       |FROM u LEFT JOIN v ON u.user_id = v.user_id
+       |LEFT JOIN c ON u.user_id = c.user_id
+       |LEFT JOIN p ON u.user_id = p.user_id
+       |GROUP BY 1 ORDER BY stage""".stripMargin
+
+  private val funnelSql: String = funnelSqlTemplate("", "")
 
   /** Conversion-window twin: each stage within 1 hour of the previous;
     * greedy earliest-anchor semantics match the fold by construction. */
-  private val funnelWindowedSql: String =
-    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
-      |           WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
-      |      JOIN v ON e.user_id = v.user_id
-      |      WHERE e.event_type = 'click' AND e.ts > v.tv
-      |        AND e.ts <= v.tv + INTERVAL 1 HOUR
-      |      GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
-      |      JOIN c ON e.user_id = c.user_id
-      |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
-      |        AND e.ts <= c.tc + INTERVAL 1 HOUR
-      |      GROUP BY e.user_id),
-      |u AS (SELECT DISTINCT user_id FROM events)
-      |SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
-      |            WHEN c.user_id IS NOT NULL THEN 2
-      |            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
-      |  count(*) AS n_users
-      |FROM u LEFT JOIN v ON u.user_id = v.user_id
-      |LEFT JOIN c ON u.user_id = c.user_id
-      |LEFT JOIN p ON u.user_id = p.user_id
-      |GROUP BY 1 ORDER BY stage""".stripMargin
+  private val funnelWindowedSql: String = funnelSqlTemplate(
+    "AND e.ts <= v.tv + INTERVAL 1 HOUR",
+    "AND e.ts <= c.tc + INTERVAL 1 HOUR")
 
   private val analytics: Map[String, String] = Map(
     "q_events_funnel" -> funnelSql,

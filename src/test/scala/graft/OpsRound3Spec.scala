@@ -571,19 +571,25 @@ class OpsRound3Spec extends SparkSpec {
     val evs = Tables(spark, sfDir, "events")
       .select($"user_id", $"ts", $"event_type")
       .as[(Long, java.sql.Timestamp, String)].collect()
-    val hourMs = 60L * 60 * 1000
+    // MICROsecond precision: Timestamp.getTime truncates to ms, but
+    // the Spark fold compares full microsecond timestamps — 999/1000
+    // corpus events carry sub-ms digits, so an ms-precision replay is
+    // a latent flake at window boundaries and same-ms ties
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+    val hourUs = 60L * 60 * 1000 * 1000
     val want = evs.groupBy(_._1).map { case (_, g) =>
-      val sorted = g.sortBy(e => (e._2.getTime, e._3))
+      val sorted = g.sortBy(e => (micros(e._2), e._3))
       var stage = 0
       var t = 0L
       sorted.foreach { case (_, ts, tp) =>
-        val ms = ts.getTime
-        if (stage == 0 && tp == "view") { stage = 1; t = ms }
-        else if (stage == 1 && tp == "click" && ms > t && ms <= t + hourMs) {
-          stage = 2; t = ms
-        } else if (stage == 2 && tp == "purchase" && ms > t
-            && ms <= t + hourMs) {
-          stage = 3; t = ms
+        val us = micros(ts)
+        if (stage == 0 && tp == "view") { stage = 1; t = us }
+        else if (stage == 1 && tp == "click" && us > t && us <= t + hourUs) {
+          stage = 2; t = us
+        } else if (stage == 2 && tp == "purchase" && us > t
+            && us <= t + hourUs) {
+          stage = 3; t = us
         }
       }
       stage
