@@ -1349,6 +1349,15 @@ object OracleSql {
         |  'part','orders','lineitem','events','documents','embeddings')
         |ORDER BY table_name, ord""".stripMargin,
 
+    // file bytes = text + trailing newline (corpus verified pure
+    // ASCII, so bytes == chars); the landed-file aggregate equals
+    // this recomputation from the source table
+    "q_source_binaryfile" ->
+      """SELECT count(*) AS n_files,
+        |  cast(sum(n_chars + 1) as bigint) AS total_bytes,
+        |  cast(max(n_chars + 1) as int) AS max_bytes
+        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+
     // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
     // exposures x 8 ccds, path from the red_image template
     "q_source_catalog_pushdown" ->

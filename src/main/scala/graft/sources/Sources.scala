@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1 design-only rows: the reference's connection +
   * schema-introspection surface, re-expressed on Spark.
@@ -93,8 +94,37 @@ object Sources {
       .orderBy($"expname", $"ccd")
   }
 
+  /** The `binaryFile` source — how a real MULTIMODAL corpus lands in
+    * Spark (partition-parallel scan of opaque media files into
+    * (path, modificationTime, length, content) rows; supports
+    * `pathGlobFilter`/`modifiedAfter` pushdown and object-store
+    * listing at scale). Here: one file per sampled document is laid
+    * down via a partitioned text write (file bytes = text + newline —
+    * corpus is verified pure ASCII, so bytes == chars), read back
+    * through `format("binaryFile")`, and summarized. The oracle
+    * recomputes the same aggregate from the documents table, which
+    * pins the whole land→scan path byte-exactly. The decode stages
+    * ([[graft.ops.LlmOps.multimodalBinary]] onward) are what consume
+    * this source's `content` column in a real pipeline. */
+  def sourceBinaryFile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/binland"
+    graft.Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", $"text")
+      .write.mode("overwrite").partitionBy("doc_id").text(dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .agg(count(lit(1)).as("n_files"),
+        sum(length($"content")).as("total_bytes"),
+        max(length($"content")).as("max_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_describe_schema" -> describeSchema,
-    "q_source_catalog_pushdown" -> catalogPushdown
+    "q_source_catalog_pushdown" -> catalogPushdown,
+    "q_source_binaryfile" -> sourceBinaryFile
   )
 }
