@@ -1356,7 +1356,7 @@ object OracleSql {
       """SELECT count(*) AS n_files,
         |  cast(sum(n_chars + 1) as bigint) AS total_bytes,
         |  cast(max(n_chars + 1) as int) AS max_bytes
-        |FROM documents WHERE doc_id % 25 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
     // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
     // exposures x 8 ccds, path from the red_image template

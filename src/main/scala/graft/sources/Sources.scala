@@ -110,7 +110,7 @@ object Sources {
     import spark.implicits._
     val dir = s"${graft.ops.Relational.scratchRoot}/binland"
     graft.Tables(spark, sfDir, "documents")
-      .filter($"doc_id" % 25 === 0)
+      .filter($"doc_id" % 97 === 0)
       .select($"doc_id", $"text")
       .write.mode("overwrite").partitionBy("doc_id").text(dir)
     spark.read.format("binaryFile")
