@@ -806,16 +806,26 @@ object OracleSql {
          |      <= greatest(length(da.text), length(db.text)) * 0.05
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // edge graph = the exact shingle-Jaccard near-dup pairs (same
+    // formulation as q_dedup_ngram_jaccard), then the recursive
+    // transitive closure — fine at oracle scale (components are
+    // small cliques)
     "q_split_leakage_safe" ->
-      s"""WITH RECURSIVE
+      s"""WITH RECURSIVE $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
          |pairs AS (
-         |  SELECT a.vec_id AS src, q.vec_id AS dst
-         |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
-         |  WHERE $dotSql >= 0.42),
+         |  SELECT doc_a AS src, doc_b AS dst
+         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
+         |  JOIN sz y ON p.doc_b = y.doc_id
+         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
+         |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
          |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
@@ -823,7 +833,7 @@ object OracleSql {
          |  CASE WHEN component % 10 < 8 THEN 'train'
          |       WHEN component % 10 = 8 THEN 'val'
          |       ELSE 'test' END AS split FROM comp)
-         |SELECT split, count(*) AS n_vecs,
+         |SELECT split, count(*) AS n_docs,
          |  count(DISTINCT component) AS n_clusters
          |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
@@ -834,18 +844,25 @@ object OracleSql {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     // connected components = min node id reachable in the undirected
-    // near-dup pair graph; recursive transitive closure is fine at
+    // near-dup pair graph (edges = the exact shingle-Jaccard pairs of
+    // q_dedup_ngram_jaccard); recursive transitive closure is fine at
     // oracle scale (components are small cliques)
     "q_dedup_cluster" ->
-      s"""WITH RECURSIVE
+      s"""WITH RECURSIVE $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
          |pairs AS (
-         |  SELECT a.vec_id AS src, q.vec_id AS dst
-         |  FROM embeddings a JOIN embeddings q ON a.vec_id < q.vec_id
-         |  WHERE $dotSql >= 0.42),
+         |  SELECT doc_a AS src, doc_b AS dst
+         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
+         |  JOIN sz y ON p.doc_b = y.doc_id
+         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
+         |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src)
          |SELECT id, min(r) AS component FROM reach

@@ -20,8 +20,8 @@ class OpsRound2Spec extends SparkSpec {
   }
 
   test("q_dedup_cluster components are consistent with the pair graph") {
-    val pairs = LlmOps.embedPairs(spark, sfDir, 0.42)
-      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    val pairs = LlmOps.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
     val comp = LlmOps.dedupCluster(spark, sfDir)
       .as[(Long, Long)].collect().toMap
     // every near-dup pair shares a component; component is the min id

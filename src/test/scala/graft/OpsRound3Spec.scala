@@ -551,18 +551,18 @@ class OpsRound3Spec extends SparkSpec {
   test("q_split_leakage_safe: no near-dup pair straddles a split boundary") {
     val comp = graft.ops.LlmOps.dedupCluster(spark, sfDir)
       .withColumn("split", graft.ops.LlmOps.splitOf($"component"))
-    // dedupEmbedding reports pairs at cosine>=0.4; the cluster graph
-    // uses >=0.42, so restrict to the edges clustering actually saw
-    val pairs = graft.ops.LlmOps.dedupEmbedding(spark, sfDir)
-      .filter($"sim" >= 0.42).select($"vec_a", $"vec_b")
+    // the cluster graph's edges ARE the reported shingle-Jaccard
+    // near-dup pairs (same J >= 0.6 threshold) — check every one
+    val pairs = graft.ops.LlmOps.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b")
     val straddle = pairs
-      .join(comp.select($"id".as("vec_a"), $"split".as("sa")), "vec_a")
-      .join(comp.select($"id".as("vec_b"), $"split".as("sb")), "vec_b")
+      .join(comp.select($"id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(comp.select($"id".as("doc_b"), $"split".as("sb")), "doc_b")
       .filter($"sa" =!= $"sb")
     assert(straddle.count() === 0, "a near-dup pair straddles splits")
     val counts = graft.ops.LlmOps.splitLeakageSafe(spark, sfDir)
       .as[(String, Long, Long)].collect()
-    val total = Tables(spark, sfDir, "embeddings").count()
+    val total = Tables(spark, sfDir, "documents").count()
     assert(counts.map(_._2).sum === total, "split row counts must partition")
     assert(counts.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
   }

@@ -15,7 +15,6 @@ class PlanSweepSpec extends SparkSpec {
     "q_topk_global", "q_sim_cosine_topk", // 1-row broadcast query vector
     "q_text_tfidf",      // 1-row broadcast corpus count
     "q_na_functions",    // crossJoin of two 1-row aggregates
-    "q_dedup_cluster",   // brute-force pair edges (vec_a < vec_b), as above
     "q_sim_ann_ivf",     // k-row broadcast centroid table per Lloyd step
     "q_vocab_coverage",  // 1-row broadcast corpus-total crossJoin
     "q_mix_temperature", // 1-row broadcast normalizer crossJoin
