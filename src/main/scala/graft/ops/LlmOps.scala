@@ -1313,27 +1313,77 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-      n_frames: Int)
+  /** (width, height, base gray) of a doc's generated test image —
+    * pure arithmetic on (doc_id, n_chars) so the DuckDB oracle can
+    * predict every DECODED statistic. Bounds chosen so samples never
+    * wrap: W,H ∈ [8,31], g ≤ 189 → max sample g+W-1+H-1 ≤ 249 < 256,
+    * and min(W,H)·16/max(W,H) ≥ 4 so the resize/band stages below
+    * always have non-empty bands. */
+  private def pngShape(id: Long, nChars: Int): (Int, Int, Int) =
+    (8 + nChars % 24, 8 + (id % 24).toInt, ((id * 37 + nChars) % 190).toInt)
 
-  /** Multimodal binary plumbing: an opaque binary column (utf-8 bytes
-    * standing in for image/audio payloads) flows through a typed
-    * mapPartitions "decode" stage producing structured metadata.
-    *
-    * STUB: the decode body is a deterministic fake (codec libraries are
-    * not in this container) — real deployments swap the body for an
-    * actual image/audio decoder. The Spark-side shape (binary column,
-    * per-partition batch iteration, typed output schema) is the real,
-    * tested part. */
-  def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Real tiny-PNG payload per document: a W×H 8-bit grayscale
+    * gradient (sample(x,y) = g + x + y) encoded through the JDK's
+    * `javax.imageio` PNG writer IN THE EXECUTOR — genuine,
+    * losslessly-round-tripping PNG bytes, no external codec library.
+    * This stage is the corpus generator standing in for a binary
+    * ingest column; the decode stages downstream are the real thing
+    * (bytes → pixels through ImageIO, stats from the actual raster). */
+  private def pngPayload(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     Tables(spark, sfDir, "documents")
-      .select($"doc_id", encode($"text", "utf-8").as("data"))
-      .as[(Long, Array[Byte])]
+      .select($"doc_id", $"n_chars".cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val (w, h, g) = pngShape(id, nChars)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { r.setSample(x, y, 0, g + x + y); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+  }
+
+  case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      n_px: Int, mean_px: Double)
+
+  /** Multimodal binary DECODE: an opaque binary column of real PNG
+    * payloads flows through a typed `mapPartitions` stage that decodes
+    * bytes → pixels with the JDK's ImageIO and emits structured
+    * metadata plus a raster statistic (mean sample) computed from the
+    * decoded pixels. The oracle pins every output arithmetically from
+    * the generator recipe — a decode that didn't really run could not
+    * hash-match. `mapPartitions` (not a per-row UDF) is the codec
+    * boundary: batch iteration, typed output schema — the shape a
+    * production image/audio decode stage runs at 100 TB, where the
+    * payload arrives via binaryFile/parquet binary and each task
+    * decodes its partition's batch. mean_px is an exact
+    * integer-sum / count double division (bit-identical across
+    * engines — no round(), no tie modes; see Det.scala rules). */
+  def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngPayload(spark, sfDir)
       .mapPartitions(_.map { case (id, bytes) =>
-        // STUB decode — replace with e.g. ImageIO/ffmpeg per partition.
-        val n = bytes.length
-        MediaMeta(id, n, n % 640, (n / 7) % 480, n % 30)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        MediaMeta(id, w, h, w * h, sum.toDouble / (w * h))
       })
       .toDF()
       .orderBy($"doc_id")
@@ -1341,57 +1391,67 @@ object LlmOps {
 
   /** Output row shape of [[multimodalFeatures]]'s batch stage. */
   case class MediaFeature(doc_id: Long, out_w: Int, out_h: Int,
-      feature: String)
+      f0: Double, f1: Double, f2: Double, f3: Double)
 
-  /** Resize + feature-extract stages over the decoded metadata — the
-    * remaining pipeline steps a multimodal corpus needs after decode
-    * ([[multimodalBinary]]) and frame sampling ([[multimodalFrames]]).
-    * Runs as a typed `mapPartitions` batch stage (the Scala analogue of
-    * a pandas `mapInPandas` batch UDF): per partition, iterate the
-    * byte payloads once, emit fixed-shape features.
-    *
-    * STUB: resize math is real (fit into 224×224 preserving aspect,
-    * floor semantics); the 4-lane "feature" is a deterministic fake of
-    * the byte stream (first/last byte + length mix) standing in for a
-    * model embedding — swap the lambda body for a real encoder. Output
-    * lanes are serialized ints (driver-compare rule: no array
-    * columns). */
+  /** Decode → RESIZE → feature extraction: nearest-neighbor downscale
+    * of the decoded raster into a 16×16 box (aspect preserved, floor
+    * semantics, never upscale) — real pixel resampling, written
+    * explicitly rather than via Graphics2D so the resample is
+    * deterministic across platforms — then a 4-lane feature vector:
+    * the mean sample of each horizontal quarter-band of the RESIZED
+    * image (a downscale-then-pool stage, the first two steps of any
+    * vision featurizer). Every lane is an exact integer-sum / count
+    * division, so the oracle reproduces the doubles bit-exactly. */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, sfDir, "documents")
-      .select($"doc_id", encode($"text", "utf-8").as("data"))
-      .as[(Long, Array[Byte])]
+    pngPayload(spark, sfDir)
       .mapPartitions(_.map { case (id, bytes) =>
-        val n = bytes.length
-        val (w, h) = (n % 640, (n / 7) % 480) // decode-stub dimensions
-        // fit into 224x224, preserve aspect, floor — never upscale
-        val scale = math.min(1.0, 224.0 / math.max(math.max(w, h), 1))
-        val (ow, oh) = ((w * scale).toInt, (h * scale).toInt)
-        val (first, last) =
-          (if (n > 0) bytes(0) & 0xff else 0,
-            if (n > 0) bytes(n - 1) & 0xff else 0)
-        val feat = (0 until 4)
-          .map(d => (n * (d + 1) + first * 31 + last * 7) % 997)
-        MediaFeature(id, ow, oh, feat.mkString(","))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        val mx = math.max(w, h)
+        val (ow, oh) = if (mx <= 16) (w, h) else (w * 16 / mx, h * 16 / mx)
+        val out = Array.tabulate(oh, ow)((j, i) =>
+          r.getSample(i * w / ow, j * h / oh, 0))
+        def bandMean(d: Int): Double = {
+          val (lo, hi) = (d * oh / 4, (d + 1) * oh / 4)
+          var sum = 0L
+          for (j <- lo until hi; i <- 0 until ow) sum += out(j)(i)
+          sum.toDouble / ((hi - lo) * ow)
+        }
+        MediaFeature(id, ow, oh,
+          bandMean(0), bandMean(1), bandMean(2), bandMean(3))
       })
       .toDF()
       .orderBy($"doc_id")
   }
 
-  /** Frame-sampling stage over the fake-decoded media: every 5th frame
-    * of each document's payload becomes a row with a per-frame feature.
-    * The generator is `posexplode`-style fan-out (sequence + explode —
-    * stays in codegen, no driver involvement); the per-frame "feature"
-    * is a deterministic stand-in for a real per-frame embedding (STUB —
-    * same contract as multimodalBinary's decode). */
+  case class MediaFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+      frame_feature: Double)
+
+  /** Frame sampling: every 5th ROW of the decoded raster becomes a
+    * "frame" row carrying its mean sample as the per-frame feature —
+    * the decode-side fan-out of a video frame iterator, confined to
+    * the same `mapPartitions` codec boundary as the other stages
+    * (fan-out from real decoded pixels, one batch pass per
+    * partition). */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    multimodalBinary(spark, sfDir)
-      .filter($"n_frames" > 0)
-      .select($"doc_id", $"n_bytes", $"n_frames",
-        explode(sequence(lit(0), $"n_frames" - 1, lit(5))).as("frame_idx"))
-      .withColumn("frame_feature",
-        ($"n_bytes" * 31 + $"frame_idx" * 7) % 997)
+    pngPayload(spark, sfDir)
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        (0 until h by 5).iterator.map { y =>
+          var sum = 0L
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+          MediaFrame(id, h, y, sum.toDouble / w)
+        }
+      })
+      .toDF()
       .orderBy($"doc_id", $"frame_idx")
   }
 

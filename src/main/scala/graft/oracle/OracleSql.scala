@@ -1069,18 +1069,22 @@ object OracleSql {
          |WHERE n_tokens BETWEEN 20 AND 2000 AND stop_ratio >= 0.05
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the multimodal trio's generated image is a W×H gradient
+    // (sample(x,y) = g + x + y) derived arithmetically from
+    // (doc_id, n_chars); the Spark side DECODES real PNG bytes and
+    // computes stats from the raster, the oracle predicts the same
+    // stats from the recipe. All float outputs are exact
+    // integer-sum / count double divisions (bit-identical across
+    // engines; no round()).
     "q_multimodal_frames" ->
-      """WITH f AS (
-        |  SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes,
-        |    cast(octet_length(encode(text)) as int) % 30 AS n_frames
-        |  FROM documents)
-        |SELECT doc_id, n_bytes, n_frames, frame_idx,
-        |  (n_bytes * 31 + frame_idx * 7) % 997 AS frame_feature
-        |FROM (
-        |  SELECT doc_id, n_bytes, n_frames,
-        |    cast(unnest(generate_series(0, n_frames - 1, 5)) as int) AS frame_idx
-        |  FROM f WHERE n_frames > 0)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""WITH $mmShapeCte,
+         |fr AS (SELECT doc_id, w, h, g,
+         |  unnest(range(0, h, 5)) AS frame_idx FROM m)
+         |SELECT doc_id, cast(h as int) AS n_frames,
+         |  cast(frame_idx as int) AS frame_idx,
+         |  cast(w*g + w*frame_idx + (w*(w-1))//2 as double) / w
+         |    AS frame_feature
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_cols" ->
       """SELECT doc_id, lang, n_chars, label,
@@ -1090,38 +1094,53 @@ object OracleSql {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
 
-    // corpus text is pure ASCII (verified: length == octet_length for
-    // every language), so ascii(first/last char) equals the byte the
-    // Spark-side mapPartitions stage reads
+    // nearest-neighbor resize into a 16×16 box then 4 quarter-band
+    // means: out(i,j) = g + (i*w)//ow + (j*h)//oh, so each band's sum
+    // decomposes into nb*ow*g + nb*Σfx + ow*Σfy — all integers
     "q_multimodal_features" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    cast(octet_length(encode(text)) as int) AS n,
-        |    ascii(substring(text, 1, 1)) AS f,
-        |    ascii(substring(text, length(text), 1)) AS l
-        |  FROM documents),
-        |d AS (SELECT doc_id, n, f, l, n % 640 AS w, (n // 7) % 480 AS h
-        |      FROM m),
-        |s AS (SELECT *, least(1.0, 224.0 / greatest(greatest(w, h), 1))
-        |        AS scale FROM d)
-        |SELECT doc_id,
-        |  cast(floor(w * scale) as int) AS out_w,
-        |  cast(floor(h * scale) as int) AS out_h,
-        |  concat_ws(',',
-        |    (n * 1 + f * 31 + l * 7) % 997,
-        |    (n * 2 + f * 31 + l * 7) % 997,
-        |    (n * 3 + f * 31 + l * 7) % 997,
-        |    (n * 4 + f * 31 + l * 7) % 997) AS feature
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $mmShapeCte,
+         |r AS (SELECT doc_id, w, h, g,
+         |  CASE WHEN greatest(w,h) <= 16 THEN w
+         |       ELSE (w*16)//greatest(w,h) END AS ow,
+         |  CASE WHEN greatest(w,h) <= 16 THEN h
+         |       ELSE (h*16)//greatest(w,h) END AS oh
+         |  FROM m),
+         |x AS (SELECT *,
+         |  list_sum(list_transform(range(0, ow), i -> (i*w)//ow)) AS sx
+         |  FROM r)
+         |SELECT doc_id, cast(ow as int) AS out_w, cast(oh as int) AS out_h,
+         |  ${mmBand(0)}, ${mmBand(1)}, ${mmBand(2)}, ${mmBand(3)}
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_binary" ->
-      """WITH f AS (
-        |  SELECT doc_id, cast(octet_length(encode(text)) as int) AS n_bytes
-        |  FROM documents)
-        |SELECT doc_id, n_bytes, n_bytes % 640 AS width,
-        |  (n_bytes // 7) % 480 AS height, n_bytes % 30 AS n_frames
-        |FROM f ORDER BY doc_id""".stripMargin
+      s"""WITH $mmShapeCte
+         |SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+         |  cast(w*h as int) AS n_px,
+         |  cast(w*h*g + h*((w*(w-1))//2) + w*((h*(h-1))//2) as double)
+         |    / (w*h) AS mean_px
+         |FROM m ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared shape CTE of the multimodal trio — mirrors
+    * [[graft.ops.LlmOps.pngShape]]: W,H ∈ [8,31], g ≤ 189. */
+  private def mmShapeCte: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    cast(8 + (n_chars % 24) as bigint) AS w,
+      |    cast(8 + (doc_id % 24) as bigint) AS h,
+      |    (doc_id * 37 + n_chars) % 190 AS g
+      |  FROM documents)""".stripMargin
+
+  /** Quarter-band-mean lane `d` of q_multimodal_features: rows
+    * j ∈ [d·oh/4, (d+1)·oh/4) of the resized raster; the band sum is
+    * nb·ow·g + nb·Σfx + ow·Σfy (all integer), divided exactly. */
+  private def mmBand(d: Int): String = {
+    val lo = s"(($d*oh)//4)"
+    val hi = s"((${d + 1}*oh)//4)"
+    val sy = s"list_sum(list_transform(range($lo, $hi), j -> (j*h)//oh))"
+    s"cast(($hi-$lo)*ow*g + ($hi-$lo)*sx + ow*$sy as double)" +
+      s" / (($hi-$lo)*ow) AS f$d"
+  }
 
   // greedy-earliest conditional-MIN funnel — the reference formulation
   // both funnel implementations (fold + secondary-sort) are proven

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LlmOps
+
+/** Round-4 additions: real-PNG multimodal decode. */
+class OpsRound4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal payloads are genuine PNGs and ImageIO round-trips the gradient") {
+    // reconstruct the payload exactly as the operators do, then check
+    // (a) PNG signature, (b) decoded dims/samples match the recipe —
+    // i.e., the encode→decode path is a real lossless codec round-trip
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars".cast("int"))
+      .as[(Long, Int)].collect().take(25)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nChars) =>
+      val w = 8 + nChars % 24
+      val h = 8 + (id % 24).toInt
+      val g = ((id * 37 + nChars) % 190).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, g + x + y)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes = bos.toByteArray
+      // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+      assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'
+        && bytes(2) === 'N' && bytes(3) === 'G', s"doc $id: not a PNG")
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(back.getWidth === w && back.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(back.getRaster.getSample(x, y, 0) === g + x + y,
+          s"doc $id sample ($x,$y) corrupted in codec round-trip")
+    }
+  }
+
+  test("q_multimodal_binary stats come from the decoded raster") {
+    val got = LlmOps.multimodalBinary(spark, sfDir)
+      .as[(Long, Int, Int, Int, Double)].collect()
+    val chars = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(got.length === chars.size)
+    got.foreach { case (id, w, h, nPx, mean) =>
+      val nChars = chars(id)
+      assert(w === 8 + nChars % 24 && h === 8 + (id % 24).toInt)
+      assert(nPx === w * h)
+      val g = ((id * 37 + nChars) % 190).toInt
+      // gradient mean has the closed form g + (w-1)/2 + (h-1)/2,
+      // exactly representable (a multiple of 0.5)
+      assert(mean === g + (w - 1) / 2.0 + (h - 1) / 2.0,
+        s"doc $id: decoded mean diverges from the gradient")
+    }
+  }
+
+  test("q_multimodal_features: resized band means match a scalar replay") {
+    val got = LlmOps.multimodalFeatures(spark, sfDir)
+      .as[(Long, Int, Int, Double, Double, Double, Double)].collect()
+    val chars = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (id, ow, oh, f0, f1, f2, f3) =>
+      val nChars = chars(id)
+      val (w, h) = (8 + nChars % 24, 8 + (id % 24).toInt)
+      val g = ((id * 37 + nChars) % 190).toInt
+      val mx = math.max(w, h)
+      val (ew, eh) = if (mx <= 16) (w, h) else (w * 16 / mx, h * 16 / mx)
+      assert((ow, oh) === (ew, eh))
+      val fs = Seq(f0, f1, f2, f3)
+      for (d <- 0 until 4) {
+        val (lo, hi) = (d * oh / 4, (d + 1) * oh / 4)
+        assert(hi > lo, s"doc $id band $d empty (oh=$oh)")
+        val sum = (for (j <- lo until hi; i <- 0 until ow)
+          yield g + (i * w / ow) + (j * h / oh)).map(_.toLong).sum
+        assert(fs(d) === sum.toDouble / ((hi - lo) * ow),
+          s"doc $id band $d mean mismatch")
+      }
+    }
+  }
+}
