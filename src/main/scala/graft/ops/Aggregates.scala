@@ -219,21 +219,28 @@ object Aggregates {
     *
     * Scale: the sketch is a fixed (ε, δ)-sized grid regardless of
     * input (here ~2.7k counters), partials merge associatively across
-    * the shuffle; the exact-count twin exists only because the corpus
-    * key cardinality is tiny. Sketch internals are engine-specific →
-    * rows-only by contract. */
+    * the shuffle. The serialized sketch comes to the driver as a
+    * 1-row byte artifact (legitimate driver payload — it is
+    * input-size-independent) and is BROADCAST back out; the exact
+    * counts stay distributed, and each task probes `estimateCount`
+    * executor-side against the broadcast bytes (deserialized once per
+    * partition). At real key cardinality the probe column never
+    * funnels through the driver. Sketch internals are
+    * engine-specific → rows-only by contract. */
   def aggCountmin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, sfDir, "events")
     val bytes = e.agg(count_min_sketch($"event_type",
         lit(0.001d), lit(0.99d), lit(42)).as("s"))
       .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
-    val exact = e.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
-      .as[(String, Long)].collect()
-    val rows = exact.map { case (t, n) => (t, n, cms.estimateCount(t)) }
-    spark.createDataFrame(rows.toSeq)
+    val bc = spark.sparkContext.broadcast(bytes)
+    e.groupBy($"event_type").agg(count(lit(1)).as("n_exact"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        lazy val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bc.value))
+        it.map { case (t, n) => (t, n, cms.estimateCount(t)) }
+      }
       .toDF("event_type", "n_exact", "n_est")
       .orderBy($"event_type")
   }

@@ -185,6 +185,36 @@ object DesFiles {
     resolveUntil(nodes, edges, stops, maxDepth = 20).orderBy($"leaf")
   }
 
+  /** NATIVE recursive-CTE twin of [[hierarchySrclist]]: Spark 4.1
+    * executes `WITH RECURSIVE` directly (UnionLoop iterative
+    * execution), so the same parent-chase is expressed as one SQL
+    * statement instead of the driver loop — and hash-matches the
+    * identical DuckDB oracle. Trade-off vs [[resolveToRoots]], from
+    * comparing the plans: the native loop re-plans the step query per
+    * iteration and carries the whole accumulated union, while the
+    * driver loop checkpoints per level and fuses its convergence probe
+    * into the checkpoint job, which also gives fault-tolerant lineage
+    * truncation on a real cluster — so the driver loop remains the
+    * scale path and this key documents the engine-native alternative
+    * (SURVEY §7.5 probe closed: recursion IS available in Spark 4.1). */
+  def hierarchySrclistCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").select(col("o_orderkey").as("id"))
+      .createOrReplaceTempView("srclist_nodes")
+    spark.sql(
+      """WITH RECURSIVE edges AS (
+        |  SELECT c.id AS child, c.id div 10 AS parent
+        |  FROM srclist_nodes c JOIN srclist_nodes p ON p.id = c.id div 10
+        |  WHERE c.id div 10 <> c.id),
+        |walk AS (
+        |  SELECT id AS leaf, id AS cur, 0 AS depth FROM srclist_nodes
+        |  UNION ALL
+        |  SELECT w.leaf, e.parent AS cur, w.depth + 1 AS depth
+        |  FROM walk w JOIN edges e ON w.cur = e.child)
+        |SELECT leaf, cur AS root, depth FROM walk w
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.child = w.cur)
+        |ORDER BY leaf""".stripMargin)
+  }
+
   /** Generic parent-chasing core (shared by the declared query and the
     * DES-shaped fixture tests): walk every node of `nodes` ("id") up
     * the `edges` ("child" → "parent") relation until no edge applies;
@@ -270,6 +300,7 @@ object DesFiles {
     "q_udf_despath" -> udfDespath,
     "q_udf_despath_multi" -> udfDespathMulti,
     "q_hierarchy_srclist" -> hierarchySrclist,
-    "q_hierarchy_srclist_stop" -> hierarchySrclistStop
+    "q_hierarchy_srclist_stop" -> hierarchySrclistStop,
+    "q_hierarchy_srclist_cte" -> hierarchySrclistCte
   )
 }

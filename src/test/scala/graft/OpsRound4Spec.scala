@@ -38,6 +38,21 @@ class OpsRound4Spec extends SparkSpec {
     }
   }
 
+  test("q_hierarchy_srclist_cte: native recursion equals the driver loop") {
+    val loop = graft.ops.DesFiles.hierarchySrclist(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val cte = graft.ops.DesFiles.hierarchySrclistCte(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(cte === loop)
+    assert(loop.nonEmpty)
+    // the native plan actually recursed (UnionLoop execution), i.e.
+    // this is engine recursion, not a rewrite to the driver loop
+    val plan = graft.ops.DesFiles.hierarchySrclistCte(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("UnionLoop") || plan.contains("CTERelation"),
+      s"expected a recursive node in:\n${plan.take(400)}")
+  }
+
   test("q_multimodal_binary stats come from the decoded raster") {
     val got = LlmOps.multimodalBinary(spark, sfDir)
       .as[(Long, Int, Int, Int, Double)].collect()
