@@ -58,6 +58,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // trailing signal block: the driver archives a fixed-size TAIL of
+    // stdout, which used to clip the head of the (long) JSON line and
+    // hide the totals; these compact comment lines come last so any
+    // tail capture shows the total, failures, and the heavy tail. The
+    // word "metric" is confined to the JSON line above so a grep for
+    // it still matches exactly once.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    println(f"# bench total $total%.1f s over ${results.size} queries" +
+      s" (${failed.size} failed) sf=$sfDir")
+    if (failed.nonEmpty) println(s"# failed: ${failed.mkString(" ")}")
+    results.toSeq.sortBy(-_._2).take(20).zipWithIndex.foreach {
+      case ((k, v), i) => println(f"# slow${i + 1}%02d $k $v%.2f s")
+    }
     spark.stop()
   }
 }

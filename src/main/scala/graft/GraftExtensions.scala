@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_overlap_count"),
       new ExpressionInfo(classOf[functions.StringArrayOverlap].getName,
         "array_overlap_count"),
-      exprs => functions.StringArrayOverlap(exprs(0), exprs(1))))
+      exprs => functions.SetExpressions.fromExpressions(exprs)))
     // builtin zip_with/aggregate dot products → the native kernel
     e.injectOptimizerRule(_ => graft.plans.RewriteVectorDot)
     // builtin size(array_intersect(…)) overlap counts → the kernel

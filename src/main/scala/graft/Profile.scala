@@ -135,18 +135,30 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val fn = adhoc.getOrElse(key, SparkEntry.queries(key))
-      fn(spark, sfDir).explain("formatted")
-      (1 to reps).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"rep $i: $sec%.3f s ($n rows)")
-        // same untimed per-rep release as Bench: otherwise a
-        // checkpoint-heavy query's reps accumulate retained blocks and
-        // later reps measure heap pressure, not the query
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        System.gc()
+      // a probe builder may mutate session conf (x_overlap_builtin
+      // sets excludedRules — it must stay set through the reps, since
+      // optimization happens at count() time); snapshot here and
+      // restore after the reps so a future multi-probe runner on this
+      // session never inherits one probe's optimizer state
+      val prevExcluded =
+        spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      try {
+        fn(spark, sfDir).explain("formatted")
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"rep $i: $sec%.3f s ($n rows)")
+          // same untimed per-rep release as Bench: otherwise a
+          // checkpoint-heavy query's reps accumulate retained blocks and
+          // later reps measure heap pressure, not the query
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          System.gc()
+        }
+      } finally prevExcluded match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
       }
     } finally spark.stop()
   }

@@ -143,11 +143,21 @@ case class StringArrayOverlap(left: Expression, right: Expression)
 }
 
 object SetExpressions {
+  /** Arity-checked builder shared by every registration path —
+    * a wrong argument count must fail at analysis with the expected
+    * signature, not as an IndexOutOfBoundsException from exprs(1). */
+  def fromExpressions(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        "array_overlap_count(array<string>, array<string>) takes exactly" +
+          s" 2 arguments, got ${exprs.length}")
+    StringArrayOverlap(exprs(0), exprs(1))
+  }
+
   /** Idempotently register on the session's function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_overlap_count",
-      exprs => StringArrayOverlap(exprs(0), exprs(1)), "scala_udf")
+      "array_overlap_count", fromExpressions, "scala_udf")
 
   /** Column-level API: distinct-overlap count of two string-array
     * columns. */

@@ -62,7 +62,13 @@ object DesCatalogSource {
 
   /** Test-only introspection: the last scan's pushed filters and pruned
     * schema (the DSv2 plan string doesn't render a custom scan's
-    * pushdown state, so the contract tests read it here). */
+    * pushdown state, so the contract tests read it here).
+    * KNOWN LIMITATION: process-global, so two scans building
+    * concurrently race and a contract test could read the other
+    * scan's state — acceptable because the fields are read only by
+    * SourcesSpec's single-threaded scenarios and carry no production
+    * semantics; a production connector would expose this through
+    * `Scan.description()` per instance instead. */
   @volatile var lastPushed: Seq[Filter] = Nil
   @volatile var lastReadSchema: StructType = schema
 }

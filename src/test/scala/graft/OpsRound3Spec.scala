@@ -538,7 +538,9 @@ class OpsRound3Spec extends SparkSpec {
       a <- ids; b <- ids if a < b
       if (sets(a) & sets(b)).size >= 5
       (ta, tb) = (texts(a), texts(b))
-      if math.abs(ta.length - tb.length) <= 32
+      // the operator's relative length gate, not a hardcoded band —
+      // a corpus with longer docs would otherwise diverge spuriously
+      if math.abs(ta.length - tb.length) <= math.max(ta.length, tb.length) * 0.05
       d = lev(ta, tb)
       if d <= math.max(ta.length, tb.length) * 0.05
     } yield (a, b, d)).toSet

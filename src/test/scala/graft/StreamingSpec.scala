@@ -309,4 +309,69 @@ class StreamingSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().toSet
     assert(survived === rows.map(_._1).toSet - 4L)
   }
+
+  test("transformWithState runs the per-user running aggregate incrementally") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // the arbitrary-state v2 API requires the RocksDB state store;
+    // scope the provider switch to this query and restore after
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)](spark)
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new RunningStateProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n_events", "sum_value")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+        q.processAllAvailable()
+        mem.addData((1L, 4.0), (2L, 1.0)) // state must carry over batches
+        q.processAllAvailable()
+      } finally q.stop()
+      // last update per user reflects ALL batches → init ran once and
+      // ValueState persisted across microbatches (incremental, not
+      // per-batch-reset, execution)
+      val last = spark.table("tws_out")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"sum_value").as("s"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last === Map(1L -> ((3L, 8.0)), 2L -> ((2L, 11.0))))
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
+
+/** [[graft.ops.StreamingOps.stateRunning]]'s per-user running
+  * (count, sum) as a Spark 4 `StatefulProcessor` — the
+  * `transformWithState` arbitrary-state twin of the
+  * mapGroupsWithState path. Top-level class so the closure serializes
+  * without capturing the suite. */
+private class RunningStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var acc: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[(Long, Double)]("acc",
+      org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+      tv: TimerValues): Iterator[(Long, Long, Double)] = {
+    val prev = if (acc.exists()) acc.get() else (0L, 0.0)
+    val next = rows.foldLeft(prev) { case ((n, s), (_, v)) => (n + 1, s + v) }
+    acc.update(next)
+    Iterator((user, next._1, next._2))
+  }
 }
