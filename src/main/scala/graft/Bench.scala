@@ -29,6 +29,11 @@ object Bench {
       // non-UTC host, timestamp-literal casts would otherwise select a
       // different workload than the one Verify hash-matches
       .config("spark.sql.session.timeZone", "UTC")
+      // RocksDB state store: required by transformWithState (state API
+      // v2) and the production-grade choice regardless (off-heap,
+      // spill-capable state at scale)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -129,6 +129,11 @@ object Profile {
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // RocksDB state store: required by transformWithState (state API
+      // v2) and the production-grade choice regardless (off-heap,
+      // spill-capable state at scale)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

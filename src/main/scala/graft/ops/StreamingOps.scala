@@ -204,6 +204,34 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** [[stateRunning]] through the Spark 4 `transformWithState`
+    * arbitrary-state API (StatefulProcessor + ValueState) executed in
+    * BATCH mode — the engine's v2 custom-state surface as a declared,
+    * hash-verified key (each group is fed once with empty state, the
+    * same batch-twin contract as the mapGroupsWithState key). Same
+    * decimal fold discipline and output columns, so both twins share
+    * one oracle formulation; the INCREMENTAL form of the same
+    * processor (RocksDB provider, MemoryStream microbatches) is
+    * exercised in StreamingSpec. */
+  def stateRunningTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // batch TransformWithStateExec needs the StateStoreCoordinator
+    // endpoint that only streaming queries normally register — see
+    // GraftStateCoordinator (idempotent)
+    org.apache.spark.sql.execution.streaming.state.GraftStateCoordinator
+      .ensureRegistered(spark)
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"value".cast(DecimalType(27, 4)).as("value"),
+        $"ts")
+      .as[(Long, BigDecimal, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStateV2,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value", "last_ts")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
@@ -211,6 +239,42 @@ object StreamingOps {
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
     "q_stream_late_drop" -> streamLateDrop,
-    "q_state_running" -> stateRunning
+    "q_state_running" -> stateRunning,
+    "q_state_running_tws" -> stateRunningTws
   )
+}
+
+/** The per-user running (count, exact decimal sum, max ts) fold as a
+  * Spark 4 `StatefulProcessor` — shared by the declared batch key
+  * [[StreamingOps.stateRunningTws]] and StreamingSpec's incremental
+  * run. Order-insensitive state (count/sum/max), so the result is
+  * deterministic under any partitioning, exactly like the
+  * mapGroupsWithState twin. Top-level class: serializes without
+  * capturing an enclosing scope. */
+private[ops] class RunningStateV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, BigDecimal, java.sql.Timestamp),
+      (Long, Long, Double, java.sql.Timestamp)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var acc: ValueState[(Long, BigDecimal,
+    java.sql.Timestamp)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState("acc",
+      org.apache.spark.sql.Encoders.product[(Long, BigDecimal,
+        java.sql.Timestamp)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, BigDecimal, java.sql.Timestamp)],
+      tv: TimerValues): Iterator[(Long, Long, Double, java.sql.Timestamp)] = {
+    val zero = (0L, BigDecimal(0), new java.sql.Timestamp(0))
+    val prev = if (acc.exists()) acc.get() else zero
+    val next = rows.foldLeft(prev) { case ((n, s, mx), (_, v, ts)) =>
+      (n + 1, s + v, if (ts.after(mx)) ts else mx)
+    }
+    acc.update(next)
+    Iterator((user, next._1, next._2.toDouble, next._3))
+  }
 }

@@ -677,6 +677,13 @@ object OracleSql {
          |  max(cast(ts as timestamp)) AS last_ts
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the transformWithState twin computes the identical running fold
+    "q_state_running_tws" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  ${dsum("value")} AS sum_value,
+         |  max(cast(ts as timestamp)) AS last_ts
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // watermark judged against PRECEDING batches' max event time only
     // (Structured Streaming advances watermarks between microbatches);
     // the first batch has no watermark -> NULL -> nothing late.

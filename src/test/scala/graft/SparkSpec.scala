@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same provider as the mains: transformWithState requires RocksDB
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft_warehouse_${java.util.UUID.randomUUID()}")
