@@ -198,20 +198,31 @@ object DesFiles {
     * scale path and this key documents the engine-native alternative
     * (SURVEY §7.5 probe closed: recursion IS available in Spark 4.1). */
   def hierarchySrclistCte(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "orders").select(col("o_orderkey").as("id"))
-      .createOrReplaceTempView("srclist_nodes")
+    import spark.implicits._
+    val nodes = Tables(spark, sfDir, "orders").select($"o_orderkey".as("id"))
+    nodes.createOrReplaceTempView("srclist_nodes")
+    // materialize the edge set ONCE: the recursion's step query is
+    // re-executed per level, and an edges CTE (a nodes⨯nodes
+    // self-join) would be re-joined from scratch each level AND again
+    // for the root filter — checkpointing it first makes every level
+    // a single frontier⨝edges hash join over a small materialized
+    // relation (measured ~3.5 s → ~2.9 s steady at sf0.1; the rest is
+    // the engine loop's per-level re-planning — the documented cost
+    // the driver-loop key avoids)
+    nodes.withColumn("parent", expr("id div 10"))
+      .filter($"parent" =!= $"id")
+      .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
+      .select($"id".as("child"), $"parent")
+      .transform(graft.Tables.truncate)
+      .createOrReplaceTempView("srclist_edges")
     spark.sql(
-      """WITH RECURSIVE edges AS (
-        |  SELECT c.id AS child, c.id div 10 AS parent
-        |  FROM srclist_nodes c JOIN srclist_nodes p ON p.id = c.id div 10
-        |  WHERE c.id div 10 <> c.id),
-        |walk AS (
+      """WITH RECURSIVE walk AS (
         |  SELECT id AS leaf, id AS cur, 0 AS depth FROM srclist_nodes
         |  UNION ALL
         |  SELECT w.leaf, e.parent AS cur, w.depth + 1 AS depth
-        |  FROM walk w JOIN edges e ON w.cur = e.child)
+        |  FROM walk w JOIN srclist_edges e ON w.cur = e.child)
         |SELECT leaf, cur AS root, depth FROM walk w
-        |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.child = w.cur)
+        |WHERE NOT EXISTS (SELECT 1 FROM srclist_edges e WHERE e.child = w.cur)
         |ORDER BY leaf""".stripMargin)
   }
 

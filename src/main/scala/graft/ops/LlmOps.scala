@@ -1261,6 +1261,29 @@ object LlmOps {
       .select($"doc_id", $"n_chars", Det.r4($"res_key").as("res_key"))
   }
 
+  /** PER-SOURCE CAP sample: keep at most 10 docs per source, selected
+    * by a deterministic per-doc hash order (Knuth multiplicative) —
+    * the "cap documents per domain" staple of web-corpus curation,
+    * where a handful of giant domains would otherwise dominate the
+    * training mix. Selection by hash (not arrival order) makes the
+    * kept set a uniform-ish, reproducible sample of each source.
+    * Scale: ONE shuffle on source; the rank window's width is the
+    * per-source doc count — the same bounded-window shape as
+    * [[dedupLatest]], never a global window. The hash is plain
+    * arithmetic so the oracle reproduces the selection exactly. */
+  def sampleCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hk = ($"doc_id" * 2654435761L) % 4294967296L
+    val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"lang", hk.as("hk"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"doc_id", $"source", $"lang", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   /** PII masking pass: digit runs → `<num>`, user@host tokens →
     * `<email>` — the redaction shape of a text-curation pipeline
     * (regex row-local, fully codegen'd, zero shuffle). */
@@ -1497,6 +1520,7 @@ object LlmOps {
     "q_agg_percentile_approx" -> aggPercentileApprox,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
+    "q_sample_cap_per_source" -> sampleCapPerSource,
     "q_mix_weighted" -> mixWeighted,
     "q_mix_temperature" -> mixTemperature,
     "q_text_decontaminate" -> textDecontaminate,

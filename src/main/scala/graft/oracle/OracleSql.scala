@@ -1224,6 +1224,19 @@ object OracleSql {
         |   OR lang NOT IN ('en', 'zh')
         |ORDER BY doc_id""".stripMargin,
 
+    // same Knuth multiplicative hash arithmetic as the Spark side —
+    // the kept set is selection-identical across engines
+    "q_sample_cap_per_source" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, lang,
+        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang, cast(row_number() OVER (
+        |    PARTITION BY source ORDER BY hk, doc_id) as int) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, lang, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
     "q_mix_weighted" ->
       """WITH d AS (
         |  SELECT doc_id,
