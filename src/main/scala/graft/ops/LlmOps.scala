@@ -1363,7 +1363,12 @@ object LlmOps {
       .select($"doc_id", $"n_chars".cast("int"))
       .transform(graft.Tables.spread)
       .as[(Long, Int)]
-      .mapPartitions(_.map { case (id, nChars) =>
+      .mapPartitions { it =>
+        // ImageIO defaults to FILE-backed stream caches — a temp-file
+        // create/delete per image, which serializes 32 codec threads
+        // on the filesystem; in-memory caches remove that entirely
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, nChars) =>
         val (w, h, g) = pngShape(id, nChars)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -1377,7 +1382,8 @@ object LlmOps {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         (id, bos.toByteArray)
-      })
+        }
+      }
   }
 
   case class MediaMeta(doc_id: Long, width: Int, height: Int,
