@@ -53,6 +53,17 @@ class OpsRound4Spec extends SparkSpec {
       s"expected a recursive node in:\n${plan.take(400)}")
   }
 
+  test("q_state_running_tws plans TransformWithState and equals the mapGroups twin") {
+    val tws = graft.ops.StreamingOps.stateRunningTws(spark, sfDir)
+    assert(tws.queryExecution.executedPlan.toString
+      .contains("TransformWithState"),
+      "expected the v2 arbitrary-state operator in the physical plan")
+    val a = tws.collect().toSeq
+    val b = graft.ops.StreamingOps.stateRunning(spark, sfDir).collect().toSeq
+    assert(a === b, "state-API twins diverged")
+    assert(a.nonEmpty)
+  }
+
   test("q_multimodal_binary stats come from the decoded raster") {
     val got = LlmOps.multimodalBinary(spark, sfDir)
       .as[(Long, Int, Int, Int, Double)].collect()
