@@ -471,6 +471,24 @@ object LlmOps {
     clusterLabels(spark, sfDir).orderBy($"id")
   }
 
+  /** The dedup pipeline's OUTPUT corpus: one canonical document per
+    * near-dup cluster (the min-id representative) with its cluster
+    * size — the keep-list join that turns [[dedupCluster]]'s labels
+    * into the deduplicated corpus a training run actually reads.
+    * Reuses the memoized labels; one broadcast-sized agg (cluster
+    * count ≤ corpus) + one equi join on doc_id. At 100 TB this is the
+    * final projection of every dedup pipeline: labels ⨝ corpus,
+    * keep where id = representative. */
+  def dedupClusterKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = clusterLabels(spark, sfDir)
+      .groupBy($"component").agg(count(lit(1)).as("n_members"))
+    Tables(spark, sfDir, "documents")
+      .join(sizes.select($"component".as("doc_id"), $"n_members"), "doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_members")
+      .orderBy($"doc_id")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: assign whole near-dup
     * CLUSTERS (not rows) to splits, so a pair of near-duplicates can
     * never straddle the train/eval boundary — the standard fix for
@@ -1500,6 +1518,7 @@ object LlmOps {
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_edit" -> dedupEdit,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_cluster_keep" -> dedupClusterKeep,
     "q_split_leakage_safe" -> splitLeakageSafe,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,

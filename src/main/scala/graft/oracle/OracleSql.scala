@@ -890,6 +890,33 @@ object OracleSql {
          |SELECT id, min(r) AS component FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // keep-list join over the same closure: representative docs only,
+    // with their cluster size
+    "q_dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a AS src, doc_b AS dst
+         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
+         |  JOIN sz y ON p.doc_b = y.doc_id
+         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst, src FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |csz AS (SELECT component, count(*) AS n_members
+         |        FROM comp GROUP BY component)
+         |SELECT d.doc_id, d.lang, d.source, csz.n_members
+         |FROM documents d JOIN csz ON d.doc_id = csz.component
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_sim_cosine_topk" ->
       s"""SELECT a.vec_id, $dotSql AS sim
          |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
