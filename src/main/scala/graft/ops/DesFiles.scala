@@ -226,6 +226,50 @@ object DesFiles {
         |ORDER BY leaf""".stripMargin)
   }
 
+  /** [[hierarchySrclist]] by POINTER DOUBLING — O(log depth) rounds
+    * instead of O(depth): the jump relation starts as the 1-step
+    * parent map and is SQUARED each round (terminal-capped left
+    * self-join: a node whose remaining chain is shorter than the jump
+    * length keeps its root pointer and accumulated depth), so after
+    * ceil(log₂(maxDepth)) squarings every non-root maps directly to
+    * its root with its true depth, and ONE final left join labels all
+    * nodes. At depth ≈ 7 this is 5 fixed jobs vs the level walk's
+    * 7 data-dependent ones (bench-equal at sf0.1, job-overhead
+    * dominated); at a 100-deep chain it is 7 rounds vs 100 — the same
+    * log-rounds idea as [[Graph.connectedComponents]]'s label
+    * shortcutting, applied to the reference's signature op. Cycle
+    * safety: rounds are FIXED (no data-dependent loop), so a cyclic
+    * input cannot hang — it just yields ≤ 2^rounds-step positions
+    * (the acyclic contract is the same one the level walk's maxDepth
+    * guard enforces). Hash-matches the identical srclist oracle. */
+  def hierarchySrclistDoubling(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val nodes = Tables(spark, sfDir, "orders").select($"o_orderkey".as("id"))
+    var jump = nodes
+      .withColumn("parent", expr("id div 10"))
+      .filter($"parent" =!= $"id")
+      .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
+      .select($"id".as("from"), $"parent".as("to"), lit(1).as("d"))
+      .transform(graft.Tables.truncate)
+    val rounds = 5 // 2^5 = 32 ≥ the level walk's maxDepth guard of 20
+    for (_ <- 1 to rounds) {
+      // rename the probe side wholesale: a self-join of one truncated
+      // plan needs disjoint attribute names, not alias qualifiers
+      val b = jump.select($"from".as("bfrom"), $"to".as("bto"),
+        $"d".as("bd"))
+      jump = jump.join(b, $"to" === $"bfrom", "left")
+        .select($"from", coalesce($"bto", $"to").as("to"),
+          ($"d" + coalesce($"bd", lit(0))).as("d"))
+        .transform(graft.Tables.truncate)
+    }
+    nodes.join(jump, nodes("id") === jump("from"), "left")
+      .select(nodes("id").as("leaf"),
+        coalesce($"to", nodes("id")).as("root"),
+        coalesce($"d", lit(0)).as("depth"))
+      .orderBy($"leaf")
+  }
+
   /** Generic parent-chasing core (shared by the declared query and the
     * DES-shaped fixture tests): walk every node of `nodes` ("id") up
     * the `edges` ("child" → "parent") relation until no edge applies;
@@ -312,6 +356,7 @@ object DesFiles {
     "q_udf_despath_multi" -> udfDespathMulti,
     "q_hierarchy_srclist" -> hierarchySrclist,
     "q_hierarchy_srclist_stop" -> hierarchySrclistStop,
-    "q_hierarchy_srclist_cte" -> hierarchySrclistCte
+    "q_hierarchy_srclist_cte" -> hierarchySrclistCte,
+    "q_hierarchy_srclist_doubling" -> hierarchySrclistDoubling
   )
 }

