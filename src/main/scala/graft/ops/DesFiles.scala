@@ -200,7 +200,6 @@ object DesFiles {
   def hierarchySrclistCte(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val nodes = Tables(spark, sfDir, "orders").select($"o_orderkey".as("id"))
-    nodes.createOrReplaceTempView("srclist_nodes")
     // materialize the edge set ONCE: the recursion's step query is
     // re-executed per level, and an edges CTE (a nodes⨯nodes
     // self-join) would be re-joined from scratch each level AND again
@@ -209,21 +208,33 @@ object DesFiles {
     // relation (measured ~3.5 s → ~2.9 s steady at sf0.1; the rest is
     // the engine loop's per-level re-planning — the documented cost
     // the driver-loop key avoids)
-    nodes.withColumn("parent", expr("id div 10"))
+    val edges = nodes.withColumn("parent", expr("id div 10"))
       .filter($"parent" =!= $"id")
       .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
       .select($"id".as("child"), $"parent")
       .transform(graft.Tables.truncate)
-      .createOrReplaceTempView("srclist_edges")
-    spark.sql(
-      """WITH RECURSIVE walk AS (
-        |  SELECT id AS leaf, id AS cur, 0 AS depth FROM srclist_nodes
-        |  UNION ALL
-        |  SELECT w.leaf, e.parent AS cur, w.depth + 1 AS depth
-        |  FROM walk w JOIN srclist_edges e ON w.cur = e.child)
-        |SELECT leaf, cur AS root, depth FROM walk w
-        |WHERE NOT EXISTS (SELECT 1 FROM srclist_edges e WHERE e.child = w.cur)
-        |ORDER BY leaf""".stripMargin)
+    // per-call unique view names, dropped right after spark.sql —
+    // analysis is eager, so the returned plan holds the RESOLVED
+    // relations and needs no catalog entry at execution time; a
+    // fixed-name view left behind would be a session side effect
+    // pointing at checkpoint blocks the harness later frees
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (nv, ev) = (s"srclist_nodes_$tag", s"srclist_edges_$tag")
+    nodes.createOrReplaceTempView(nv)
+    edges.createOrReplaceTempView(ev)
+    try spark.sql(
+      s"""WITH RECURSIVE walk AS (
+         |  SELECT id AS leaf, id AS cur, 0 AS depth FROM $nv
+         |  UNION ALL
+         |  SELECT w.leaf, e.parent AS cur, w.depth + 1 AS depth
+         |  FROM walk w JOIN $ev e ON w.cur = e.child)
+         |SELECT leaf, cur AS root, depth FROM walk w
+         |WHERE NOT EXISTS (SELECT 1 FROM $ev e WHERE e.child = w.cur)
+         |ORDER BY leaf""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(nv)
+      spark.catalog.dropTempView(ev)
+    }
   }
 
   /** [[hierarchySrclist]] by POINTER DOUBLING — O(log depth) rounds
@@ -246,11 +257,23 @@ object DesFiles {
       : DataFrame = {
     import spark.implicits._
     val nodes = Tables(spark, sfDir, "orders").select($"o_orderkey".as("id"))
-    var jump = nodes
+    val edges = nodes
       .withColumn("parent", expr("id div 10"))
       .filter($"parent" =!= $"id")
       .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
-      .select($"id".as("from"), $"parent".as("to"), lit(1).as("d"))
+      .select($"id".as("child"), $"parent")
+    resolveByDoubling(nodes, edges).orderBy($"leaf")
+  }
+
+  /** The doubling core — shared by the declared key and the
+    * deep-chain spec (which drives it with a 12-link synthetic chain
+    * the corpus depth can't reach). `nodes`: one column "id";
+    * `edges`: ("child", "parent"). Returns (leaf, root, depth). */
+  private[graft] def resolveByDoubling(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    var jump = edges
+      .select($"child".as("from"), $"parent".as("to"), lit(1).as("d"))
       .transform(graft.Tables.truncate)
     val rounds = 5 // 2^5 = 32 ≥ the level walk's maxDepth guard of 20
     for (_ <- 1 to rounds) {
@@ -267,7 +290,6 @@ object DesFiles {
       .select(nodes("id").as("leaf"),
         coalesce($"to", nodes("id")).as("root"),
         coalesce($"d", lit(0)).as("depth"))
-      .orderBy($"leaf")
   }
 
   /** Generic parent-chasing core (shared by the declared query and the

@@ -443,10 +443,16 @@ object LlmOps {
     * labels once and every downstream consumer (dedup keep-list,
     * split assignment) scans the labeled table. */
   private val labelsCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+    .empty[(String, String), String]
 
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = labelsCache.getOrElseUpdate((spark, sfDir), {
+    // keyed by the session's identity hash (not the session object)
+    // so a stopped session is never pinned by the cache; dirs are
+    // removed by the shutdown hook. A reused hash after GC would only
+    // re-share the deterministic, content-identical labels dir for
+    // the same sfDir — harmless. (sessionUUID is private[sql].)
+    val uuid = String.valueOf(System.identityHashCode(spark))
+    val path = labelsCache.getOrElseUpdate((uuid, sfDir), {
       import spark.implicits._
       val pairs = dedupNgramJaccardOn(Tables(spark, sfDir, "documents"))
         .select($"doc_a".as("src"), $"doc_b".as("dst"))

@@ -62,33 +62,15 @@ class OpsRound4Spec extends SparkSpec {
     // depth > 2^3: a 12-link chain forces the terminal-capped squaring
     // to compose short terminal jumps correctly (the corpus only
     // reaches depth ~4 at sf0.001, which would mask an off-by-one in
-    // the cap logic)
-    import org.apache.spark.sql.functions.expr
-    val chain = (0L to 12L).toDF("id")
-    chain.createOrReplaceTempView("srclist_probe")
-    val nodes = chain
-    val jumpResult = {
-      // replicate the operator's doubling over parent(id) = id - 1
-      var jump = nodes.withColumn("parent", expr("id - 1"))
-        .filter($"parent" >= 0)
-        .select($"id".as("from"), $"parent".as("to"),
-          org.apache.spark.sql.functions.lit(1).as("d"))
-        .transform(Tables.truncate)
-      for (_ <- 1 to 5) {
-        val b = jump.select($"from".as("bfrom"), $"to".as("bto"),
-          $"d".as("bd"))
-        jump = jump.join(b, $"to" === $"bfrom", "left")
-          .select($"from",
-            org.apache.spark.sql.functions.coalesce($"bto", $"to").as("to"),
-            ($"d" + org.apache.spark.sql.functions.coalesce($"bd",
-              org.apache.spark.sql.functions.lit(0))).as("d"))
-          .transform(Tables.truncate)
-      }
-      jump.as[(Long, Long, Int)].collect()
-        .map { case (f, t, d) => f -> ((t, d)) }.toMap
-    }
-    (1L to 12L).foreach { i =>
-      assert(jumpResult(i) === ((0L, i.toInt)),
+    // the cap logic) — driven through the OPERATOR's shared core, not
+    // a replica
+    val nodes = (0L to 12L).toDF("id")
+    val edges = (1L to 12L).map(i => (i, i - 1)).toDF("child", "parent")
+    val got = graft.ops.DesFiles.resolveByDoubling(nodes, edges)
+      .as[(Long, Long, Int)].collect()
+      .map { case (l, r, d) => l -> ((r, d)) }.toMap
+    (0L to 12L).foreach { i =>
+      assert(got(i) === ((0L, i.toInt)),
         s"node $i should reach root 0 at depth $i")
     }
   }

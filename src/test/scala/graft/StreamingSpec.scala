@@ -312,42 +312,32 @@ class StreamingSpec extends SparkSpec {
 
   test("transformWithState runs the per-user running aggregate incrementally") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    // the arbitrary-state v2 API requires the RocksDB state store;
-    // scope the provider switch to this query and restore after
-    val prevProvider =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the arbitrary-state v2 API requires the RocksDB state store —
+    // SparkSpec's shared session builder sets it for the whole suite
+    // (the same default every main uses)
+    val mem = MemoryStream[(Long, Double)](spark)
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF("user_id", "n_events", "sum_value")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
     try {
-      val mem = MemoryStream[(Long, Double)](spark)
-      val out = mem.toDS()
-        .groupByKey(_._1)
-        .transformWithState(new RunningStateProcessor,
-          TimeMode.None(), OutputMode.Update())
-      val q = out.toDF("user_id", "n_events", "sum_value")
-        .writeStream.format("memory").queryName("tws_out")
-        .outputMode("update").start()
-      try {
-        mem.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
-        q.processAllAvailable()
-        mem.addData((1L, 4.0), (2L, 1.0)) // state must carry over batches
-        q.processAllAvailable()
-      } finally q.stop()
-      // last update per user reflects ALL batches → init ran once and
-      // ValueState persisted across microbatches (incremental, not
-      // per-batch-reset, execution)
-      val last = spark.table("tws_out")
-        .groupBy($"user_id")
-        .agg(max($"n_events").as("n"), max($"sum_value").as("s"))
-        .as[(Long, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3))).toMap
-      assert(last === Map(1L -> ((3L, 8.0)), 2L -> ((2L, 11.0))))
-    } finally prevProvider match {
-      case Some(p) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+      mem.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0), (2L, 1.0)) // state must carry over batches
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user reflects ALL batches → init ran once and
+    // ValueState persisted across microbatches (incremental, not
+    // per-batch-reset, execution)
+    val last = spark.table("tws_out")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), max($"sum_value").as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last === Map(1L -> ((3L, 8.0)), 2L -> ((2L, 11.0))))
   }
 }
 
