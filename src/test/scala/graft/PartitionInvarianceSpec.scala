@@ -1,0 +1,39 @@
+package graft
+
+/** Partition-count invariance: a representative slice of the declared
+  * keys must return IDENTICAL results when the shuffle partitioning
+  * changes — the "same answer on a different cluster layout" guarantee
+  * every 100 TB claim rests on. A second session on the same context
+  * runs each key with shuffle.partitions = 5 (vs the suite's 4-core
+  * default) and the row multisets must match exactly. Keys chosen to
+  * cover every movement-sensitive shape: hash agg, inverted-index
+  * join, CC fixpoint + materialized labels, window top-k, exact
+  * percentile, sequential fold, A-Res sampling, as-of join, two-pass
+  * BM25, pointer doubling, per-source cap, funnel. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val keys = Seq(
+    "q_agg_hash_q1", "q_dedup_ngram_jaccard", "q_dedup_cluster",
+    "q_win_topk_per_group", "q_agg_percentile", "q_events_funnel",
+    "q_sample_weighted", "q_join_asof", "q_text_bm25", "q_agg_stats",
+    "q_sample_cap_per_source", "q_hierarchy_srclist_doubling")
+
+  private lazy val alt = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "5")
+    s
+  }
+
+  keys.foreach { k =>
+    test(s"$k: identical rows under shuffle.partitions=5") {
+      val fn = SparkEntry.queries(k)
+      // multiset compare (sorted row strings): the declared ORDER BY
+      // keys are the compare contract; physical row order inside ties
+      // is not part of it
+      val base = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = fn(alt, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(got === base, s"$k diverged under a different partitioning")
+      assert(base.nonEmpty, s"$k returned no rows — vacuous")
+    }
+  }
+}
