@@ -1291,19 +1291,27 @@ object LlmOps {
     * where a handful of giant domains would otherwise dominate the
     * training mix. Selection by hash (not arrival order) makes the
     * kept set a uniform-ish, reproducible sample of each source.
-    * Scale: ONE shuffle on source; the rank window's width is the
-    * per-source doc count — the same bounded-window shape as
-    * [[dedupLatest]], never a global window. The hash is plain
-    * arithmetic so the oracle reproduces the selection exactly. */
+    * Scale: the cap runs on the [[graft.functions.TopKAgg]] bounded
+    * heap (10 smallest (hk, doc_id) = top-k by (-hk DESC, id ASC)) —
+    * map-side partial heaps mean a GIANT domain never funnels its
+    * full row set through one task the way a rank window would; only
+    * k·sources pairs cross the shuffle, and the doc_id join that
+    * restores the kept rows' columns touches ≤ 10/source rows. The
+    * hash is plain arithmetic so the oracle reproduces the selection
+    * exactly (same result as the window formulation). */
   def sampleCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKAgg.register(spark)
     val hk = ($"doc_id" * 2654435761L) % 4294967296L
-    val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
-    Tables(spark, sfDir, "documents")
-      .select($"doc_id", $"source", $"lang", hk.as("hk"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 10)
+    val kept = Tables(spark, sfDir, "documents")
+      .select($"source", $"doc_id", hk.as("hk"))
+      .groupBy($"source")
+      .agg(call_function("topk_agg", -$"hk", $"doc_id", lit(10)).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", $"col.id".as("doc_id"),
+        ($"pos" + 1).cast("int").as("rk"))
+    Tables(spark, sfDir, "documents").select($"doc_id", $"lang")
+      .join(kept, "doc_id")
       .select($"doc_id", $"source", $"lang", $"rk")
       .orderBy($"source", $"rk")
   }
