@@ -103,8 +103,48 @@ object Profile {
           .select(graft.functions.SetExpressions
             .overlapCount(s)(col("sa"), col("sb")).as("c"))
           .agg(sum(col("c")))
+      }),
+      // A/B for the per-source cap under DOMAIN SKEW: a ×64 fan-out of
+      // the corpus mapped to ONE hot source (~320k rows/domain at
+      // sf0.1 — the giant-domain regime in miniature). The naive
+      // rank-window formulation funnels the whole domain through a
+      // single window task's sort; the shipped TopKAgg heap
+      // (q_sample_cap_per_source) partial-aggregates map-side and
+      // ships k pairs per partition. Numbers recorded in SCALE.md.
+      "x_cap_window_skew" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+        capSkewWorkload(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 10)
+      }),
+      "x_cap_heap_skew" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        graft.functions.TopKAgg.register(s)
+        capSkewWorkload(s, dir)
+          .groupBy($"source")
+          .agg(call_function("topk_agg", -$"hk", $"doc_id", lit(10))
+            .as("top"))
+          .select($"source", posexplode($"top"))
       })
     )
+
+  /** One-hot-domain skewed cap workload shared by the x_cap probes:
+    * ×64 corpus fan-out, all rows in one source, synthetic distinct
+    * doc ids. */
+  private def capSkewWorkload(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    Tables.spread(Tables(s, dir, "documents").select($"doc_id"))
+      .select(explode(sequence(lit(0), lit(63))).as("rep"), $"doc_id")
+      .select(($"doc_id" * 64 + $"rep").as("doc_id"))
+      .withColumn("source", lit("hot"))
+      .withColumn("hk", ($"doc_id" * 2654435761L) % 4294967296L)
+      .select($"source", $"doc_id", $"hk")
+  }
 
   /** Banded all-pairs set-array workload shared by the x_overlap
     * probes. */
