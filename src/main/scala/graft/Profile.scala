@@ -120,16 +120,11 @@ object Profile {
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 10)
       }),
-      "x_cap_heap_skew" -> ((s, dir) => {
-        import org.apache.spark.sql.functions._
-        import s.implicits._
-        graft.functions.TopKAgg.register(s)
-        capSkewWorkload(s, dir)
-          .groupBy($"source")
-          .agg(call_function("topk_agg", -$"hk", $"doc_id", lit(10))
-            .as("top"))
-          .select($"source", posexplode($"top"))
-      })
+      // the heap side reuses the PRODUCTION core (LlmOps.capHeapOn),
+      // so this A/B keeps measuring the shipped formulation if k, the
+      // tie-break, or the hash ever change
+      "x_cap_heap_skew" -> ((s, dir) =>
+        graft.ops.LlmOps.capHeapOn(capSkewWorkload(s, dir), 10))
     )
 
   /** One-hot-domain skewed cap workload shared by the x_cap probes:
@@ -142,7 +137,7 @@ object Profile {
       .select(explode(sequence(lit(0), lit(63))).as("rep"), $"doc_id")
       .select(($"doc_id" * 64 + $"rep").as("doc_id"))
       .withColumn("source", lit("hot"))
-      .withColumn("hk", ($"doc_id" * 2654435761L) % 4294967296L)
+      .withColumn("hk", graft.ops.LlmOps.knuthHash($"doc_id"))
       .select($"source", $"doc_id", $"hk")
   }
 

@@ -1294,26 +1294,46 @@ object LlmOps {
     * Scale: the cap runs on the [[graft.functions.TopKAgg]] bounded
     * heap (10 smallest (hk, doc_id) = top-k by (-hk DESC, id ASC)) —
     * map-side partial heaps mean a GIANT domain never funnels its
-    * full row set through one task the way a rank window would; only
-    * k·sources pairs cross the shuffle, and the doc_id join that
-    * restores the kept rows' columns touches ≤ 10/source rows. The
-    * hash is plain arithmetic so the oracle reproduces the selection
-    * exactly (same result as the window formulation). */
+    * full row set through one task's sort the way a rank window
+    * would; shuffle volume is capped at k pairs per source PER MAP
+    * TASK (each task ships its partial heap — k·sources·tasks worst
+    * case, still independent of domain row counts), and the doc_id
+    * join that restores the kept rows' columns touches ≤ 10/source
+    * rows. PRECONDITION the restore join relies on: doc_id is the
+    * documents PK (unique, non-null — FIXTURES.md); a duplicated id
+    * would fan the join out where the window formulation ranked
+    * physical rows. The hash is plain arithmetic so the oracle
+    * reproduces the selection exactly (same result as the window
+    * formulation under that precondition). */
   def sampleCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.TopKAgg.register(spark)
-    val hk = ($"doc_id" * 2654435761L) % 4294967296L
-    val kept = Tables(spark, sfDir, "documents")
-      .select($"source", $"doc_id", hk.as("hk"))
-      .groupBy($"source")
-      .agg(call_function("topk_agg", -$"hk", $"doc_id", lit(10)).as("top"))
-      .select($"source", posexplode($"top"))
-      .select($"source", $"col.id".as("doc_id"),
-        ($"pos" + 1).cast("int").as("rk"))
-    Tables(spark, sfDir, "documents").select($"doc_id", $"lang")
+    val docs = Tables(spark, sfDir, "documents")
+    val kept = capHeapOn(
+      docs.select($"source", $"doc_id", knuthHash($"doc_id").as("hk")), 10)
+    docs.select($"doc_id", $"lang")
       .join(kept, "doc_id")
       .select($"doc_id", $"source", $"lang", $"rk")
       .orderBy($"source", $"rk")
+  }
+
+  /** The deterministic Knuth multiplicative hash order key shared by
+    * the cap query and its Profile skew probes. */
+  private[graft] def knuthHash(id: Column): Column =
+    (id * 2654435761L) % 4294967296L
+
+  /** Bounded-heap per-source cap core over a (source, doc_id, hk)
+    * relation → (source, doc_id, rk ≤ k): one definition serving the
+    * declared key AND the x_cap skew probes, so the A/B always
+    * measures the shipped formulation. */
+  private[graft] def capHeapOn(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.TopKAgg.register(spark)
+    df.groupBy($"source")
+      .agg(call_function("topk_agg", -$"hk", $"doc_id", lit(k)).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", $"col.id".as("doc_id"),
+        ($"pos" + 1).cast("int").as("rk"))
   }
 
   /** PII masking pass: digit runs → `<num>`, user@host tokens →
