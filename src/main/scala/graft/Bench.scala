@@ -73,7 +73,9 @@ object Bench {
     println(f"# bench total $total%.1f s over ${results.size} queries" +
       s" (${failed.size} failed) sf=$sfDir")
     if (failed.nonEmpty) println(s"# failed: ${failed.mkString(" ")}")
-    results.toSeq.sortBy(-_._2).take(20).zipWithIndex.foreach {
+    // successes only: failures carry the -1 sentinel and would otherwise
+    // surface as negative-second "slow" entries when many queries fail
+    results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(20).zipWithIndex.foreach {
       case ((k, v), i) => println(f"# slow${i + 1}%02d $k $v%.2f s")
     }
     spark.stop()

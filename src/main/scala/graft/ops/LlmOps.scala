@@ -1317,9 +1317,15 @@ object LlmOps {
   }
 
   /** The deterministic Knuth multiplicative hash order key shared by
-    * the cap query and its Profile skew probes. */
+    * the cap query and its Profile skew probes. The multiply runs in
+    * decimal(38,0) — exact for any bigint id — because the plain
+    * 64-bit product wraps for id > ~3.47e9 where Spark would wrap
+    * silently while DuckDB raises a BIGINT overflow (the oracle twin
+    * mirrors this with a hugeint cast), so both engines now agree over
+    * the FULL bigint id domain, not just id < 2^31. */
   private[graft] def knuthHash(id: Column): Column =
-    (id * 2654435761L) % 4294967296L
+    ((id.cast(DecimalType(38, 0)) * 2654435761L) % 4294967296L)
+      .cast("bigint")
 
   /** Bounded-heap per-source cap core over a (source, doc_id, hk)
     * relation → (source, doc_id, rk ≤ k): one definition serving the
@@ -1530,11 +1536,12 @@ object LlmOps {
           new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
         val r = img.getRaster
+        val nFrames = (h + 4) / 5 // = |0 until h by 5|, the emitted count
         (0 until h by 5).iterator.map { y =>
           var sum = 0L
           var x = 0
           while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
-          MediaFrame(id, h, y, sum.toDouble / w)
+          MediaFrame(id, nFrames, y, sum.toDouble / w)
         }
       })
       .toDF()

@@ -1144,7 +1144,7 @@ object OracleSql {
       s"""WITH $mmShapeCte,
          |fr AS (SELECT doc_id, w, h, g,
          |  unnest(range(0, h, 5)) AS frame_idx FROM m)
-         |SELECT doc_id, cast(h as int) AS n_frames,
+         |SELECT doc_id, cast((h + 4) // 5 as int) AS n_frames,
          |  cast(frame_idx as int) AS frame_idx,
          |  cast(w*g + w*frame_idx + (w*(w-1))//2 as double) / w
          |    AS frame_feature
@@ -1267,11 +1267,15 @@ object OracleSql {
         |ORDER BY doc_id""".stripMargin,
 
     // same Knuth multiplicative hash arithmetic as the Spark side —
-    // the kept set is selection-identical across engines
+    // the kept set is selection-identical across engines. hugeint
+    // multiply mirrors the Spark side's decimal(38,0): exact over the
+    // full bigint id domain (a plain bigint product would RAISE here
+    // for doc_id > ~3.47e9 while Spark wrapped silently)
     "q_sample_cap_per_source" ->
       """WITH h AS (
         |  SELECT doc_id, source, lang,
-        |    (doc_id * 2654435761) % 4294967296 AS hk
+        |    cast((cast(doc_id as hugeint) * 2654435761) % 4294967296
+        |      as bigint) AS hk
         |  FROM documents),
         |r AS (SELECT doc_id, source, lang, cast(row_number() OVER (
         |    PARTITION BY source ORDER BY hk, doc_id) as int) AS rk
