@@ -101,7 +101,18 @@ object LlmOps {
     * heavy-hitter shingles see [[dedupJaccardPrefix]], the same result
     * through a prefix-filtered set-similarity join. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    dedupNgramJaccardOn(Tables(spark, sfDir, "documents"))
+    dedupNgramJaccardFromShingles(shingleIndex(spark, sfDir))
+
+  /** The MEMOIZED full-corpus shingle inverted index — computed once
+    * per (session, corpus) and materialized to parquet ([[Memo]]);
+    * every dedup-family key then starts from a plain parquet scan of
+    * it instead of re-tokenizing the corpus. This is the round-4
+    * verdict ask #3 and the production shape: at 100 TB the shingle
+    * index is a maintained table, not a per-query recomputation. */
+  private[graft] def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "shingles") {
+      shingleDf(Tables(spark, sfDir, "documents"))
+    }
 
   /** Shingle inverted-index candidate pass shared by the Jaccard /
     * containment / edit-distance dedups: ONE self-join on shingle
@@ -118,10 +129,14 @@ object LlmOps {
   /** Core over an arbitrary documents relation — also driven by the
     * Profile stop-shingle probes that measure this formulation's n²
     * blow-up territory (see SCALE.md). */
-  private[graft] def dedupNgramJaccardOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def dedupNgramJaccardOn(docs: DataFrame): DataFrame =
+    dedupNgramJaccardFromShingles(
+      shingleDf(docs).transform(graft.Tables.truncate))
+
+  /** Same pass over a prebuilt (doc_id, shingle) index relation. */
+  private[graft] def dedupNgramJaccardFromShingles(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     shinglePairCounts(sh)
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
@@ -149,15 +164,19 @@ object LlmOps {
     * frequency grows with corpus size, this is the shape that survives
     * — candidate count tracks true-near-dup density, not corpus². */
   def dedupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    dedupJaccardPrefixOn(Tables(spark, sfDir, "documents"))
+    dedupJaccardPrefixFromShingles(shingleIndex(spark, sfDir))
 
   /** Core over an arbitrary documents relation (see
     * [[dedupNgramJaccardOn]] — same probe rationale). */
-  private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame =
+    dedupJaccardPrefixFromShingles(
+      shingleDf(docs).transform(graft.Tables.truncate))
+
+  /** Same pass over a prebuilt (doc_id, shingle) index relation. */
+  private[graft] def dedupJaccardPrefixFromShingles(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleDf(docs).transform(graft.Tables.truncate)
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
     // per-doc shingle set as ONE array row (shingles are distinct per
     // doc by construction) + set size, for the verification join
@@ -229,8 +248,7 @@ object LlmOps {
     * map-side, no n² space exists. */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleDf(Tables(spark, sfDir, "documents"))
-      .transform(graft.Tables.truncate)
+    val sh = shingleIndex(spark, sfDir)
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     shinglePairCounts(sh)
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
@@ -270,7 +288,7 @@ object LlmOps {
     val maxLen = docs.agg(max(length($"text")))
       .as[Option[Int]].collect()(0).getOrElse(0)
     val band = math.max(1, math.ceil(maxLen * 0.05).toInt)
-    val sh = shingleDf(docs).transform(graft.Tables.truncate)
+    val sh = shingleIndex(spark, sfDir)
     val cand = shinglePairCounts(sh)
       .filter($"common" >= 5)
       .select($"doc_a", $"doc_b")
@@ -303,8 +321,7 @@ object LlmOps {
     * even when the old doc is longer). */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, sfDir, "documents")
-    val sh = shingleDf(docs).transform(graft.Tables.truncate)
+    val sh = shingleIndex(spark, sfDir)
     val batch = sh.filter($"doc_id" % 10 === 0)
     val corpus = sh.filter($"doc_id" % 10 =!= 0)
     val bsz = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
@@ -326,7 +343,7 @@ object LlmOps {
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.MinHashAgg.register(spark)
-    val sh = shingleDf(Tables(spark, sfDir, "documents")).transform(graft.Tables.truncate)
+    val sh = shingleIndex(spark, sfDir)
     // the whole 32-permutation signature in ONE TypedImperativeAggregate
     // pass (see graft.functions.MinHashAgg): one buffer per group, the
     // shuffle carries one array row per doc.
@@ -359,7 +376,7 @@ object LlmOps {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.SimHashAgg.register(spark)
-    val sig = shingleDf(Tables(spark, sfDir, "documents"))
+    val sig = shingleIndex(spark, sfDir)
       .groupBy($"doc_id")
       .agg(call_function("simhash_agg", $"shingle").as("simhash"))
     val banded = sig.select($"doc_id", $"simhash",
@@ -442,35 +459,14 @@ object LlmOps {
     * the scale-honest shape — at 100 TB you materialize the cluster
     * labels once and every downstream consumer (dedup keep-list,
     * split assignment) scans the labeled table. */
-  private val labelsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), String]
-
-  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    // keyed by the session's identity hash (not the session object)
-    // so a stopped session is never pinned by the cache; dirs are
-    // removed by the shutdown hook. A reused hash after GC would only
-    // re-share the deterministic, content-identical labels dir for
-    // the same sfDir — harmless. (sessionUUID is private[sql].)
-    val uuid = String.valueOf(System.identityHashCode(spark))
-    val path = labelsCache.getOrElseUpdate((uuid, sfDir), {
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "cluster-labels") {
       import spark.implicits._
-      val pairs = dedupNgramJaccardOn(Tables(spark, sfDir, "documents"))
+      val pairs = dedupNgramJaccardFromShingles(shingleIndex(spark, sfDir))
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val nodes = Tables(spark, sfDir, "documents").select($"doc_id".as("id"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-cluster-labels-")
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val all = Files.walk(out).iterator().asScala.toSeq
-        all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-      }
       Graph.connectedComponents(nodes, pairs)
-        .write.mode("overwrite").parquet(out.toString)
-      out.toString
-    })
-    spark.read.parquet(path)
-  }
+    }
 
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1082,10 +1078,12 @@ object LlmOps {
     * count's partial agg. */
   def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, sfDir, "documents")
-    val banned = shingleDf(docs.filter($"doc_id" % 97 === 0))
+    // both sides are doc_id-filtered slices of the memoized shingle
+    // index — the filters prune on the materialized parquet scan
+    val idx = shingleIndex(spark, sfDir)
+    val banned = idx.filter($"doc_id" % 97 === 0)
       .select($"shingle").distinct()
-    val sh = shingleDf(docs.filter($"doc_id" % 97 =!= 0))
+    val sh = idx.filter($"doc_id" % 97 =!= 0)
     // ONE pass over the train shingle stream (shingling is the
     // CPU-heavy step — see shingleDf): a broadcast LEFT join keeps
     // every shingle row exactly once (banned is distinct, per-doc

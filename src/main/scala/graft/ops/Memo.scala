@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialize-once-per-(session, corpus) parquet cache for expensive
+  * shared intermediates (the near-dup cluster labels, the shingle
+  * inverted index). At 100 TB this IS the pipeline shape — you compute
+  * the labels/index once, write them, and every downstream consumer
+  * scans the materialized table — so the cache is not a local-bench
+  * trick but the production dataflow expressed at test scale.
+  *
+  * Why a parquet file and not a cached plan: the builders run
+  * localCheckpoint-backed loops (connected components) whose blocks the
+  * Verify/Bench harnesses unpersist between queries, which would strand
+  * a cached plan on freed blocks; a parquet dir is immune and is also
+  * exactly what survives executor loss on a real cluster.
+  *
+  * Lifecycle (the round-4 advisor ask): entries are keyed by the
+  * session's identity hash + corpus dir + kind, BOUNDED (eldest entry
+  * evicted past [[Memo.MaxEntries]]: its dir is deleted and its JVM
+  * shutdown hook deregistered), so a long-lived multi-session service
+  * no longer accumulates temp dirs and hooks without bound. A stopped
+  * session is never pinned (the key holds no session reference); an
+  * identity-hash reuse after GC would only re-share the deterministic,
+  * content-identical dir for the same corpus — harmless.
+  */
+private[graft] object Memo {
+
+  /** Realistic working set is (2 kinds) × (a few corpora); 16 is a
+    * service-hygiene backstop, not a tuning knob — eviction of an
+    * entry still referenced by an in-flight plan is only possible past
+    * 16 live (session, corpus, kind) combinations. */
+  private val MaxEntries = 16
+
+  private val entries =
+    new java.util.LinkedHashMap[(String, String), (String, sys.ShutdownHookThread)]
+
+  private def deleteDir(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () }
+
+  /** The memoized relation for (spark, sfDir, kind): built + written
+    * exactly once, re-read as a plain parquet scan by every consumer. */
+  def parquet(spark: SparkSession, sfDir: String, kind: String)
+      (build: => DataFrame): DataFrame = {
+    val uuid = String.valueOf(System.identityHashCode(spark))
+    val key = (uuid, s"$kind@$sfDir")
+    val path = entries.synchronized {
+      val hit = entries.get(key)
+      if (hit != null) hit._1
+      else {
+        val out = java.nio.file.Files.createTempDirectory(s"graft-$kind-")
+        val hook = sys.addShutdownHook(deleteDir(out.toString))
+        build.write.mode("overwrite").parquet(out.toString)
+        entries.put(key, (out.toString, hook))
+        while (entries.size > MaxEntries) {
+          val it = entries.entrySet().iterator()
+          val eldest = it.next()
+          it.remove()
+          val (p, h) = eldest.getValue
+          try h.remove() catch { case _: Throwable => () }
+          deleteDir(p)
+        }
+        out.toString
+      }
+    }
+    spark.read.parquet(path)
+  }
+}
