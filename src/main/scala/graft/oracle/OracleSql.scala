@@ -880,6 +880,27 @@ object OracleSql {
          |WHERE $dotSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // same 16-band × 4-sign-bit LSH arithmetic as the Spark side
+    // (band k = dims 4k+1..4k+4, MSB-first), exact-dot verify — the
+    // candidate set is deterministic, so the ANN key hash-matches
+    "q_dedup_embedding_ann" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, k,
+         |    list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN embedding[k * 4 + i] > 0
+         |           THEN (cast(1 as bigint) << (4 - i)) ELSE 0 END)) AS s
+         |  FROM embeddings, range(0, 16) t(k)),
+         |cand AS (
+         |  SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+         |  FROM sig sa JOIN sig sb
+         |    ON sa.k = sb.k AND sa.s = sb.s AND sa.vec_id < sb.vec_id)
+         |SELECT c.vec_a, c.vec_b, $dotSql AS sim
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings q ON q.vec_id = c.vec_b
+         |WHERE $dotSql >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
     // connected components = min node id reachable in the undirected
     // near-dup pair graph (edges = the exact shingle-Jaccard pairs of
     // q_dedup_ngram_jaccard); recursive transitive closure is fine at

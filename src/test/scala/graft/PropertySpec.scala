@@ -137,6 +137,29 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${strong.size} strong pairs")
   }
 
+  test("embedding ANN dedup ⊆ brute force, recall ≥ 0.9, sims exact") {
+    // banded sign-hash LSH candidates + exact vec_dot verify at the
+    // same threshold + rounding ⇒ the ANN pairs must be a SUBSET of
+    // the brute-force baseline with identical sims; recall over the
+    // full ≥0.4 pair set is the quality property (measured 0.93–0.97
+    // across SFs for 16 bands × 4 bits — see the operator scaladoc).
+    val brute = LlmOps.dedupEmbedding(spark, sfDir)
+      .select($"vec_a", $"vec_b", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val ann = LlmOps.dedupEmbeddingAnn(spark, sfDir)
+      .select($"vec_a", $"vec_b", $"sim")
+      .as[(Long, Long, Double)].collect()
+    assert(brute.nonEmpty, "corpus should contain ≥0.4-cos pairs")
+    val bruteMap = brute.map(t => (t._1, t._2) -> t._3).toMap
+    ann.foreach { case (a, b, s) =>
+      assert(bruteMap.get((a, b)).contains(s),
+        s"ANN pair ($a,$b,$s) not an exact brute-force hit")
+    }
+    val found = ann.map(t => (t._1, t._2)).toSet
+    val recall = brute.count(t => found((t._1, t._2))).toDouble / brute.size
+    assert(recall >= 0.9, s"ANN recall $recall over ${brute.size} pairs")
+  }
+
   test("bucketed ANN top-k ⊆ brute-force ranking, and hits are exact") {
     val brute = LlmOps.simCosineTopk(spark, sfDir)
       .as[(Long, Double)].collect().toMap
