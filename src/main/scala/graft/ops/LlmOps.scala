@@ -1470,7 +1470,7 @@ object LlmOps {
     * This stage is the corpus generator standing in for a binary
     * ingest column; the decode stages downstream are the real thing
     * (bytes → pixels through ImageIO, stats from the actual raster). */
-  private def pngPayload(spark: SparkSession, sfDir: String)
+  private[graft] def pngPayload(spark: SparkSession, sfDir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
     // spread: a single-file corpus scan arrives as ONE partition, which
@@ -1522,8 +1522,17 @@ object LlmOps {
     * engines — no round(), no tie modes; see Det.scala rules). */
   def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    pngPayload(spark, sfDir)
-      .mapPartitions(_.map { case (id, bytes) =>
+    decodeMeta(pngPayload(spark, sfDir)).orderBy($"doc_id")
+  }
+
+  /** The ImageIO decode stage as a reusable typed batch transform —
+    * shared by [[multimodalBinary]] (in-memory payload column) and the
+    * landed-file path ([[graft.sources.Sources.sourceBinaryFileImages]],
+    * whose (id, bytes) rows arrive from the `binaryFile` source). */
+  private[graft] def decodeMeta(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         val (w, h) = (img.getWidth, img.getHeight)
@@ -1538,7 +1547,27 @@ object LlmOps {
         MediaMeta(id, w, h, w * h, sum.toDouble / (w * h))
       })
       .toDF()
-      .orderBy($"doc_id")
+  }
+
+  /** EXACT binary dedup over the image payload column — the byte-hash
+    * dedup every multimodal corpus runs before training: one canonical
+    * (min) doc_id per byte-identical payload. Grouping key is
+    * (sha2-256, byte length), NOT the payload itself, so the shuffle
+    * carries ~40 bytes per row instead of the media bytes — at 100 TB
+    * the payload column never moves; this is the content-addressed
+    * dedup shape (a 256-bit digest collision is beyond planetary
+    * corpus sizes; a paranoid pipeline byte-verifies within digest
+    * groups). Oracle: byte-identical ⟺ identical generator shape
+    * triple (deterministic encoder; distinct rasters encode to
+    * distinct lossless PNGs), so DuckDB groups the (w, h, g)
+    * arithmetic and the key hash-matches. */
+  def dedupBinaryExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngPayload(spark, sfDir).toDF("doc_id", "content")
+      .groupBy(sha2($"content", 256), length($"content"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
   }
 
   /** Output row shape of [[multimodalFeatures]]'s batch stage. */
@@ -1658,6 +1687,7 @@ object LlmOps {
     "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,
-    "q_multimodal_binary" -> multimodalBinary
+    "q_multimodal_binary" -> multimodalBinary,
+    "q_dedup_binary_exact" -> dedupBinaryExact
   )
 }

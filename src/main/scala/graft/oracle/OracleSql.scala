@@ -1203,7 +1203,25 @@ object OracleSql {
          |  cast(w*h as int) AS n_px,
          |  cast(w*h*g + h*((w*(w-1))//2) + w*((h*(h-1))//2) as double)
          |    / (w*h) AS mean_px
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the landed-file decode must equal the in-memory decode on the
+    // %13 subsample — same recipe arithmetic, restricted
+    "q_source_binaryfile_images" ->
+      s"""WITH $mmShapeCte
+         |SELECT doc_id, cast(w as int) AS width, cast(h as int) AS height,
+         |  cast(w*h as int) AS n_px,
+         |  cast(w*h*g + h*((w*(w-1))//2) + w*((h*(h-1))//2) as double)
+         |    / (w*h) AS mean_px
+         |FROM m WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+
+    // byte-identical PNGs ⟺ identical (w, h, g) generator triple
+    // (deterministic encoder, lossless format), so exact binary dedup
+    // groups the shape arithmetic
+    "q_dedup_binary_exact" ->
+      s"""WITH $mmShapeCte
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM m GROUP BY w, h, g ORDER BY keep_id""".stripMargin
   )
 
   /** Shared shape CTE of the multimodal trio — mirrors
