@@ -339,6 +339,73 @@ class StreamingSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(last === Map(1L -> ((3L, 8.0)), 2L -> ((2L, 11.0))))
   }
+
+  test("transformWithState event-time timer expires the session") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // the v2 replacement for flatMapGroupsWithState's EventTimeTimeout
+    // (same timeline as that test, same expected emission): a timer is
+    // registered 10 min past the session's newest event and re-armed
+    // per batch; when the watermark passes it, handleExpiredTimer
+    // emits the closed session and clears state
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val out = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "0 seconds")
+      .as[(Timestamp, Long)]
+      .groupByKey(_._2)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("tws_timer_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 7L),
+        (ts("2024-01-01 00:05:00"), 7L))
+      q.processAllAvailable() // watermark 00:05 < timer 00:15 — holds
+      assert(spark.table("tws_timer_out").count() === 0)
+      mem.addData((ts("2024-01-01 01:00:00"), 8L))
+      q.processAllAvailable() // watermark 01:00 > 00:15 — user 7 fires
+    } finally q.stop()
+    val rows = spark.table("tws_timer_out")
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((7L, 2L))) // user 8's timer (01:10) never fired
+  }
+
+  test("transformWithState TTL expires idle per-key state") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // processing-time TTL on ValueState — the declarative idle-state
+    // eviction that replaces manual timeout bookkeeping. Margins are
+    // generous both ways: the idle gap (4 s) comfortably exceeds the
+    // 3 s TTL, and the back-to-back batches run well inside it.
+    val mem = MemoryStream[(Long, String)](spark)
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TtlCounterProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+    val q = out.toDF("user_id", "tag", "n")
+      .writeStream.format("memory").queryName("tws_ttl_out")
+      .outputMode("update").start()
+    // ProcessingTime mode self-triggers batches to evaluate timers/TTL,
+    // so processAllAvailable never settles — poll the sink instead
+    def await(n: Long): Unit = {
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (spark.table("tws_ttl_out").count() < n) {
+        assert(System.nanoTime < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      mem.addData((1L, "a"))
+      await(1) // count 1
+      Thread.sleep(4000) // > 3 s TTL → state "n" expires
+      mem.addData((1L, "b"))
+      await(2) // expired state reads absent → restarts at 1
+      mem.addData((1L, "c"))
+      await(3) // within TTL → increments to 2
+    } finally q.stop()
+    val rows = spark.table("tws_ttl_out")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((1L, "a", 1L), (1L, "b", 1L), (1L, "c", 2L)))
+  }
 }
 
 /** [[graft.ops.StreamingOps.stateRunning]]'s per-user running
@@ -364,4 +431,72 @@ private class RunningStateProcessor
     acc.update(next)
     Iterator((user, next._1, next._2))
   }
+}
+
+/** Event-time SESSION timer: counts a user's events, (re-)arms a timer
+  * 10 min past the newest event, and emits the closed session from
+  * `handleExpiredTimer` when the watermark passes it — the
+  * `transformWithState` twin of the flatMapGroupsWithState
+  * EventTimeTimeout pattern. Top-level class: serializes without
+  * capturing the suite. */
+private class SessionTimerProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (java.sql.Timestamp, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(java.sql.Timestamp, Long)],
+      tv: TimerValues): Iterator[(Long, Long)] = {
+    val events = rows.toSeq
+    n.update((if (n.exists()) n.get() else 0L) + events.size)
+    // one live timer per key: re-arm 10 min past the newest event
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    val expiry = events.map(_._1.getTime).max + 10 * 60 * 1000
+    getHandle.registerTimer(expiry)
+    armed.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val out = (user, n.get())
+    n.clear()
+    armed.clear()
+    Iterator(out)
+  }
+}
+
+/** Per-key counter whose ValueState carries a 3 s processing-time TTL —
+  * state idle past the TTL reads as absent, so the counter restarts:
+  * declarative idle-state eviction. Top-level class: serializes
+  * without capturing the suite. */
+private class TtlCounterProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofSeconds(3)))
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+      tv: TimerValues): Iterator[(Long, String, Long)] =
+    rows.map { case (_, tag) =>
+      val next = (if (n.exists()) n.get() else 0L) + 1
+      n.update(next)
+      (user, tag, next)
+    }
 }
