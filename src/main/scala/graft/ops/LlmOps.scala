@@ -709,6 +709,81 @@ object LlmOps {
       .limit(5)
   }
 
+  /** PRODUCT QUANTIZATION (PQ) — the memory scale-path for embedding
+    * search: each 64-dim vector splits into M = 8 contiguous 8-dim
+    * subvectors; per subspace a k = 16 codebook is Lloyd-trained
+    * (2 iterations; init = vectors 0..15's subvectors, deterministic),
+    * and every vector encodes as 8 small codes — 64 floats (256 B) →
+    * 8 B, the ~32× compression that lets a 100 TB embedding corpus's
+    * index live in executor RAM while exact vectors stay on disk
+    * (Jégou/Douze/Schmid, TPAMI 2011 — public method).
+    *
+    * ALL subspaces train in ONE set-based plan, not M loops: the
+    * exploded (vec_id, m, subvec) relation joins the broadcast
+    * ≤ 128-row codebook, argmin is a deterministic min(struct) — the
+    * squared distance is a row-local left-to-right fold, bit-stable
+    * under any partitioning, ties break on code — and new centroids
+    * are decimal-exact per-(m, code, pos) means (the [[simAnnIvf]]
+    * discipline), so train→assign is three passes over the exploded
+    * relation regardless of k·M. A code cell left empty by an
+    * iteration drops out (standard Lloyd; k_eff ≤ k). Output:
+    * per-(subspace, code) cell occupancy + r4 mean squared residual.
+    * No SQL oracle (iterative training — the q_sim_ann_ivf omit
+    * pattern); the spec replays a driver-side PQ trainer bit-for-bit
+    * and pins Lloyd monotonicity (an iteration never increases the
+    * total residual). */
+  def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    embedPqAssigned(spark, sfDir, iters = 2)
+      .groupBy($"m", $"code")
+      .agg(count(lit(1)).as("n_vecs"),
+        Det.r4(Det.davgDec($"d2".cast(DecimalType(27, 10)))).as("msr"))
+      .orderBy($"m", $"code")
+  }
+
+  /** The train→assign core of [[embedPq]] with the Lloyd iteration
+    * count exposed — the spec drives it at 0/1/2 iterations to pin
+    * residual monotonicity. Returns (vec_id, m, sv, d2, code). */
+  private[graft] def embedPqAssigned(spark: SparkSession, sfDir: String,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val k = 16
+    val parts = spread(Tables(spark, sfDir, "embeddings"))
+      .select($"vec_id", explode(expr(
+        """transform(sequence(0, 7),
+          |  m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))"""
+          .stripMargin)).as("p"))
+      .select($"vec_id", $"p.m".as("m"), $"p.sv".as("sv"))
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def assign(cents: DataFrame): DataFrame =
+      parts.join(broadcast(cents), "m")
+        .select($"vec_id", $"m", $"sv",
+          struct(d2($"sv", $"cv").as("d2"), $"code").as("dc"))
+        .groupBy($"vec_id", $"m")
+        .agg(first($"sv").as("sv"), min($"dc").as("best"))
+        .select($"vec_id", $"m", $"sv",
+          $"best.d2".as("d2"), $"best.code".as("code"))
+    var cents = parts.filter($"vec_id" < k)
+      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv"))
+    (1 to iters).foreach { _ =>
+      cents = assign(cents)
+        .select($"m", $"code", posexplode($"sv").as(Seq("pos", "x")))
+        .groupBy($"m", $"code", $"pos")
+        .agg(Det.davgDec($"x".cast(DecimalType(27, 10))).as("mu"))
+        .groupBy($"m", $"code")
+        .agg(array_sort(collect_list(struct($"pos", $"mu"))).as("pm"))
+        .select($"m", $"code",
+          expr("transform(pm, s -> cast(s.mu as float))").as("cv"))
+    }
+    // one job trains both rounds; M·k×8 floats are the driver payload
+    // (the codebook artifact — same contract as simAnnIvf's centroids)
+    val trained = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    assign(trained)
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   /** Sequence PACKING (concat-and-chunk) — the pretraining batch-prep
@@ -737,6 +812,56 @@ object LlmOps {
         Det.lsum($"n_tokens").as("n_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
       .orderBy($"source", $"chunk")
+  }
+
+  /** NEVER-SPLIT bin packing — the other pretraining packing layout
+    * ([[packChunks]] concatenates and splits at window boundaries;
+    * here every document lands WHOLE in exactly one bin, the layout
+    * used when examples must not cross attention boundaries):
+    * first-fit-decreasing per source. Shape: the
+    * [[Analytics.funnelStagesBounded]] secondary sort — ONE hash
+    * exchange on source, per-partition EXTERNAL sort on
+    * (source, n_tokens DESC, doc_id), then a single forward scan runs
+    * FFD over each source's contiguous run holding only the open-bin
+    * LOAD list (never documents). The linear first-fit probe is
+    * O(bins) per doc; the classical tournament-tree index makes it
+    * O(log bins) at production bin counts — same scan, same output.
+    * Deterministic: the sort key (n_tokens DESC, doc_id) is total, so
+    * placement is partition-layout-independent. No SQL oracle — FFD
+    * is inherently sequential (the q_bpe_train omit pattern): the
+    * spec replays a driver-side FFD bit-for-bit and pins the packing
+    * invariants (every multi-doc bin ≤ cap; oversized docs are
+    * singleton bins; bins ≥ ceil(Σtokens/cap), the FFD ≤ 11/9·OPT
+    * corollary's cheap lower-bound half). */
+  def packBestfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 256
+    val placed = Tables(spark, sfDir, "documents")
+      .select($"source", size(split($"text", " ")).as("n_tokens"), $"doc_id")
+      .repartition($"source")
+      .sortWithinPartitions($"source", $"n_tokens".desc, $"doc_id")
+      .as[(String, Int, Long)]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[(String, Int, Long, Int)] {
+          private var src: String = null
+          private val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def hasNext: Boolean = in.hasNext
+          def next(): (String, Int, Long, Int) = {
+            val (s, n, id) = in.next()
+            if (s != src) { src = s; loads.clear() }
+            var b = 0
+            while (b < loads.length && loads(b) + n > cap) b += 1
+            if (b == loads.length) loads += n else loads(b) += n
+            (s, b, id, n)
+          }
+        }
+      }
+      .toDF("source", "bin", "doc_id", "n_tokens")
+    placed.groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), Det.lsum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"source", $"bin")
   }
 
   /** Corpus stats per language. */
@@ -1248,8 +1373,19 @@ object LlmOps {
     * is a codegen'd array fold, no shuffle. Lineage is truncated per
     * round so round k's plan doesn't replay rounds 1..k-1.
     * Tie-break (freq DESC, left ASC, right ASC) makes the learned
-    * merges a deterministic function of the corpus. */
+    * merges a deterministic function of the corpus.
+    *
+    * The merge table is MEMOIZED per (session, corpus) ([[Memo]]) —
+    * the artifact shape: a tokenizer is trained once and every
+    * consumer ([[bpeEncode]], this key) reads the shipped table. */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, sfDir).orderBy($"step")
+  }
+
+  /** The memoized learned-merge table build — see [[bpeTrain]]. */
+  private[graft] def bpeMerges(spark: SparkSession, sfDir: String)
+      : DataFrame = Memo.parquet(spark, sfDir, "bpe-merges") {
     import spark.implicits._
     val words = spread(Tables(spark, sfDir, "documents"))
       .select(explode(split($"text", " ")).as("w"))
@@ -1302,6 +1438,44 @@ object LlmOps {
     spark.createDataFrame(merges.result())
       .toDF("step", "left", "right", "pair_freq")
       .orderBy($"step")
+  }
+
+  /** BPE ENCODE — apply the trained merge table to the corpus: the
+    * inference half of the tokenizer whose training half is
+    * [[bpeTrain]]. Merges apply in learned rank order, each as the
+    * SAME left-to-right non-overlapping codegen'd fold the trainer
+    * used to rewrite its vocab — so an encoded word's symbol count is
+    * exactly what the trained corpus holds for that word (merge
+    * application is per-word, context-free). The ≤ 8-row merge table
+    * is the legitimate driver payload (a tokenizer's shipped vocab
+    * file; at production vocab sizes the same application is a
+    * broadcast map + one scan); per doc the plan is pure row-local
+    * array expressions — ZERO shuffle, no UDF. No SQL oracle (the
+    * merges are corpus-derived at run time — the q_bpe_train omit
+    * pattern); the spec replays a driver-side encoder bit-for-bit and
+    * pins n_tokens ≤ n_chars with equality iff no merge applies. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, sfDir).orderBy($"step")
+      .select($"left", $"right").as[(String, String)].collect()
+    def applyMerge(syms: Column, l: String, r: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0
+              && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+    val words = filter(split($"text", " "), w => length(w) >= 1)
+    val tokensOf = (w: Column) =>
+      size(merges.foldLeft(split(w, ""))((c, m) => applyMerge(c, m._1, m._2)))
+    spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id",
+        size(words).as("n_words"),
+        aggregate(transform(words, w => length(w)), lit(0),
+          (a, x) => a + x).as("n_chars"),
+        aggregate(transform(words, tokensOf), lit(0),
+          (a, x) => a + x).as("n_tokens"))
+      .orderBy($"doc_id")
   }
 
   /** TEMPERATURE-scaled mixture weights (the multilingual/multi-source
@@ -1660,6 +1834,7 @@ object LlmOps {
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,
+    "q_pack_bestfit" -> packBestfit,
     "q_text_quality" -> textQuality,
     "q_text_langid" -> textLangid,
     "q_text_fingerprint" -> textFingerprint,
@@ -1673,6 +1848,7 @@ object LlmOps {
     "q_vocab_coverage" -> vocabCoverage,
     "q_embed_quantize" -> embedQuantize,
     "q_embed_centroids" -> embedCentroids,
+    "q_embed_pq" -> embedPq,
     "q_agg_percentile_approx" -> aggPercentileApprox,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
@@ -1684,6 +1860,7 @@ object LlmOps {
     "q_dedup_spans" -> dedupSpans,
     "q_bpe_pairs" -> bpePairs,
     "q_bpe_train" -> bpeTrain,
+    "q_bpe_encode" -> bpeEncode,
     "q_text_pii_mask" -> textPiiMask,
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,

@@ -82,6 +82,41 @@ object StreamingOps {
         col("pts").as("ts"), col("n_clicks_1h"))
   }
 
+  /** Stream-stream LEFT OUTER join twin: per click, the FIRST purchase
+    * by the same user within the following hour (click→conversion
+    * attribution); unconverted clicks surface with NULL purchase
+    * columns — the row shape only an OUTER stream-stream join can emit
+    * ([[clicksBeforePurchase]]'s form collapses matches to a count, so
+    * no nullable join output ever leaves the plan). Match choice is
+    * deterministic: earliest purchase_ts, then lowest purchase id,
+    * picked by one click-keyed row_number window with EXPLICIT null
+    * ordering (Spark and DuckDB default NULLS placement differs —
+    * asc_nulls_last on both engines). Under `readStream` the same
+    * shape is a watermarked `leftOuter` interval join — watermarks on
+    * BOTH sides plus the time bound cap the join state, and the
+    * engine holds each unmatched click exactly until the watermark
+    * passes ts + 1h before emitting its null row (exercised
+    * incrementally in StreamingSpec); in batch it is a user_id hash
+    * join + one window, both partitioned on keys. */
+  def clickConversion(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("purchase_ts").asc_nulls_last,
+        col("purchase_id").asc_nulls_last)
+    c.join(p, col("user_id") === col("pu")
+        && col("purchase_ts") >= col("ts")
+        && col("purchase_ts") < col("ts") + expr("INTERVAL 1 HOUR"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("click_id"), col("user_id"), col("ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** WATERMARK late-data accounting, replayed deterministically in
     * batch. The corpus's event stream is perfectly time-ordered, so
     * disorder is modeled the way it actually arises in production —
@@ -164,6 +199,11 @@ object StreamingOps {
       .orderBy($"event_id")
   }
 
+  def streamJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clickConversion(Tables(spark, sfDir, "events")).orderBy($"click_id")
+  }
+
   def streamLateDrop(spark: SparkSession, sfDir: String): DataFrame =
     lateDrop(Tables(spark, sfDir, "events"))
 
@@ -238,6 +278,7 @@ object StreamingOps {
     "q_stream_session" -> streamSession,
     "q_stream_dedup" -> streamDedup,
     "q_stream_join" -> streamJoin,
+    "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_late_drop" -> streamLateDrop,
     "q_state_running" -> stateRunning,
     "q_state_running_tws" -> stateRunningTws

@@ -684,6 +684,27 @@ object OracleSql {
         |GROUP BY 1, 2, 3
         |ORDER BY p.event_id""".stripMargin,
 
+    // outer-join twin: explicit NULLS LAST mirrors the Spark side's
+    // asc_nulls_last (the engines' default NULL placement differs)
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    cast(ts as timestamp) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS pu,
+        |    cast(ts as timestamp) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.click_id, c.user_id, c.ts,
+        |    p.purchase_id, p.purchase_ts,
+        |    row_number() OVER (PARTITION BY c.click_id
+        |      ORDER BY p.purchase_ts ASC NULLS LAST,
+        |               p.purchase_id ASC NULLS LAST) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.pu
+        |    AND p.purchase_ts >= c.ts
+        |    AND p.purchase_ts < c.ts + INTERVAL 1 HOUR)
+        |SELECT click_id, user_id, ts, purchase_id, purchase_ts
+        |FROM j WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+
     // the typed mapGroupsWithState fold accumulates the same
     // decimal(27,4) sum this plain aggregation computes
     "q_state_running" ->

@@ -16,7 +16,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_agg_hash_q1", "q_dedup_ngram_jaccard", "q_dedup_cluster",
     "q_win_topk_per_group", "q_agg_percentile", "q_events_funnel",
     "q_sample_weighted", "q_join_asof", "q_text_bm25", "q_agg_stats",
-    "q_sample_cap_per_source", "q_hierarchy_srclist_doubling")
+    "q_sample_cap_per_source", "q_hierarchy_srclist_doubling",
+    // round 5: FFD scan (secondary sort), PQ train (decimal means +
+    // row-local argmin), BPE encode (memoized merges + row-local fold)
+    "q_pack_bestfit", "q_embed_pq", "q_bpe_encode")
 
   private lazy val alt = {
     val s = spark.newSession()

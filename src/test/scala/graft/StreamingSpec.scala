@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(1L))
   }
 
+  test("stream-stream LEFT OUTER join emits the null row after the watermark passes") {
+    // the q_stream_join_outer shape incrementally: an unconverted click
+    // must be HELD until the watermark clears ts + bound, then emitted
+    // once with null purchase columns
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts >= c_ts AND b_ts < c_ts + INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_outer_out").outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L), // converts
+        (ts("2024-01-01 00:00:00"), 2L))              // never converts
+      buys.addData((ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      // user 2's null row cannot exist yet: its join window is open
+      val early = spark.table("ssj_outer_out")
+        .filter($"b_ts".isNull).count()
+      assert(early === 0)
+      // advance BOTH watermarks well past 00:30 → the held click flushes
+      clicks.addData((ts("2024-01-01 02:00:00"), 9L))
+      buys.addData((ts("2024-01-01 02:00:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val nullRows = spark.table("ssj_outer_out")
+      .filter($"b_ts".isNull).select($"c_user").as[Long].collect().toSeq
+    assert(nullRows === Seq(2L))
+    val matched = spark.table("ssj_outer_out")
+      .filter($"b_ts".isNotNull && $"c_user" =!= 9L)
+      .select($"c_user").as[Long].collect().toSeq
+    assert(matched === Seq(1L))
+  }
+
   test("mapGroupsWithState keeps a running per-key counter") {
     val mem = MemoryStream[(Long, Double)](spark)
     val counted = mem.toDS()
