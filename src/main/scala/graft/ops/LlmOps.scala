@@ -718,20 +718,25 @@ object LlmOps {
     * index live in executor RAM while exact vectors stay on disk
     * (Jégou/Douze/Schmid, TPAMI 2011 — public method).
     *
-    * ALL subspaces train in ONE set-based plan, not M loops: the
-    * exploded (vec_id, m, subvec) relation joins the broadcast
-    * ≤ 128-row codebook, argmin is a deterministic min(struct) — the
-    * squared distance is a row-local left-to-right fold, bit-stable
-    * under any partitioning, ties break on code — and new centroids
-    * are decimal-exact per-(m, code, pos) means (the [[simAnnIvf]]
-    * discipline), so train→assign is three passes over the exploded
-    * relation regardless of k·M. A code cell left empty by an
-    * iteration drops out (standard Lloyd; k_eff ≤ k). Output:
-    * per-(subspace, code) cell occupancy + r4 mean squared residual.
-    * No SQL oracle (iterative training — the q_sim_ann_ivf omit
-    * pattern); the spec replays a driver-side PQ trainer bit-for-bit
-    * and pins Lloyd monotonicity (an iteration never increases the
-    * total residual). */
+    * ALL subspaces train in ONE set-based plan, not M loops, and
+    * assignment is ROW-LOCAL: the k×M ≤ 128-entry codebook (the
+    * driver artifact — a few KB, same contract as [[simAnnIvf]]'s
+    * centroids) is embedded as a literal array-of-arrays, so per
+    * exploded (vec_id, m, subvec) row the nearest code is
+    * `array_min(transform(codebook[m], …))` — a codegen'd fold with
+    * ZERO assignment shuffle (no join, no per-(vec, m) exchange).
+    * The struct (d2, code) min is total — the squared distance is a
+    * row-local left-to-right fold, bit-stable under any partitioning,
+    * ties break on the lower code — and new centroids are
+    * decimal-exact per-(m, code, pos) means, one map-side-combined
+    * aggregation per Lloyd pass; training is the standard
+    * one-pass-per-iteration Lloyd cost regardless of k·M. A code
+    * cell left empty by an iteration drops out (standard Lloyd;
+    * k_eff ≤ k). Output: per-(subspace, code) cell occupancy + r4
+    * mean squared residual. No SQL oracle (iterative training — the
+    * q_sim_ann_ivf omit pattern); the spec pins assignment totality,
+    * code range, aggregate consistency, and Lloyd monotonicity (an
+    * iteration never increases the total residual). */
   def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     embedPqAssigned(spark, sfDir, iters = 2)
@@ -757,31 +762,41 @@ object LlmOps {
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    def assign(cents: DataFrame): DataFrame =
-      parts.join(broadcast(cents), "m")
-        .select($"vec_id", $"m", $"sv",
-          struct(d2($"sv", $"cv").as("d2"), $"code").as("dc"))
-        .groupBy($"vec_id", $"m")
-        .agg(first($"sv").as("sv"), min($"dc").as("best"))
+    // codebook rows (m, code, cv) live on the driver between passes —
+    // k·M×8 floats, the shipped-index artifact — and re-enter each
+    // pass as a LITERAL array-of-arrays, so assignment never joins
+    def assign(cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+      if (cb.isEmpty) // empty-corpus sweep: typed no-op, zero rows flow
+        return parts.select($"vec_id", $"m", $"sv",
+          lit(0.0).as("d2"), lit(-1).as("code"))
+      val byM = array((0 until 8).map { m =>
+        array(cb.filter(_._1 == m).sortBy(_._2).map { case (_, code, cv) =>
+          struct(typedLit(cv).as("cv"), lit(code).as("code"))
+        }: _*)
+      }: _*)
+      parts.select($"vec_id", $"m", $"sv",
+        array_min(transform(element_at(byM, $"m" + 1),
+          c => struct(d2($"sv", c("cv")).as("d2"),
+            c("code").as("code")))).as("best"))
         .select($"vec_id", $"m", $"sv",
           $"best.d2".as("d2"), $"best.code".as("code"))
-    var cents = parts.filter($"vec_id" < k)
-      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv"))
+    }
+    def collectCb(df: DataFrame): Seq[(Int, Int, Seq[Float])] =
+      df.select($"m", $"code", $"cv").as[(Int, Int, Seq[Float])]
+        .collect().toSeq
+    var cb = collectCb(parts.filter($"vec_id" < k)
+      .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv")))
     (1 to iters).foreach { _ =>
-      cents = assign(cents)
+      cb = collectCb(assign(cb)
         .select($"m", $"code", posexplode($"sv").as(Seq("pos", "x")))
         .groupBy($"m", $"code", $"pos")
         .agg(Det.davgDec($"x".cast(DecimalType(27, 10))).as("mu"))
         .groupBy($"m", $"code")
         .agg(array_sort(collect_list(struct($"pos", $"mu"))).as("pm"))
         .select($"m", $"code",
-          expr("transform(pm, s -> cast(s.mu as float))").as("cv"))
+          expr("transform(pm, s -> cast(s.mu as float))").as("cv")))
     }
-    // one job trains both rounds; M·k×8 floats are the driver payload
-    // (the codebook artifact — same contract as simAnnIvf's centroids)
-    val trained = spark.createDataFrame(
-      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-    assign(trained)
+    assign(cb)
   }
 
   // ---- text analysis -----------------------------------------------------
@@ -1448,12 +1463,16 @@ object LlmOps {
     * exactly what the trained corpus holds for that word (merge
     * application is per-word, context-free). The ≤ 8-row merge table
     * is the legitimate driver payload (a tokenizer's shipped vocab
-    * file; at production vocab sizes the same application is a
-    * broadcast map + one scan); per doc the plan is pure row-local
-    * array expressions — ZERO shuffle, no UDF. No SQL oracle (the
-    * merges are corpus-derived at run time — the q_bpe_train omit
-    * pattern); the spec replays a driver-side encoder bit-for-bit and
-    * pins n_tokens ≤ n_chars with equality iff no merge applies. */
+    * file). Context-freedom is also the SCALE lever: the fold runs
+    * once per DISTINCT word — the Heaps'-law-bounded vocab, the same
+    * bound [[bpeTrain]] leans on — never per word instance, and the
+    * tiny (word → n_tok) table broadcast-joins back onto the exploded
+    * corpus (tokenize-the-vocab-once, the production counting shape).
+    * Per-doc word/char counts stay row-local on the scan; no UDF
+    * anywhere. No SQL oracle (the merges are corpus-derived at run
+    * time — the q_bpe_train omit pattern); the spec replays a
+    * driver-side encoder bit-for-bit and pins n_tokens ≤ n_chars with
+    * equality iff no merge applies. */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val merges = bpeMerges(spark, sfDir).orderBy($"step")
@@ -1465,16 +1484,22 @@ object LlmOps {
               && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-    val words = filter(split($"text", " "), w => length(w) >= 1)
     val tokensOf = (w: Column) =>
       size(merges.foldLeft(split(w, ""))((c, m) => applyMerge(c, m._1, m._2)))
-    spread(Tables(spark, sfDir, "documents"))
-      .select($"doc_id",
+    val words = filter(split($"text", " "), w => length(w) >= 1)
+    val docs = spread(Tables(spark, sfDir, "documents"))
+    val docWords = docs.select($"doc_id", explode(words).as("w"))
+    val vocabTok = docWords.select($"w").distinct()
+      .select($"w", tokensOf($"w").as("n_tok"))
+    val docTok = docWords.join(broadcast(vocabTok), "w")
+      .groupBy($"doc_id").agg(Det.lsum($"n_tok").cast("int").as("n_tokens"))
+    docs.select($"doc_id",
         size(words).as("n_words"),
         aggregate(transform(words, w => length(w)), lit(0),
-          (a, x) => a + x).as("n_chars"),
-        aggregate(transform(words, tokensOf), lit(0),
-          (a, x) => a + x).as("n_tokens"))
+          (a, x) => a + x).as("n_chars"))
+      .join(docTok, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words", $"n_chars",
+        coalesce($"n_tokens", lit(0)).as("n_tokens"))
       .orderBy($"doc_id")
   }
 
