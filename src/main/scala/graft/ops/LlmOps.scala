@@ -739,7 +739,7 @@ object LlmOps {
     * iteration never increases the total residual). */
   def embedPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    embedPqAssigned(spark, sfDir, iters = 2)
+    pqAssign(spark, sfDir, pqCodebook(spark, sfDir))
       .groupBy($"m", $"code")
       .agg(count(lit(1)).as("n_vecs"),
         Det.r4(Det.davgDec($"d2".cast(DecimalType(27, 10)))).as("msr"))
@@ -750,44 +750,71 @@ object LlmOps {
     * count exposed — the spec drives it at 0/1/2 iterations to pin
     * residual monotonicity. Returns (vec_id, m, sv, d2, code). */
   private[graft] def embedPqAssigned(spark: SparkSession, sfDir: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    pqAssign(spark, sfDir, pqTrain(spark, sfDir, iters))
+
+  /** Exploded (vec_id, m, subvector) relation — row-local, zero
+    * shuffle off the pruned 2-column scan. */
+  private def pqParts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val k = 16
-    val parts = spread(Tables(spark, sfDir, "embeddings"))
+    spread(Tables(spark, sfDir, "embeddings"))
       .select($"vec_id", explode(expr(
         """transform(sequence(0, 7),
           |  m -> struct(m AS m, slice(embedding, m * 8 + 1, 8) AS sv))"""
           .stripMargin)).as("p"))
       .select($"vec_id", $"p.m".as("m"), $"p.sv".as("sv"))
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // codebook rows (m, code, cv) live on the driver between passes —
-    // k·M×8 floats, the shipped-index artifact — and re-enter each
-    // pass as a LITERAL array-of-arrays, so assignment never joins
-    def assign(cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
-      if (cb.isEmpty) // empty-corpus sweep: typed no-op, zero rows flow
-        return parts.select($"vec_id", $"m", $"sv",
-          lit(0.0).as("d2"), lit(-1).as("code"))
-      val byM = array((0 until 8).map { m =>
-        array(cb.filter(_._1 == m).sortBy(_._2).map { case (_, code, cv) =>
-          struct(typedLit(cv).as("cv"), lit(code).as("code"))
-        }: _*)
+  }
+
+  /** Row-local sequential squared distance — bit-stable anywhere. */
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The driver-side codebook as a literal array-of-arrays indexed by
+    * subspace (codes sorted ascending per subspace — order-normalized,
+    * so any row order of `cb` builds the identical literal). */
+  private def pqLiteral(cb: Seq[(Int, Int, Seq[Float])]): Column =
+    array((0 until 8).map { m =>
+      array(cb.filter(_._1 == m).sortBy(_._2).map { case (_, code, cv) =>
+        struct(typedLit(cv).as("cv"), lit(code).as("code"))
       }: _*)
-      parts.select($"vec_id", $"m", $"sv",
-        array_min(transform(element_at(byM, $"m" + 1),
-          c => struct(d2($"sv", c("cv")).as("d2"),
-            c("code").as("code")))).as("best"))
-        .select($"vec_id", $"m", $"sv",
-          $"best.d2".as("d2"), $"best.code".as("code"))
-    }
+    }: _*)
+
+  /** Nearest-code assignment against a driver-side codebook — the
+    * codebook rows (m, code, cv) are k·M×8 floats (the shipped-index
+    * artifact) and enter the plan as a LITERAL, so assignment is a
+    * codegen'd `array_min` fold with ZERO shuffle: no join, no
+    * per-(vec, m) exchange. Returns (vec_id, m, sv, d2, code). */
+  private[graft] def pqAssign(spark: SparkSession, sfDir: String,
+      cb: Seq[(Int, Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    val parts = pqParts(spark, sfDir)
+    if (cb.isEmpty) // empty-corpus sweep: typed no-op, zero rows flow
+      return parts.select($"vec_id", $"m", $"sv",
+        lit(0.0).as("d2"), lit(-1).as("code"))
+    parts.select($"vec_id", $"m", $"sv",
+      array_min(transform(element_at(pqLiteral(cb), $"m" + 1),
+        c => struct(pqD2($"sv", c("cv")).as("d2"),
+          c("code").as("code")))).as("best"))
+      .select($"vec_id", $"m", $"sv",
+        $"best.d2".as("d2"), $"best.code".as("code"))
+  }
+
+  /** Lloyd-train the PQ codebook: init = vectors 0..15's subvectors,
+    * then `iters` rounds of row-local assignment + decimal-exact
+    * per-(m, code, pos) means (one map-side-combined aggregation per
+    * round — the only shuffle in training). */
+  private[graft] def pqTrain(spark: SparkSession, sfDir: String,
+      iters: Int): Seq[(Int, Int, Seq[Float])] = {
+    import spark.implicits._
+    val k = 16
     def collectCb(df: DataFrame): Seq[(Int, Int, Seq[Float])] =
       df.select($"m", $"code", $"cv").as[(Int, Int, Seq[Float])]
         .collect().toSeq
-    var cb = collectCb(parts.filter($"vec_id" < k)
+    var cb = collectCb(pqParts(spark, sfDir).filter($"vec_id" < k)
       .select($"m", $"vec_id".cast("int").as("code"), $"sv".as("cv")))
     (1 to iters).foreach { _ =>
-      cb = collectCb(assign(cb)
+      cb = collectCb(pqAssign(spark, sfDir, cb)
         .select($"m", $"code", posexplode($"sv").as(Seq("pos", "x")))
         .groupBy($"m", $"code", $"pos")
         .agg(Det.davgDec($"x".cast(DecimalType(27, 10))).as("mu"))
@@ -796,7 +823,69 @@ object LlmOps {
         .select($"m", $"code",
           expr("transform(pm, s -> cast(s.mu as float))").as("cv")))
     }
-    assign(cb)
+    cb
+  }
+
+  /** The production (2-iteration) codebook, trained ONCE per
+    * (session, corpus) and materialized through [[Memo]] — both
+    * [[embedPq]] and [[simAnnPq]] read the same shipped artifact, the
+    * way a real pipeline trains an index once and every consumer
+    * loads it. */
+  private[graft] def pqCodebook(spark: SparkSession, sfDir: String)
+      : Seq[(Int, Int, Seq[Float])] = {
+    import spark.implicits._
+    Memo.parquet(spark, sfDir, "pq-codebook") {
+      pqTrain(spark, sfDir, iters = 2).toDF("m", "code", "cv")
+    }.as[(Int, Int, Seq[Float])].collect().toSeq
+  }
+
+  /** PQ ADC top-k search (IVFADC's distance half, Jégou et al. 2011):
+    * the query never meets raw corpus vectors — per (subspace, code)
+    * its squared distance to the centroid is tabulated ONCE (a
+    * k·M = 128-row broadcast), and a corpus vector's approximate
+    * distance is just the sum of 8 table lookups over its CODES. This
+    * is the memory scale-path [[embedPq]] trains for: at 100 TB the
+    * scan that ranks candidates reads 8 B/vector of codes (RAM-
+    * resident), not 256 B/vector of floats (disk), and only the
+    * ADC-shortlisted ≤ 200 candidates' exact vectors are fetched for
+    * the exact-cosine re-rank (so the emitted top-5 is the EXACT
+    * ranking restricted to the shortlist; the shortlist width is the
+    * recall knob, the nprobe/efSearch analogue). ADC sums go through the
+    * exact decimal pipeline ⇒ the shortlist cut is total-ordered and
+    * partition-independent (tested). The codebook is the [[Memo]]-
+    * shared artifact trained by [[embedPq]]. No SQL oracle (learned
+    * codebook — the q_sim_ann_ivf omit pattern); recall vs the exact
+    * brute-force top-5 is asserted in the suite. */
+  def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, sfDir)
+    val emb = Tables(spark, sfDir, "embeddings")
+    if (cb.isEmpty) // empty-corpus sweep: typed no-op, zero rows flow
+      return emb.select($"vec_id", lit(0.0).as("sim"))
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val dtable = q.select(explode(expr(
+        """transform(sequence(0, 7),
+          |  m -> struct(m AS m, slice(qe, m * 8 + 1, 8) AS qsv))"""
+          .stripMargin)).as("p"))
+      .select($"p.m".as("m"), $"p.qsv".as("qsv"))
+      .select($"m", $"qsv",
+        explode(element_at(pqLiteral(cb), $"m" + 1)).as("c"))
+      .select($"m", $"c.code".as("code"),
+        pqD2($"qsv", $"c.cv").cast(DecimalType(27, 10)).as("qd2"))
+    val shortlist = pqAssign(spark, sfDir, cb)
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"m", $"code")
+      .join(broadcast(dtable), Seq("m", "code"))
+      .groupBy($"vec_id")
+      .agg(sum($"qd2").as("adc_d2")) // exact decimal sum of 8 lookups
+      .orderBy($"adc_d2".asc, $"vec_id")
+      .limit(200)
+      .select($"vec_id")
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(5)
   }
 
   // ---- text analysis -----------------------------------------------------
@@ -1857,6 +1946,7 @@ object LlmOps {
     "q_sim_ann_bucketed" -> simAnnBucketed,
     "q_sim_topk_batch" -> simTopkBatch,
     "q_sim_ann_ivf" -> simAnnIvf,
+    "q_sim_ann_pq" -> simAnnPq,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,
     "q_pack_bestfit" -> packBestfit,

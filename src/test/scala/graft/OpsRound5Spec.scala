@@ -146,6 +146,26 @@ class OpsRound5Spec extends SparkSpec {
     assert(r2 < r0)
   }
 
+  // ---- q_sim_ann_pq ------------------------------------------------------
+
+  test("q_sim_ann_pq re-ranks exactly and recalls the brute-force top-5") {
+    val pq = LlmOps.simAnnPq(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(pq.length === 5)
+    assert(pq.map(_._2) === pq.map(_._2).sorted.reverse)
+    val exact = LlmOps.simCosineTopk(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    // the emitted sim is the EXACT cosine (the re-rank leaves nothing
+    // approximate in the output): wherever ids overlap, values match
+    val exactMap = exact.toMap
+    pq.foreach { case (id, s) =>
+      exactMap.get(id).foreach(es => assert(es === s, s"vec $id sim drift"))
+    }
+    val top5 = exact.take(5).map(_._1).toSet
+    val recall = pq.map(_._1).count(top5) / 5.0
+    assert(recall >= 0.6, s"recall@5 = $recall (pq=${pq.map(_._1)}, exact=$top5)")
+  }
+
   // ---- q_stream_join_outer ----------------------------------------------
 
   test("q_stream_join_outer emits every click once, nulls for unconverted") {

@@ -18,8 +18,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_sample_weighted", "q_join_asof", "q_text_bm25", "q_agg_stats",
     "q_sample_cap_per_source", "q_hierarchy_srclist_doubling",
     // round 5: FFD scan (secondary sort), PQ train (decimal means +
-    // row-local argmin), BPE encode (memoized merges + row-local fold)
-    "q_pack_bestfit", "q_embed_pq", "q_bpe_encode")
+    // row-local argmin), BPE encode (memoized merges + row-local fold),
+    // PQ ADC search (decimal ADC sums + exact re-rank)
+    "q_pack_bestfit", "q_embed_pq", "q_bpe_encode", "q_sim_ann_pq")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -13,6 +13,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_embedding", // declared brute-force baseline (vec_a < vec_b)
     "q_subquery_scalar", // scalar-subquery comparison joins a 1-row side
     "q_topk_global", "q_sim_cosine_topk", // 1-row broadcast query vector
+    "q_sim_ann_pq",      // 1-row broadcast query vector for the exact re-rank
     "q_text_tfidf",      // 1-row broadcast corpus count
     "q_na_functions",    // crossJoin of two 1-row aggregates
     "q_sim_ann_ivf",     // k-row broadcast centroid table per Lloyd step
