@@ -888,6 +888,57 @@ object LlmOps {
       .limit(5)
   }
 
+  /** kNN-GRAPH construction — top-3 neighbors for EVERY vector among
+    * the vectors sharing its 8-bit sign-hash cell (the batch artifact
+    * semantic clustering / SemDeDup / graph-based diversity sampling
+    * start from). Unlike [[simTopkBatch]] (a small broadcast query
+    * batch), BOTH sides here are the corpus, so the pair space is
+    * bounded by Σ(cell size)² — the cell is the co-partition key — and
+    * the join is an explicit SHUFFLE_HASH equi join on the cell: one
+    * hash exchange per side, no broadcast of a corpus-sized relation,
+    * no BNL (PlanSweep enforces). At 100 TB the cell count scales up
+    * with the corpus (more sign bits / a trained coarse quantizer —
+    * same plan shape) to keep cells executor-sized; the rank window
+    * partitions by vec_id, whose per-key width is its cell size.
+    * Singleton-cell vectors emit no rows on both engines. */
+  def knnGraphBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, sfDir, "embeddings").withColumn("bucket", bucketExpr)
+    val a = spread(v.select($"vec_id", $"embedding", $"bucket"))
+    val b = v.select($"vec_id".as("nbr_id"), $"embedding".as("ne"), $"bucket")
+    a.hint("shuffle_hash").join(b, Seq("bucket"))
+      .filter($"vec_id" =!= $"nbr_id")
+      .select($"vec_id", $"nbr_id",
+        Det.r4(dot(spark)($"embedding", $"ne")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"nbr_id")))
+      .filter($"rk" <= 3)
+      .orderBy($"vec_id", $"rk")
+  }
+
+  /** Reproducible global training shuffle: the corpus in the
+    * pseudo-random order of a seeded Knuth multiplicative hash of
+    * doc_id (epoch seed — a different seed is a different
+    * permutation, the same seed replays bit-identically on any
+    * cluster), with the 8-way output shard a writer would bucket the
+    * shuffled corpus into. NO single-partition stage anywhere: the
+    * plan is one range-partitioned global sort (Spark's sampling
+    * RangePartitioner), which is exactly how a 100 TB corpus gets its
+    * epoch order — contrast a row_number()-over-everything
+    * formulation, whose unpartitioned window would serialize the
+    * corpus through one task. (doc_id, hk) is a total key ⇒
+    * partition-layout-independent (tested). */
+  def shuffleDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = 42L
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source", knuthHash($"doc_id" + seed).as("hk"))
+      .withColumn("shard", ($"hk" % 8).cast("int"))
+      .select($"shard", $"doc_id", $"source", $"hk")
+      .orderBy($"shard", $"hk", $"doc_id")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   /** Sequence PACKING (concat-and-chunk) — the pretraining batch-prep
@@ -1947,6 +1998,8 @@ object LlmOps {
     "q_sim_topk_batch" -> simTopkBatch,
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_ann_pq" -> simAnnPq,
+    "q_knn_graph_bucketed" -> knnGraphBucketed,
+    "q_shuffle_deterministic" -> shuffleDeterministic,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,
     "q_pack_bestfit" -> packBestfit,

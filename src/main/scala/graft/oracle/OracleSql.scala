@@ -998,6 +998,31 @@ object OracleSql {
         |SELECT user_id, event_type, event_id, ts, value FROM r
         |WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q_knn_graph_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT vec_id, nbr_id, sim,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j)
+         |SELECT vec_id, nbr_id, sim, cast(rk as int) AS rk FROM r
+         |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+
+    // hugeint multiply mirrors the Spark side's decimal(38,0) knuth
+    // hash (same rationale as q_sample_cap_per_source); seed 42 is
+    // the epoch key
+    "q_shuffle_deterministic" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    cast((cast(doc_id + 42 as hugeint) * 2654435761) % 4294967296
+        |      as bigint) AS hk
+        |  FROM documents)
+        |SELECT cast(hk % 8 as int) AS shard, doc_id, source, hk FROM h
+        |ORDER BY shard, hk, doc_id""".stripMargin,
+
     "q_sim_topk_batch" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
          |j AS (

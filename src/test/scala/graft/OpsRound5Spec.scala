@@ -166,6 +166,55 @@ class OpsRound5Spec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall (pq=${pq.map(_._1)}, exact=$top5)")
   }
 
+  // ---- q_knn_graph_bucketed ----------------------------------------------
+
+  test("q_knn_graph_bucketed matches a brute-force in-cell top-3 for every vector") {
+    val g = LlmOps.knnGraphBucketed(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(g.nonEmpty)
+    // reference: driver-side buckets + exact left-to-right dot, HALF_UP
+    // round(4) — the Det.r4 contract
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    def bucket(e: Seq[Float]): Long =
+      (1 to 8).map(i => if (e(i - 1) > 0) 1L << (i - 1) else 0L).sum
+    def sim(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = vecs.groupBy(v => bucket(v._2))
+    val expected = byCell.values.flatMap { cell =>
+      cell.flatMap { case (v, e) =>
+        cell.filter(_._1 != v)
+          .map { case (n, ne) => (v, n, sim(e, ne)) }
+          .sortBy { case (_, n, s) => (-s, n) }
+          .take(3).zipWithIndex
+          .map { case ((_, n, s), i) => (v, n, s, i + 1) }
+      }
+    }.toSeq.sortBy(r => (r._1, r._4))
+    assert(g === expected)
+  }
+
+  // ---- q_shuffle_deterministic --------------------------------------------
+
+  test("q_shuffle_deterministic is the seeded knuth permutation in shard order") {
+    val s = LlmOps.shuffleDeterministic(spark, sfDir)
+      .as[(Int, Long, String, Long)].collect().toSeq
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(s.length.toLong === nDocs)
+    assert(s.map(_._2).distinct.length === s.length) // a permutation
+    s.foreach { case (shard, id, _, hk) =>
+      assert(BigInt(hk) ===
+        (BigInt(id) + 42) * BigInt(2654435761L) % BigInt(4294967296L))
+      assert(shard === (hk % 8).toInt)
+    }
+    assert(s === s.sortBy(t => (t._1, t._4, t._2)))
+    // the permutation actually mixes: no long identity run survives
+    assert(s.map(_._2).take(20) !== (0L until 20L).toSeq)
+  }
+
   // ---- q_stream_join_outer ----------------------------------------------
 
   test("q_stream_join_outer emits every click once, nulls for unconverted") {

@@ -20,7 +20,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 5: FFD scan (secondary sort), PQ train (decimal means +
     // row-local argmin), BPE encode (memoized merges + row-local fold),
     // PQ ADC search (decimal ADC sums + exact re-rank)
-    "q_pack_bestfit", "q_embed_pq", "q_bpe_encode", "q_sim_ann_pq")
+    "q_pack_bestfit", "q_embed_pq", "q_bpe_encode", "q_sim_ann_pq",
+    // kNN graph (rounded-sim rank with full tiebreak) and the seeded
+    // epoch shuffle (total sort key) must not care about layout
+    "q_knn_graph_bucketed", "q_shuffle_deterministic")
 
   private lazy val alt = {
     val s = spark.newSession()
