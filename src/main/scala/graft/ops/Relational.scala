@@ -171,6 +171,42 @@ object Relational {
     s"graft_nation_rt_p${ProcessHandle.current().pid()}"
   private val rtCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** DYNAMIC PARTITION PRUNING over a partition-laid-out fact: the
+    * fact lands partitioned by the join key's domain (event_type —
+    * the layout a 100 TB star schema keeps on disk), the dim carries
+    * the selective predicate (category = 'act'), and the fact scan's
+    * partition filter is a RUNTIME subquery over the broadcast dim
+    * (`dynamicpruning` in PartitionFilters — pinned in PlanSpec), so
+    * only the matching partition directories are ever read. This is
+    * the scan-elimination half of star-schema performance that static
+    * predicate pushdown can't do: the pruning set is only known after
+    * the dim filter runs. The dim must be a real SCAN, not a literal:
+    * Catalyst's ConvertToLocalRelation folds a Filter over a
+    * LocalRelation into plain rows at plan time, after which no
+    * selective predicate remains for the PartitionPruning rule to
+    * latch onto — so the dim lands as its own (tiny) parquet table,
+    * exactly what it is in a warehouse. */
+  def joinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratchRoot/dpp_fact"
+    val dimDir = s"$scratchRoot/dpp_dim"
+    val src = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"value", $"event_type")
+    src.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.schema(src.schema).parquet(dir)
+    Seq(
+      ("click", "browse"), ("view", "browse"), ("error", "ops"),
+      ("purchase", "act"), ("signup", "act"))
+      .toDF("event_type", "category")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.join(broadcast(dim.filter($"category" === "act")), "event_type")
+      .groupBy($"event_type", $"category")
+      .agg(count(lit(1)).as("n"), Det.dsum($"value").as("sum_value"),
+        Det.lsum($"user_id").as("sum_uid"))
+      .orderBy($"event_type")
+  }
+
   def sinkTableRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.replaceManagedTable(
@@ -630,6 +666,7 @@ object Relational {
     "q_sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "q_sink_table_roundtrip" -> sinkTableRoundtrip,
     "q_sink_partitioned_prune" -> sinkPartitionedPrune,
+    "q_join_dpp" -> joinDpp,
     "q_sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
     "q_filter_predicates" -> filterPredicates,

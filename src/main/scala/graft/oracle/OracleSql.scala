@@ -1469,6 +1469,17 @@ object OracleSql {
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_join_dpp" ->
+      s"""WITH d(event_type, category) AS (VALUES
+         |  ('click', 'browse'), ('view', 'browse'), ('error', 'ops'),
+         |  ('purchase', 'act'), ('signup', 'act'))
+         |SELECT e.event_type, d.category, count(*) AS n,
+         |  ${dsum("e.value")} AS sum_value, ${lsum("e.user_id")} AS sum_uid
+         |FROM events e JOIN d ON e.event_type = d.event_type
+         |WHERE d.category = 'act'
+         |GROUP BY e.event_type, d.category
+         |ORDER BY e.event_type""".stripMargin,
+
     "q_text_entropy" ->
       """WITH tc AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

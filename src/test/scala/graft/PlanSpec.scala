@@ -179,6 +179,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n${plan.take(1200)}")
   }
 
+  test("join_dpp prunes fact partitions through a runtime subquery") {
+    val plan = finalSection(finalPlan(
+      graft.ops.Relational.joinDpp(spark, sfDir)))
+    // the point of the key: the fact scan's PartitionFilters must hold
+    // a dynamicpruning expression (runtime subquery over the broadcast
+    // dim), not just the static isnotnull — otherwise every partition
+    // directory is read and the dim filter only drops rows post-scan
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("interval_bucketed plans a hash join, never a nested loop") {
     val plan = finalSection(finalPlan(
       graft.ops.Relational.joinIntervalBucketed(spark, sfDir)))
