@@ -1571,6 +1571,19 @@ object OracleSql {
         |  cast(max(n_chars + 1) as int) AS max_bytes
         |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
 
+    // replay the two parquet generations: gen 1 (even ids) lands
+    // without lang, so its lang reads as NULL under mergeSchema
+    "q_source_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT source, n_chars, NULL AS lang FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT source, n_chars, lang FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT source, count(*) AS n_docs, count(lang) AS n_with_lang,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
     // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
     // exposures x 8 ccds, path from the red_image template
     "q_source_catalog_pushdown" ->

@@ -167,10 +167,41 @@ object Sources {
     graft.ops.LlmOps.decodeMeta(landed).orderBy($"doc_id")
   }
 
+  /** SCHEMA EVOLUTION across parquet generations — the shape every
+    * long-lived corpus hits: generation 1 lands (doc_id, source,
+    * n_chars), generation 2 adds a `lang` column; `mergeSchema`
+    * unions the footers at read time and the old generation's missing
+    * column reads as NULL. The per-generation aggregate proves both
+    * the union (rows from both generations) and the null semantics
+    * (gen-1 rows have no lang). At 100 TB this is the alternative to
+    * rewriting petabytes on every column addition; the footer merge
+    * cost is per-FILE metadata, not data. Generations land in
+    * separate subdirectories (the layout an ingest pipeline produces)
+    * so each write is atomic per generation. */
+  def sourceSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/schema_evo"
+    val docs = graft.Tables(spark, sfDir, "documents")
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"source", $"n_chars", $"lang")
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen=1", s"$dir/gen=2")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"lang").as("n_with_lang"),
+        graft.Det.lsum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_describe_schema" -> describeSchema,
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,
-    "q_source_binaryfile_images" -> sourceBinaryFileImages
+    "q_source_binaryfile_images" -> sourceBinaryFileImages,
+    "q_source_schema_evolution" -> sourceSchemaEvolution
   )
 }

@@ -190,6 +190,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("runtime bloom-filter pruning injects might_contain on the fact side") {
+    // DPP's row-level sibling: when the dim side of a SHUFFLE join is
+    // filtered and small, Spark builds a bloom filter over its join
+    // keys and semi-filters the fact scan before the exchange —
+    // the lever for non-partition-aligned join keys at 100 TB. The
+    // injection thresholds are sized for real clusters (10 GB scan
+    // floor), so the test scopes cluster-like values and restores.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val plan = finalSection(finalPlan(
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))))
+      assert(plan.contains("might_contain"), plan.take(1200))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("interval_bucketed plans a hash join, never a nested loop") {
     val plan = finalSection(finalPlan(
       graft.ops.Relational.joinIntervalBucketed(spark, sfDir)))
