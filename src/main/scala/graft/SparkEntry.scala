@@ -14,7 +14,8 @@ object SparkEntry {
     Aggregates.queries ++ Relational.queries ++ Windows.queries ++
       Generators.queries ++ Scalars.queries ++ DesFiles.queries ++
       StreamingOps.queries ++ LlmOps.queries ++ Analytics.queries ++
-      Skew.queries ++ Layout.queries ++ graft.sources.Sources.queries
+      Skew.queries ++ Layout.queries ++ Ids.queries ++ Quality.queries ++
+      graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

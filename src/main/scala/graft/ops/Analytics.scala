@@ -147,6 +147,73 @@ object Analytics {
       .orderBy($"stage")
   }
 
+  /** Gap-based BATCH sessionization — the canonical event-stream
+    * operator (its streaming twin is `q_stream_session`'s session
+    * window): a new session starts at a user's first event or after a
+    * >30-minute silence; the session id is the running count of
+    * session starts. Output is the session-size histogram with exact
+    * average duration per size.
+    *
+    * Scale posture: both window passes (the lag that detects gaps and
+    * the running sum that numbers sessions) share ONE partitioning and
+    * ordering — (user_id; ts, event_id) — so Spark plans a single
+    * exchange + single sort with two Window operators on top; no
+    * window ever spans more than one user's events. Durations are
+    * exact microsecond longs; the average is an exact bigint sum
+    * divided as double (bit-identical cross-engine, Det.scala rules).
+    * Ties are impossible in the ordering (event_id is unique). */
+  def sessionizeGap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gapUs = 1800000000L // 30 min in microseconds
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val marked = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("new_session",
+        when(lag($"tus", 1).over(w).isNull ||
+          $"tus" - lag($"tus", 1).over(w) > gapUs, 1).otherwise(0))
+    marked
+      .withColumn("sid", sum($"new_session").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tus") - min($"tus")).as("dur_us"))
+      .groupBy($"n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum($"dur_us").cast("double") / count(lit(1)) / 1000000.0)
+          .as("avg_duration_sec"))
+      .orderBy($"n_events")
+  }
+
+  /** LAST-TOUCH attribution: each purchase is credited to the user's
+    * most recent preceding touchpoint (view / click / signup);
+    * purchases with no prior touchpoint fall to the 'direct' channel.
+    * Output: per-channel purchase count and exact attributed revenue.
+    *
+    * Scale posture: ONE user_id exchange; the credited channel is a
+    * `last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING — O(1) running state per row, no per-user array is ever
+    * materialized (contrast the funnel fold's documented trade-off).
+    * Revenue goes through the exact decimal-sum pipeline (Det.dsum) so
+    * the double surfaced is bit-identical to the oracle's. */
+  def eventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type".isin("view", "click", "signup"),
+      $"event_type")
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        $"event_type", $"value")
+      .withColumn("channel",
+        coalesce(last(touch, ignoreNulls = true).over(w), lit("direct")))
+      .filter($"event_type" === "purchase")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.Det.dsum($"value").as("revenue"))
+      .orderBy($"channel")
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; n_active = distinct users of that cohort active
     * `week_offset` weeks later. */
@@ -164,8 +231,87 @@ object Analytics {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** TYPE-2 SLOWLY-CHANGING-DIMENSION build (change capture): collapse
+    * each customer's order-status history into validity intervals —
+    * consecutive equal-status runs become one row with [valid_from,
+    * valid_to) bounds, the current run left open (NULL valid_to). This
+    * is the batch form of CDC → SCD2 materialization every warehouse
+    * maintains.
+    *
+    * Scale posture: the change detector (lag), the run-numbering
+    * running sum and the interval-closing lead all partition on
+    * o_custkey — the per-customer history is the only window extent,
+    * so the build is one custkey exchange plus a per-run aggregate;
+    * nothing global. Ordering (o_orderdate, o_orderkey) is total
+    * (orderkey is the PK), so runs are uniquely determined. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate",
+      $"o_orderkey")
+    val runs = Tables(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_orderstatus")
+      .withColumn("chg",
+        when(lag($"o_orderstatus", 1).over(w).isNull ||
+          lag($"o_orderstatus", 1).over(w) =!= $"o_orderstatus", 1)
+          .otherwise(0))
+      .withColumn("run", sum($"chg").over(w))
+      .groupBy($"o_custkey", $"run")
+      .agg(min($"o_orderdate").as("valid_from"),
+        // status is constant within a run by construction; min is the
+        // deterministic way to say "the run's value"
+        min($"o_orderstatus").as("status"),
+        count(lit(1)).as("n_orders"))
+    val wr = Window.partitionBy($"o_custkey").orderBy($"run")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wr))
+      .filter($"o_custkey" % 53 === 0)
+      .select($"o_custkey", $"run".cast("long").as("run"), $"status",
+        $"valid_from", $"valid_to", $"n_orders")
+      .orderBy($"o_custkey", $"run")
+  }
+
+  /** TIME-SERIES GAP-FILL + forward fill: daily revenue per event type
+    * over a fixed January-2024 grid; days with no events surface with
+    * the LAST OBSERVED day's revenue carried forward (filled = 1) —
+    * the resample/ffill operator every metrics pipeline needs before
+    * joining series with different densities.
+    *
+    * Scale posture: the grid is dimension-sized (types × days — it
+    * never scales with the fact table) and generated declaratively
+    * (sequence + explode); the fact side collapses to per-(type, day)
+    * partial aggregates BEFORE the join, so the join input is
+    * grid-sized too. The forward fill is last(ignoreNulls) per type —
+    * O(1) state per row over a dimension-sized frame. */
+  def tsGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(graft.Det.dsum($"value").as("revenue"))
+    val grid = Tables(spark, sfDir, "events")
+      .select($"event_type").distinct()
+      .crossJoin(
+        spark.range(1).select(explode(expr(
+          "sequence(date'2024-01-01', date'2024-01-31')")).as("day")))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled",
+        when($"revenue".isNull, 1).otherwise(0).cast("int"))
+      .withColumn("revenue_filled",
+        coalesce($"revenue",
+          last($"revenue", ignoreNulls = true).over(w), lit(0.0)))
+      .select($"event_type", $"day", $"revenue_filled", $"filled")
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals" -> scd2Intervals,
+    "q_ts_gapfill" -> tsGapfill,
     "q_events_funnel" -> eventsFunnel,
+    "q_sessionize_gap" -> sessionizeGap,
+    "q_events_attribution" -> eventsAttribution,
     "q_events_funnel_bounded" -> eventsFunnelBounded,
     "q_events_funnel_windowed" -> eventsFunnelWindowed,
     "q_retention_cohort" -> retentionCohort

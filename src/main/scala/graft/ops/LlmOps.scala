@@ -1099,6 +1099,50 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** WINNOWING fingerprint selection (the MOSS algorithm): hash every
+    * k-token gram, slide a w-gram window over the hash stream, keep
+    * each window's minimum — the selected set is a position-robust
+    * document fingerprint with a guaranteed match on any shared run of
+    * ≥ w+k-1 tokens, the property plain rolling hashes
+    * ([[textFingerprint]]) lack. Surfaced stats (count / min / max /
+    * sum of the distinct selected hashes) are order-independent, so
+    * the engines agree regardless of distinct-preservation order.
+    *
+    * Scale posture: entirely row-local codegen'd higher-order
+    * functions over the token array — zero shuffles, zero UDFs; at
+    * 100 TB this runs as a map stage at scan speed, and the selected
+    * sets (≈ 1/w of the grams) are what a winnowing-based dedup would
+    * explode into an inverted index (the Σdf² candidate machinery
+    * [[dedupNgramJaccardOn]] already provides downstream). */
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (k, w) = (4, 4)
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", expr(
+        s"""transform(
+           |  filter(split(text, ' '), t -> t <> ''),
+           |  t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
+           |       as bigint))""".stripMargin).as("codes"))
+      .select($"doc_id", expr(
+        s"""case when size(codes) < $k then array()
+           |else transform(sequence(0, size(codes) - $k),
+           |  i -> aggregate(slice(codes, i + 1, $k), cast(0 as bigint),
+           |    (acc, c) -> (acc * 131 + c) % 1000000007)) end"""
+          .stripMargin).as("grams"))
+      .select($"doc_id", size($"grams").as("n_grams"), expr(
+        s"""array_distinct(case when size(grams) < $w then array()
+           |else transform(sequence(0, size(grams) - $w),
+           |  j -> array_min(slice(grams, j + 1, $w))) end)"""
+          .stripMargin).as("sel"))
+      .select($"doc_id", $"n_grams",
+        size($"sel").as("n_selected"),
+        expr("array_min(sel)").as("fp_min"),
+        expr("array_max(sel)").as("fp_max"),
+        expr("aggregate(sel, cast(0 as bigint), (a, c) -> a + c)")
+          .as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
   /** TF-IDF: term frequency per doc × ln(N/df), top-3 terms per doc.
     * All relational — token explode, two aggregations, a broadcast of
     * the 1-row corpus count, a per-doc window. The idf ln() gets r4
@@ -2006,6 +2050,7 @@ object LlmOps {
     "q_text_quality" -> textQuality,
     "q_text_langid" -> textLangid,
     "q_text_fingerprint" -> textFingerprint,
+    "q_text_winnow" -> textWinnow,
     "q_token_count" -> tokenCount,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,

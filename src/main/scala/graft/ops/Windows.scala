@@ -139,8 +139,33 @@ object Windows {
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 
+  /** ROLLING MEDIAN + exact rolling sum over each user's last five
+    * events — the smoothing/outlier-robust statistics a metrics or
+    * anomaly pipeline computes over sliding frames. The median is an
+    * exact percentile over a ≤5-row frame (r4-rounded: interpolation
+    * is the one legitimately order-dependent double op); the rolling
+    * sum goes through the decimal pipeline so windowed tree-vs-
+    * sequential accumulation order cannot change the surfaced double.
+    * Per-user partitioning, unique (tus, event_id) ordering, explicit
+    * ROWS frame — the standing window rules. */
+  def winMedianRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        $"value")
+      .withColumn("med_5", Det.r4(expr("percentile(value, 0.5)").over(w)))
+      .withColumn("sum_5",
+        sum(Det.dec($"value")).over(w).cast(DoubleType))
+      .filter($"user_id" % 7 === 0)
+      .select($"user_id", $"event_id", $"med_5", $"sum_5")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> winRank,
+    "q_win_median_rolling" -> winMedianRolling,
     "q_win_lag_lead" -> winLagLead,
     "q_win_frame_rows" -> winFrameRows,
     "q_win_frame_range" -> winFrameRange,

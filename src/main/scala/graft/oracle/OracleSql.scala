@@ -1083,6 +1083,37 @@ object OracleSql {
         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // same token-code and gram-hash arithmetic as the Spark side;
+    // DuckDB range(a,b) is end-exclusive and empty when b <= a, which
+    // covers the short-document guards; the surfaced stats are
+    // order-independent so list_distinct ordering cannot matter
+    "q_text_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
+        |           as bigint)) AS codes
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(codes) - 4 + 1),
+        |      i -> list_reduce(
+        |        list_prepend(cast(0 as bigint),
+        |          array_slice(codes, i + 1, i + 4)),
+        |        (a, b) -> (a * 131 + b) % 1000000007)) AS grams
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id, len(grams) AS n_grams,
+        |    list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |      j -> list_min(array_slice(grams, j + 1, j + 4)))) AS sel
+        |  FROM g)
+        |SELECT doc_id, cast(n_grams as int) AS n_grams,
+        |  cast(len(sel) as int) AS n_selected,
+        |  list_min(sel) AS fp_min, list_max(sel) AS fp_max,
+        |  coalesce(cast(list_sum(sel) as bigint), 0) AS fp_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1332,6 +1363,176 @@ object OracleSql {
     "q_events_funnel" -> funnelSql,
     "q_events_funnel_bounded" -> funnelSql,
     "q_events_funnel_windowed" -> funnelWindowedSql,
+
+    // change capture → SCD2: same (o_orderdate, o_orderkey) total
+    // ordering, run numbering and lead-closed intervals as Spark; the
+    // custkey filter cannot perturb per-custkey windows
+    "q_scd2_intervals" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |      OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus,
+        |    sum(chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM o),
+        |g AS (
+        |  SELECT o_custkey, run, min(o_orderdate) AS valid_from,
+        |    min(o_orderstatus) AS status, count(*) AS n_orders
+        |  FROM r GROUP BY o_custkey, run)
+        |SELECT o_custkey, cast(run as bigint) AS run, status,
+        |  cast(valid_from as timestamp) AS valid_from,
+        |  cast(lead(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY run) as timestamp) AS valid_to,
+        |  n_orders
+        |FROM g WHERE o_custkey % 53 = 0
+        |ORDER BY o_custkey, run""".stripMargin,
+
+    // dimension-sized grid × pre-aggregated fact; the IGNORE NULLS
+    // carry-forward mirrors Spark's last(ignoreNulls) exactly
+    "q_ts_gapfill" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    """ + dsum("value") + """ AS revenue
+        |  FROM events GROUP BY event_type, cast(ts as date)),
+        |grid AS (
+        |  SELECT t.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (
+        |    SELECT cast(unnest(generate_series(date '2024-01-01',
+        |      date '2024-01-31', INTERVAL 1 DAY)) as date) AS day) d),
+        |j AS (
+        |  SELECT g.event_type, g.day, daily.revenue
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.event_type = daily.event_type AND g.day = daily.day)
+        |SELECT event_type, day,
+        |  coalesce(revenue,
+        |    last_value(revenue IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0.0) AS revenue_filled,
+        |  CASE WHEN revenue IS NULL THEN 1 ELSE 0 END AS filled
+        |FROM j ORDER BY event_type, day""").stripMargin,
+
+    // odd frames take the exact middle element; even (leading) frames
+    // interpolate — r4 both sides; the rolling sum is decimal-exact
+    "q_win_median_rolling" ->
+      """SELECT user_id, event_id,
+        |  round(quantile_cont(value, 0.5) OVER w, 4) AS med_5,
+        |  cast(sum(cast(value as decimal(12,2))) OVER w as double)
+        |    AS sum_5
+        |FROM events
+        |WHERE user_id % 7 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts),
+        |  event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // same (user_id; ts, event_id) ordering and 30-min microsecond gap
+    // as the Spark side; event_id uniqueness makes the order total
+    "q_sessionize_gap" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    max(tus) - min(tus) AS dur_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  cast(sum(dur_us) as double) / count(*) / 1000000.0
+        |    AS avg_duration_sec
+        |FROM g GROUP BY n_events ORDER BY n_events""".stripMargin,
+
+    // last non-purchase touchpoint strictly before each purchase, via
+    // IGNORE NULLS over ROWS UNBOUNDED PRECEDING..1 PRECEDING — the
+    // same O(1)-state window shape as the Spark side
+    "q_events_attribution" ->
+      ("""WITH a AS (
+        |  SELECT user_id, event_type, value,
+        |    coalesce(last_value(CASE WHEN event_type IN
+        |        ('view', 'click', 'signup') THEN event_type END
+        |        IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'direct') AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_purchases,
+        |  """ + dsum("value") + """ AS revenue
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""").stripMargin,
+
+    // the naive single-task formulation — same ids as the two-pass
+    // partition-offset plan on the Spark side
+    "q_ids_contiguous" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents)
+        |SELECT doc_id, cast(row_id as bigint) AS row_id
+        |FROM n WHERE doc_id % 37 = 0 ORDER BY doc_id""".stripMargin,
+
+    // one SELECT per constraint here; the Spark side fuses same-table
+    // constraints into one scan (the aggregates are identical)
+    "q_quality_constraints" ->
+      """WITH checks AS (
+        |  SELECT 'documents.lang_accepted' AS check_name,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+        |      THEN 1 END) AS n_violations FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.nchars_consistent', count(*),
+        |    count(CASE WHEN length(text) <> n_chars THEN 1 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.text_nonempty', count(*),
+        |    count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.ts_in_range', count(*),
+        |    count(CASE WHEN ts < TIMESTAMP '2024-01-01'
+        |      OR ts >= TIMESTAMP '2024-02-01' THEN 1 END) FROM events
+        |  UNION ALL
+        |  SELECT 'events.type_accepted', count(*),
+        |    count(CASE WHEN event_type NOT IN
+        |      ('view','click','purchase','signup','error') THEN 1 END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events.value_nonneg', count(*),
+        |    count(CASE WHEN value < 0.0 THEN 1 END) FROM events
+        |  UNION ALL
+        |  SELECT 'orders.pk_unique', count(*),
+        |    count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_orders', count(*),
+        |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'customer.fk_nation', count(*),
+        |    count(CASE WHEN n.n_nationkey IS NULL THEN 1 END)
+        |  FROM customer c LEFT JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey)
+        |SELECT check_name, cast(n_checked as bigint) AS n_checked,
+        |  cast(n_violations as bigint) AS n_violations
+        |FROM checks ORDER BY check_name""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH f AS (SELECT user_id,
@@ -1583,6 +1784,14 @@ object OracleSql {
         |SELECT source, count(*) AS n_docs, count(lang) AS n_with_lang,
         |  cast(sum(n_chars) as bigint) AS sum_chars
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // content preserved through the small→compacted round trip; the
+    // literal 1 pins one-file-per-partition-directory after compaction
+    "q_compact_small_files" ->
+      """SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars,
+        |  cast(1 as bigint) AS n_files
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
     // exposures x 8 ccds, path from the red_image template

@@ -197,8 +197,51 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** SMALL-FILE COMPACTION — the table-maintenance operator every
+    * long-lived lake needs: over-parallel ingest (16 writer tasks here)
+    * crossed with hive partition columns shreds a table into
+    * tasks×partitions tiny files, and at 100 TB the per-file open/seek
+    * overhead (and object-store LIST latency) comes to dominate scan
+    * time. Compaction is ONE shuffle keyed on the partition column so
+    * every partition directory collapses to exactly one writer task →
+    * one file. The declared output reads the COMPACTED layout back and
+    * surfaces per-source `n_files` via `input_file_name()` — the
+    * oracle pins it to literally 1, so a compaction that left multiple
+    * files per directory could not hash-match; row counts and char
+    * sums prove the content survived both round trips. (At real scale
+    * you'd target max(1, dirBytes/targetFileSize) files per directory
+    * rather than 1; the collapse-to-one here is that policy at test
+    * scale.) */
+  def compactSmallFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/compact"
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+    // the small-file explosion: 16 ingest tasks × source dirs (≈ 320
+    // files where 20 suffice — enough to demonstrate and measure the
+    // problem without making the BENCH itself file-creation-bound)
+    docs.repartition(16, $"doc_id")
+      .write.mode("overwrite").partitionBy("source")
+      .parquet(s"$dir/small")
+    // compaction pass: cluster by the partition column, rewrite
+    spark.read.schema(docs.schema).parquet(s"$dir/small")
+      .repartition($"source")
+      .write.mode("overwrite").partitionBy("source")
+      .parquet(s"$dir/compacted")
+    spark.read.schema(docs.schema).parquet(s"$dir/compacted")
+      // project the (per-row-deterministic) file name before the agg;
+      // Catalyst rejects nondeterministic exprs inside aggregates
+      .select($"source", $"n_chars", input_file_name().as("fname"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.Det.lsum($"n_chars").as("sum_chars"),
+        countDistinct($"fname").cast("long").as("n_files"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_describe_schema" -> describeSchema,
+    "q_compact_small_files" -> compactSmallFiles,
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,
     "q_source_binaryfile_images" -> sourceBinaryFileImages,

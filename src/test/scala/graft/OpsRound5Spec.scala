@@ -244,4 +244,264 @@ class OpsRound5Spec extends SparkSpec {
       case other => fail(s"half-null purchase columns: $other")
     }
   }
+
+  // ---- q_sessionize_gap --------------------------------------------------
+
+  test("q_sessionize_gap matches a driver-side sessionization replay") {
+    val gap = 1800000000L
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id")
+      .as[(Long, Long, Long)].collect()
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      var prev = Long.MinValue
+      sorted.foreach { case (_, t, _) =>
+        if (acc.isEmpty || t - prev > gap) {
+          acc += scala.collection.mutable.ArrayBuffer(t)
+        } else acc.last += t
+        prev = t
+      }
+      acc.map(s => (s.length.toLong, s.max - s.min))
+    }
+    val want = sessions.groupBy(_._1).map { case (n, xs) =>
+      (n, xs.size.toLong, xs.map(_._2).sum.toDouble / xs.size / 1000000.0)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Analytics.sessionizeGap(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // no event lost: histogram weights sum back to the corpus size
+    assert(got.map(r => r._1 * r._2).sum === evs.length.toLong)
+  }
+
+  // ---- q_events_attribution ----------------------------------------------
+
+  test("q_events_attribution matches a driver-side last-touch replay") {
+    val touch = Set("view", "click", "signup")
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val credited = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var last: String = null
+      rows.sortBy(r => (r._2, r._3)).flatMap { case (_, _, _, tp, v) =>
+        val out = if (tp == "purchase")
+          Some((if (last == null) "direct" else last, v)) else None
+        if (touch(tp)) last = tp
+        out
+      }
+    }
+    val want = credited.groupBy(_._1).map { case (ch, xs) =>
+      // mirror Det.dsum: double → decimal(27,4) HALF_UP, exact sum,
+      // exact cast back to double
+      val sum = xs.map(x => BigDecimal(x._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      (ch, xs.size.toLong, sum.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Analytics.eventsAttribution(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum ===
+      evs.count(_._4 == "purchase").toLong)
+  }
+
+  // ---- q_ids_contiguous --------------------------------------------------
+
+  test("q_ids_contiguous assigns exactly the global-sort ranks") {
+    val expected = Tables(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect().sorted.zipWithIndex
+      .collect { case (id, i) if id % 37 == 0 => (id, i.toLong) }.toSeq
+    val got = graft.ops.Ids.idsContiguous(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  // ---- q_quality_constraints ---------------------------------------------
+
+  test("q_quality_constraints: clean corpus, correct denominators") {
+    val rows = graft.ops.Quality.qualityConstraints(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.length === 9)
+    val byName = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byName.keySet.forall(_.matches("[a-z]+\\.[a-z_]+")))
+    // the generated corpus satisfies every declared constraint
+    rows.foreach { case (n, _, v) => assert(v === 0L, s"$n violated") }
+    for ((t, checks) <- Seq(
+        "documents" -> Seq("documents.lang_accepted",
+          "documents.nchars_consistent", "documents.text_nonempty"),
+        "events" -> Seq("events.ts_in_range", "events.type_accepted",
+          "events.value_nonneg"))) {
+      val n = Tables(spark, sfDir, t).count()
+      checks.foreach(c => assert(byName(c)._1 === n, c))
+    }
+    assert(byName("orders.pk_unique")._1 ===
+      Tables(spark, sfDir, "orders").count())
+    assert(byName("lineitem.fk_orders")._1 ===
+      Tables(spark, sfDir, "lineitem").count())
+    assert(byName("customer.fk_nation")._1 ===
+      Tables(spark, sfDir, "customer").count())
+  }
+
+  test("q_quality_constraints fuses same-table checks into one scan") {
+    val plan = graft.ops.Quality.qualityConstraints(spark, sfDir)
+      .queryExecution.optimizedPlan
+    // identify table leaves by their signature columns: within this
+    // plan only documents carries n_chars, only events event_type
+    def scansWith(colName: String): Int =
+      plan.collectLeaves().count(_.output.exists(_.name == colName))
+    // three documents checks, three events checks — one scan each
+    assert(scansWith("n_chars") === 1)
+    assert(scansWith("event_type") === 1)
+  }
+
+  // ---- q_compact_small_files ---------------------------------------------
+
+  test("q_compact_small_files leaves exactly one file per directory") {
+    val out = graft.sources.Sources.compactSmallFiles(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (src, _, _, nFiles) =>
+      assert(nFiles === 1L, s"$src not compacted")
+    }
+    def parquetFiles(sub: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(
+        s"${graft.ops.Relational.scratchRoot}/compact/$sub")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (d, fs) => d -> fs.size }
+    }
+    val small = parquetFiles("small")
+    val compacted = parquetFiles("compacted")
+    // compaction strictly reduced the file population and every
+    // compacted directory holds exactly one file
+    assert(compacted.values.forall(_ === 1))
+    assert(small.values.sum > compacted.values.sum)
+    assert(small.exists(_._2 > 1))
+  }
+
+  // ---- q_scd2_intervals --------------------------------------------------
+
+  test("q_scd2_intervals: intervals tile each history, runs alternate") {
+    val rows = graft.ops.Analytics.scd2Intervals(spark, sfDir)
+      .as[(Long, Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cust, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length.toLong))
+      // exactly one open (current) interval per customer, at the end
+      assert(sorted.init.forall(_._5.isDefined))
+      assert(sorted.last._5.isEmpty)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, s1, f1, Some(t1), _), (_, _, s2, f2, _, _)) =>
+          assert(s1 !== s2, s"cust $cust: adjacent runs share status")
+          assert(t1 === f2, s"cust $cust: intervals do not tile")
+          assert(!f1.after(f2))
+        case _ => ()
+      }
+      // every order of the sampled customer is accounted for
+      val nOrders = Tables(spark, sfDir, "orders")
+        .filter($"o_custkey" === cust).count()
+      assert(rs.map(_._6).sum === nOrders)
+    }
+  }
+
+  // ---- q_ts_gapfill ------------------------------------------------------
+
+  test("q_ts_gapfill: full grid, gaps carry the last observed value") {
+    val rows = graft.ops.Analytics.tsGapfill(spark, sfDir)
+      .as[(String, java.sql.Date, Double, Int)].collect().toSeq
+    val types = Tables(spark, sfDir, "events")
+      .select($"event_type").distinct().as[String].collect().toSet
+    assert(rows.length === types.size * 31)
+    // at the test SF some days are genuinely empty — the fill fires
+    assert(rows.exists(_._4 == 1))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2.toString)
+      assert(sorted.map(_._2.toString) ===
+        (1 to 31).map(d => f"2024-01-$d%02d"))
+      // a filled day repeats the previous surfaced value (0 at head)
+      sorted.zipWithIndex.foreach { case ((_, _, v, filled), i) =>
+        if (filled == 1)
+          assert(v === (if (i == 0) 0.0 else sorted(i - 1)._3))
+      }
+    }
+  }
+
+  // ---- q_win_median_rolling ----------------------------------------------
+
+  test("q_win_median_rolling matches a driver-side frame replay") {
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val s = frame.sorted
+        val pos = (s.length - 1) * 0.5
+        val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+        val med = lo + (hi - lo) * (pos - pos.toInt)
+        val sum = frame.map(v => BigDecimal(v)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (u, sorted(i)._3,
+          BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, sum)
+      }
+    }.filter(_._1 % 7 == 0).sortBy(r => (r._1, r._2))
+    val got = graft.ops.Windows.winMedianRolling(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // ---- q_text_winnow -----------------------------------------------------
+
+  test("q_text_winnow matches a driver-side winnowing replay") {
+    val (k, w, m) = (4, 4, 1000000007L)
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.map { case (id, text) =>
+      val codes = text.split(" ").filter(_.nonEmpty)
+        .map(t => t.head.toLong * 31 + t.length)
+      val grams = codes.sliding(k).filter(_.length == k)
+        .map(_.foldLeft(0L)((a, c) => (a * 131 + c) % m)).toArray
+      val sel = grams.sliding(w).filter(_.length == w)
+        .map(_.min).toArray.distinct
+      (id, grams.length, sel.length,
+        if (sel.isEmpty) None else Some(sel.min),
+        if (sel.isEmpty) None else Some(sel.max), sel.sum)
+    }.sortBy(_._1).toSeq
+    val got = graft.ops.LlmOps.textWinnow(spark, sfDir)
+      .as[(Long, Int, Int, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(got === want)
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("q_text_winnow guarantee: every w-window contributes a pick") {
+    // winnowing's coverage property — each window of w consecutive
+    // gram hashes contains at least one selected fingerprint, so any
+    // shared run of >= w+k-1 tokens across docs must share a pick
+    val (k, w, m) = (4, 4, 1000000007L)
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sels = graft.ops.LlmOps.textWinnow(spark, sfDir)
+      .select($"doc_id", $"n_grams").as[(Long, Int)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val codes = text.split(" ").filter(_.nonEmpty)
+        .map(t => t.head.toLong * 31 + t.length)
+      val grams = codes.sliding(k).filter(_.length == k)
+        .map(_.foldLeft(0L)((a, c) => (a * 131 + c) % m)).toArray
+      assert(sels(id) === grams.length)
+      if (grams.length >= w) {
+        val sel = grams.sliding(w).map(_.min).toSet
+        grams.sliding(w).foreach(win => assert(win.exists(sel)))
+      }
+    }
+  }
 }

@@ -23,7 +23,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_pack_bestfit", "q_embed_pq", "q_bpe_encode", "q_sim_ann_pq",
     // kNN graph (rounded-sim rank with full tiebreak) and the seeded
     // epoch shuffle (total sort key) must not care about layout
-    "q_knn_graph_bucketed", "q_shuffle_deterministic")
+    "q_knn_graph_bucketed", "q_shuffle_deterministic",
+    // contiguous ids: offsets come from whatever range boundaries the
+    // sampler picked, so layout-independence of the FINAL ids is
+    // exactly the property to pin; sessionize: stacked windows
+    "q_ids_contiguous", "q_sessionize_gap")
 
   private lazy val alt = {
     val s = spark.newSession()
