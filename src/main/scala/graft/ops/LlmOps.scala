@@ -917,6 +917,51 @@ object LlmOps {
       .orderBy($"vec_id", $"rk")
   }
 
+  /** PAGERANK over the kNN graph ([[knnGraphBucketed]]'s edges) — the
+    * iterative graph-centrality operator diversity-aware sampling and
+    * curriculum pipelines rank artifacts with (CC/labels covered the
+    * connectivity side; this is the importance side).
+    *
+    * Determinism: FIXED-POINT integer arithmetic throughout — ranks
+    * are longs scaled by 1e12, every step is integer multiply/floor-
+    * divide/exact sum, so there is no float accumulation order to
+    * diverge: bit-exact across engines AND cluster layouts (in the
+    * partition-invariance sweep). Dangling-node mass leaks by the
+    * sparse-graph convention (sinks absorb; documented, tested ≤ 1).
+    *
+    * Scale posture: one edge materialization (lineage-truncated), then
+    * per iteration exactly one equi join (ranks ⋈ edges on src — both
+    * sides hash-partition on the same key) and one partial→final agg
+    * on dst; the teleport term is map-side arithmetic. 10 fixed
+    * iterations ⇒ 10 bounded jobs; rank state is one long per node.
+    * The only driver actions are the node count (one scalar) and the
+    * final top-20 TakeOrdered. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val emb = Tables(spark, sfDir, "embeddings")
+    val nodes = emb.select($"vec_id".as("node"))
+    val n = nodes.count()
+    if (n == 0L) return nodes.select($"node", lit(0L).as("r"))
+    val init = scale / n
+    val base = (init * 15L) / 100L
+    val e0 = knnGraphBucketed(spark, sfDir)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    val e = Tables.truncate(
+      e0.join(e0.groupBy($"src").agg(count(lit(1)).as("od")), "src"))
+    var r = nodes.select($"node", lit(init).as("r"))
+    for (i <- 1 to 10) {
+      val contrib = e.join(r, $"src" === $"node")
+        .select($"dst", expr("r DIV od").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      r = nodes.join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(base) + expr("(85 * coalesce(s, 0)) DIV 100")).as("r"))
+      if (i % 3 == 0) r = Tables.truncate(r)
+    }
+    r.orderBy($"r".desc, $"node").limit(20)
+  }
+
   /** Reproducible global training shuffle: the corpus in the
     * pseudo-random order of a seeded Knuth multiplicative hash of
     * doc_id (epoch seed — a different seed is a different
@@ -2043,6 +2088,7 @@ object LlmOps {
     "q_sim_ann_ivf" -> simAnnIvf,
     "q_sim_ann_pq" -> simAnnPq,
     "q_knn_graph_bucketed" -> knnGraphBucketed,
+    "q_graph_pagerank" -> graphPagerank,
     "q_shuffle_deterministic" -> shuffleDeterministic,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,

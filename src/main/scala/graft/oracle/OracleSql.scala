@@ -761,7 +761,50 @@ object OracleSql {
     "cast(list_sum(list_transform(range(1, 9), " +
       "i -> CASE WHEN embedding[i] > 0 THEN (cast(1 as bigint) << (i - 1)) ELSE 0 END)) as bigint)"
 
+  // fixed-point PageRank, 10 iterations UNROLLED as chained CTEs (no
+  // engine recursion semantics to align): same kNN edge derivation as
+  // q_knn_graph_bucketed, same long-scaled integer arithmetic as the
+  // Spark side — floor division (`//` here, `DIV` there) on
+  // non-negative longs is identical, integer sums are exact, so the
+  // engines agree bit-for-bit
+  private def pagerankSql: String = {
+    val s = "1000000000000"
+    val steps = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT em.vec_id AS node,
+         |    base.base + (85 * coalesce(c.s, 0)) // 100 AS r
+         |  FROM embeddings em CROSS JOIN base
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(pr${i - 1}.r // e.od) AS s
+         |    FROM pr${i - 1} JOIN e ON pr${i - 1}.node = e.src
+         |    GROUP BY e.dst) c ON c.dst = em.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+       |           FROM embeddings),
+       |j AS (
+       |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+       |  FROM b a JOIN b q ON a.bucket = q.bucket
+       |  WHERE a.vec_id <> q.vec_id),
+       |rnk AS (SELECT vec_id, nbr_id,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM j),
+       |e0 AS (SELECT vec_id AS src, nbr_id AS dst FROM rnk
+       |       WHERE rk <= 3),
+       |od AS (SELECT src, count(*) AS od FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, od.od FROM e0
+       |      JOIN od ON e0.src = od.src),
+       |n AS (SELECT count(*) AS n FROM embeddings),
+       |base AS (SELECT (($s // n.n) * 15) // 100 AS base FROM n),
+       |pr0 AS (SELECT em.vec_id AS node, $s // n.n AS r
+       |        FROM embeddings em CROSS JOIN n),
+       |$steps
+       |SELECT node, cast(r as bigint) AS r FROM pr10
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   private val llm: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankSql,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -459,6 +459,36 @@ class OpsRound5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q_graph_pagerank --------------------------------------------------
+
+  test("q_graph_pagerank matches a driver-side fixed-point replay") {
+    val scale = 1000000000000L
+    val edges = graft.ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect().toSeq
+    val nodes = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id").as[Long].collect().toSeq
+    val n = nodes.length.toLong
+    val init = scale / n
+    val base = (init * 15L) / 100L
+    val od = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to 10) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / od(src) }.sum
+      }
+      r = nodes.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    val want = r.toSeq.sortBy { case (v, rk) => (-rk, v) }.take(20)
+    val got = graft.ops.LlmOps.graphPagerank(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    // conservation: leaked dangling/rounding mass only ever shrinks
+    // the total, never grows it
+    assert(r.values.sum <= scale)
+    assert(r.values.forall(_ >= base))
+  }
+
   // ---- q_text_winnow -----------------------------------------------------
 
   test("q_text_winnow matches a driver-side winnowing replay") {

@@ -26,8 +26,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_knn_graph_bucketed", "q_shuffle_deterministic",
     // contiguous ids: offsets come from whatever range boundaries the
     // sampler picked, so layout-independence of the FINAL ids is
-    // exactly the property to pin; sessionize: stacked windows
-    "q_ids_contiguous", "q_sessionize_gap")
+    // exactly the property to pin; sessionize: stacked windows;
+    // pagerank: 10 iterative join+agg rounds of fixed-point sums
+    "q_ids_contiguous", "q_sessionize_gap", "q_graph_pagerank")
 
   private lazy val alt = {
     val s = spark.newSession()
