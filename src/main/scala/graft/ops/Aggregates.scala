@@ -245,7 +245,38 @@ object Aggregates {
       .orderBy($"event_type")
   }
 
+  /** INCREMENTAL aggregate maintenance — the materialized-view pattern
+    * every daily-refreshed 100 TB rollup uses: yesterday's snapshot is
+    * a MATERIALIZED per-group partial table (counts and exact decimal
+    * sums — the mergeable forms; an avg is never stored, it is derived
+    * at read time from sum/count), today's delta aggregates alone, and
+    * the served result is the MERGE of the two — history is never
+    * re-scanned. The oracle recomputes the same aggregate from the
+    * full table, so the hash match IS the proof that merge ≡
+    * recompute. Here "yesterday" is doc_id % 10 < 8 and the snapshot
+    * is landed to parquet exactly as a refresh job would leave it. */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${Relational.scratchRoot}/snapshot_agg"
+    val docs = Tables(spark, sfDir, "documents")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), Det.lsum($"n_chars").as("sum_chars"))
+    partials(docs.filter($"doc_id" % 10 < 8))
+      .write.mode("overwrite").parquet(dir)
+    val snapshot = spark.read.schema(
+      "source STRING, n_docs BIGINT, sum_chars BIGINT").parquet(dir)
+    snapshot.unionByName(partials(docs.filter($"doc_id" % 10 >= 8)))
+      .groupBy($"source")
+      .agg(sum($"n_docs").cast("long").as("n_docs"),
+        sum($"sum_chars").cast("long").as("sum_chars"))
+      .withColumn("avg_chars",
+        $"sum_chars".cast(DoubleType) / $"n_docs")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_incremental" -> aggIncremental,
     "q_agg_countmin" -> aggCountmin,
     "q_agg_heavy_hitters" -> aggHeavyHitters,
     "q_agg_hash_q1" -> q1,

@@ -266,6 +266,15 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // full recompute — hash equality against the Spark side's
+    // snapshot+delta merge proves merge ≡ recompute
+    "q_agg_incremental" ->
+      """SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars,
+        |  cast(cast(sum(n_chars) as bigint) as double) / count(*)
+        |    AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,

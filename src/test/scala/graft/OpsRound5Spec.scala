@@ -459,6 +459,27 @@ class OpsRound5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q_agg_incremental -------------------------------------------------
+
+  test("q_agg_incremental: snapshot+delta merge equals full recompute") {
+    val got = graft.ops.Aggregates.aggIncremental(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val want = Tables(spark, sfDir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").cast("long").as("s"))
+      .select($"source", $"n", $"s",
+        ($"s".cast("double") / $"n").as("a"))
+      .orderBy($"source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the landed snapshot really is the partial form (no avg stored)
+    val snap = spark.read.parquet(
+      s"${graft.ops.Relational.scratchRoot}/snapshot_agg")
+    assert(snap.columns.toSet === Set("source", "n_docs", "sum_chars"))
+    assert(snap.count() > 0)
+  }
+
   // ---- q_graph_pagerank --------------------------------------------------
 
   test("q_graph_pagerank matches a driver-side fixed-point replay") {

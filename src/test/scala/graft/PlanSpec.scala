@@ -168,6 +168,19 @@ class PlanSpec extends SparkSpec {
   private def finalSection(plan: String): String =
     plan.split("== Initial Plan ==").head
 
+  test("sessionize_gap: both window passes share one user_id exchange") {
+    val plan = finalSection(finalPlan(
+      graft.ops.Analytics.sessionizeGap(spark, sfDir)))
+    // the lag pass and the running-sum pass have the same partitioning
+    // and ordering — they must stack on ONE user_id exchange; the only
+    // other hash exchanges are the two downstream aggregations
+    assert("Window".r.findAllIn(plan).size === 2, plan.take(1200))
+    val userExchanges =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges === 1, s"expected 1 user_id exchange:\n" +
+      plan.take(1200))
+  }
+
   test("pack_chunks runs on ONE data shuffle (source partitioning reused)") {
     val plan = finalSection(finalPlan(LlmOps.packChunks(spark, sfDir)))
     // window by source, then groupBy (source, chunk): the aggregation's
