@@ -123,6 +123,52 @@ object Profile {
       // the heap side reuses the PRODUCTION core (LlmOps.capHeapOn),
       // so this A/B keeps measuring the shipped formulation if k, the
       // tie-break, or the hash ever change
+      // the scale-killer formulation q_ids_contiguous exists to avoid:
+      // row_number() over an unpartitioned global ORDER BY funnels the
+      // whole corpus through ONE task. Same output, same filter — run
+      // against the shipped two-pass key for the measured asymmetry
+      // (at sf0.1 the gap is wall-clock-visible even at 5k rows; at
+      // 100 TB the naive form simply does not finish).
+      "x_ids_naive" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        Tables(s, dir, "documents")
+          .select(col("doc_id"))
+          .withColumn("row_id",
+            row_number().over(Window.orderBy(col("doc_id"))) - 1)
+          .filter(col("doc_id") % 37 === 0)
+          .orderBy(col("doc_id"))
+      }),
+      // the unfused constraint suite: one aggregate pass PER CHECK
+      // (3 documents scans + 3 events scans) vs the shipped fused
+      // single-scan-per-table plan — the Deequ-style optimization
+      // q_quality_constraints claims, measured
+      "x_quality_unfused" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables(s, dir, "documents")
+        val events = Tables(s, dir, "events")
+        def one(name: String, df: org.apache.spark.sql.DataFrame,
+            viol: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).cast("long").as("n_checked"),
+            count(when(viol, lit(1))).cast("long").as("n_violations"))
+            .select(lit(name).as("check_name"), col("n_checked"),
+              col("n_violations"))
+        Seq(
+          one("documents.lang_accepted", docs,
+            !col("lang").isin("de", "en", "es", "fr", "zh")),
+          one("documents.nchars_consistent", docs,
+            length(col("text")) =!= col("n_chars")),
+          one("documents.text_nonempty", docs,
+            col("text").isNull || length(col("text")) === 0),
+          one("events.ts_in_range", events,
+            col("ts") < to_timestamp(lit("2024-01-01")) ||
+              col("ts") >= to_timestamp(lit("2024-02-01"))),
+          one("events.type_accepted", events,
+            !col("event_type").isin("view", "click", "purchase",
+              "signup", "error")),
+          one("events.value_nonneg", events, col("value") < 0.0)
+        ).reduce(_.unionAll(_)).orderBy(col("check_name"))
+      }),
       "x_cap_heap_skew" -> ((s, dir) =>
         graft.ops.LlmOps.capHeapOn(capSkewWorkload(s, dir), 10))
     )
