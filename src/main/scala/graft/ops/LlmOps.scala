@@ -1977,6 +1977,74 @@ object LlmOps {
       .toDF()
   }
 
+  /** Deterministic 16-bit PCM WAV payload per document (audio sibling
+    * of [[pngPayload]]): n_chars×4 mono samples at 8 kHz from an
+    * integer recipe, encoded through the REAL JDK audio codec
+    * (`javax.sound.sampled.AudioSystem` WAVE writer) executor-side in
+    * a typed mapPartitions batch. */
+  private[graft] def wavPayload(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars".cast("int"))
+      .transform(graft.Tables.spread)
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val n = nChars * 4
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31L + i.toLong * 7L) % 4096L) - 2048L).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // signed PCM, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      })
+  }
+
+  /** Multimodal AUDIO decode — the audio leg of the opaque-binary
+    * pattern ([[multimodalBinary]] is the image leg): real WAV bytes
+    * flow through `AudioSystem.getAudioInputStream`, the format and
+    * frame count come from the DECODED stream (not the generator), and
+    * the loudness stats (peak, mean |sample|) are computed from the
+    * decoded PCM — a decode that didn't really run could not
+    * hash-match the oracle, which recomputes everything from the
+    * generator arithmetic. Same scale shape as the image stage:
+    * mapPartitions codec batches over a spread scan, structured
+    * metadata out, exact integer-sum/count divisions (Det rules). */
+  def multimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wavPayload(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val n = in.getFrameLength.toInt
+        val rate = in.getFormat.getSampleRate.toInt
+        val data = in.readAllBytes()
+        var sumAbs = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          val a = math.abs(s.toLong)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        (id, n, rate, peak, sumAbs.toDouble / n)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "peak", "mean_abs")
+      .orderBy($"doc_id")
+  }
+
   /** EXACT binary dedup over the image payload column — the byte-hash
     * dedup every multimodal corpus runs before training: one canonical
     * (min) doc_id per byte-identical payload. Grouping key is
@@ -2124,6 +2192,7 @@ object LlmOps {
     "q_pipeline_curation" -> pipelineCuration,
     "q_multimodal_cols" -> multimodalCols,
     "q_multimodal_binary" -> multimodalBinary,
+    "q_multimodal_audio" -> multimodalAudio,
     "q_dedup_binary_exact" -> dedupBinaryExact
   )
 }

@@ -1845,6 +1845,22 @@ object OracleSql {
         |  cast(1 as bigint) AS n_files
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // decoded WAV stats recomputed from the PCM generator recipe —
+    // i ranges over bigints, every term stays non-negative before the
+    // -2048 shift, so % and abs agree with the Spark executor loop
+    "q_multimodal_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, cast(n_chars * 4 as int) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, cast(n as bigint)),
+        |      i -> abs((doc_id * 31 + i * 7) % 4096 - 2048)) AS sam
+        |  FROM a)
+        |SELECT doc_id, n AS n_samples, 8000 AS sample_rate,
+        |  cast(list_max(sam) as bigint) AS peak,
+        |  cast(list_sum(sam) as double) / n AS mean_abs
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // the DSv2 connector's synthetic catalog re-derived: 10 runs x 4
     // exposures x 8 ccds, path from the red_image template
     "q_source_catalog_pushdown" ->

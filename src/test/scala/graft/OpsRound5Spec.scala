@@ -459,6 +459,31 @@ class OpsRound5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q_multimodal_audio ------------------------------------------------
+
+  test("q_multimodal_audio: real WAV payloads decode to the PCM recipe") {
+    val payloads = graft.ops.LlmOps.wavPayload(spark, sfDir).collect()
+    assert(payloads.nonEmpty)
+    payloads.foreach { case (_, bytes) =>
+      // a genuine RIFF/WAVE container, not raw PCM
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    }
+    val got = graft.ops.LlmOps.multimodalAudio(spark, sfDir)
+      .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    val chars = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    got.foreach { case (id, n, rate, peak, meanAbs) =>
+      assert(n === chars(id).toInt * 4)
+      assert(rate === 8000)
+      val sams = (0 until n).map(i =>
+        math.abs((id * 31L + i.toLong * 7L) % 4096L - 2048L))
+      assert(peak === sams.max)
+      assert(meanAbs === sams.sum.toDouble / n)
+    }
+  }
+
   // ---- q_agg_incremental -------------------------------------------------
 
   test("q_agg_incremental: snapshot+delta merge equals full recompute") {
