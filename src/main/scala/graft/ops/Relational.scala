@@ -207,6 +207,48 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** MANUAL bloom-filter semi-join reduction — the third member of the
+    * runtime-filter family: DPP ([[joinDpp]]) prunes partition
+    * DIRECTORIES, the optimizer's injected bloom (PlanSpec's
+    * `might_contain` test) prunes rows when its size thresholds fire,
+    * and THIS is the hand-rolled version for when neither applies
+    * (non-partition-aligned key, thresholds tuned for clusters, or a
+    * filter reused across many queries): one bounded-size sketch job
+    * over the filtered dim (`stat.bloomFilter` — merged partials, the
+    * CMS-probe precedent for a legitimate driver-held artifact),
+    * broadcast to executors, and the fact stream is filtered BEFORE
+    * the join shuffle. Bloom filters have no false negatives, so the
+    * final joined aggregate is byte-identical to the plain join — the
+    * oracle hash-match IS that proof; false positives only cost rows
+    * that the exact join then drops. At 100 TB the win is the shuffle:
+    * only ~selectivity(+fpp) of the fact ever moves. Sketch sizing
+    * scales with the DIM (expected items), never the fact. */
+  def joinBloomPrejoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val fact = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    // stat.bloomFilter NPEs on a zero-row build side (null agg buffer);
+    // an empty dim means an empty join — the prefilter keeps nothing
+    val pre =
+      if (dim.isEmpty) fact.filter(lit(false))
+      else {
+        val bfB = spark.sparkContext.broadcast(
+          dim.stat.bloomFilter("o_orderkey", 100000L, 0.01))
+        fact.as[(Long, Double)]
+          .mapPartitions { it =>
+            val f = bfB.value
+            it.filter(t => f.mightContainLong(t._1))
+          }
+          .toDF("l_orderkey", "l_quantity")
+      }
+    pre.join(dim, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum($"l_quantity").as("sum_qty"))
+  }
+
   def sinkTableRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.replaceManagedTable(
@@ -667,6 +709,7 @@ object Relational {
     "q_sink_table_roundtrip" -> sinkTableRoundtrip,
     "q_sink_partitioned_prune" -> sinkPartitionedPrune,
     "q_join_dpp" -> joinDpp,
+    "q_join_bloom_prejoin" -> joinBloomPrejoin,
     "q_sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
     "q_filter_predicates" -> filterPredicates,

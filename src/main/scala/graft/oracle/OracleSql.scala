@@ -1837,6 +1837,27 @@ object OracleSql {
         |  cast(sum(n_chars) as bigint) AS sum_chars
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
+    // plain exact join — equality with the bloom-prefiltered plan IS
+    // the no-false-negatives proof
+    "q_join_bloom_prejoin" ->
+      ("""SELECT count(*) AS n_rows, """ + dsum("l_quantity") +
+        """ AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'""").stripMargin,
+
+    // PERMISSIVE quarantine replayed arithmetically: every 13th doc's
+    // line was truncated, so it lands in the NULL-source group
+    "q_source_badrecords" ->
+      """SELECT source, count(*) AS n_rows,
+        |  cast(0 as bigint) AS n_bad,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents WHERE doc_id % 13 <> 0 GROUP BY source
+        |UNION ALL
+        |SELECT NULL AS source, count(*) AS n_rows,
+        |  count(*) AS n_bad, cast(NULL as bigint) AS sum_chars
+        |FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
     // content preserved through the small→compacted round trip; the
     // literal 1 pins one-file-per-partition-directory after compaction
     "q_compact_small_files" ->

@@ -239,8 +239,42 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** BAD-RECORD ingest (PERMISSIVE mode) — the reality of landing a
+    * 100 TB JSON feed: some lines are corrupt, and the job must
+    * quarantine rather than die. Every 13th document's JSON line is
+    * deterministically truncated at write time; the read declares the
+    * schema plus `_corrupt_record` and PERMISSIVE mode, so corrupt
+    * lines surface as rows with NULL data fields and the raw line in
+    * the corrupt column — they land in the NULL `source` group, which
+    * is exactly the quarantine partition a production feed routes to a
+    * dead-letter table. Per-row parse cost, partition-parallel scan;
+    * nothing driver-bound. The oracle replays the corruption
+    * arithmetic (doc_id % 13) against the clean table. */
+  def sourceBadRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/badjson"
+    graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        to_json(struct($"doc_id", $"source", $"n_chars")).as("line"))
+      .select(when($"doc_id" % 13 === 0, substring($"line", 1, 10))
+        .otherwise($"line").as("value"))
+      .write.mode("overwrite").text(dir)
+    val schema = "doc_id BIGINT, source STRING, n_chars BIGINT, " +
+      "_corrupt_record STRING"
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"_corrupt_record").cast("long").as("n_bad"),
+        graft.Det.lsum($"n_chars").as("sum_chars"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_describe_schema" -> describeSchema,
+    "q_source_badrecords" -> sourceBadRecords,
     "q_compact_small_files" -> compactSmallFiles,
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,

@@ -459,6 +459,52 @@ class OpsRound5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q_join_bloom_prejoin ----------------------------------------------
+
+  test("q_join_bloom_prejoin: bloom prunes rows but never matches") {
+    val dimKeys = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey").as[Long].collect().toSet
+    val factKeys = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey").as[Long].collect().toSeq
+    val bf = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // no false negatives: every true match passes the filter
+    factKeys.filter(dimKeys).foreach(k => assert(bf.mightContainLong(k)))
+    // and the filter genuinely prunes the non-matching majority
+    val passed = factKeys.count(bf.mightContainLong)
+    assert(passed < factKeys.length)
+    assert(passed >= factKeys.count(dimKeys))
+    // the key's aggregate equals the plain exact join
+    val got = graft.ops.Relational.joinBloomPrejoin(spark, sfDir)
+      .as[(Long, Double)].collect().head
+    val exact = (factKeys.count(dimKeys).toLong,
+      Tables(spark, sfDir, "lineitem")
+        .filter($"l_orderkey".isInCollection(dimKeys))
+        .agg(Det.dsum($"l_quantity")).as[Double].collect().head)
+    assert(got === exact)
+  }
+
+  // ---- q_source_badrecords -----------------------------------------------
+
+  test("q_source_badrecords quarantines exactly the truncated lines") {
+    val rows = graft.sources.Sources.sourceBadRecords(spark, sfDir)
+      .as[(Option[String], Long, Long, Option[Long])].collect().toSeq
+    val total = Tables(spark, sfDir, "documents").count()
+    val nCorrupt = Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 13 === 0).count()
+    assert(rows.map(_._2).sum === total)
+    val (nullGroup, goodGroups) = rows.partition(_._1.isEmpty)
+    assert(nullGroup.length === 1)
+    assert(nullGroup.head._2 === nCorrupt)
+    assert(nullGroup.head._3 === nCorrupt) // all its rows are bad
+    assert(nullGroup.head._4.isEmpty)      // no chars parsed from them
+    goodGroups.foreach { case (_, _, nBad, sum) =>
+      assert(nBad === 0L); assert(sum.isDefined)
+    }
+  }
+
   // ---- q_multimodal_audio ------------------------------------------------
 
   test("q_multimodal_audio: real WAV payloads decode to the PCM recipe") {
