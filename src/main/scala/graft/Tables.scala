@@ -178,15 +178,29 @@ object Tables {
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      // read natively. Read it as raw nanos and truncate to micros with
-      // integer division (`div`, not `/` — ns epoch values exceed 2^53,
-      // double division would lose precision). Truncation matches
-      // DuckDB's `cast(ts_ns as timestamp)` semantics exactly.
+      // events.ts has shipped in two physical layouts across testdata
+      // generations, so normalize BY OBSERVED TYPE rather than assuming
+      // one: (a) parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+      // natively — the legacy flag surfaces it as a nanos LONG that we
+      // truncate to micros with integer division (`div`, not `/` — ns
+      // epoch values exceed 2^53, double division would lose precision),
+      // matching DuckDB's `cast(ts_ns as timestamp)` exactly; (b) parquet
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+      // TIMESTAMP_NTZ — cast to the session-zoned type (sessions pin
+      // UTC, so the wall-clock instants are unchanged and DuckDB's naive
+      // reading of the same file agrees). Every downstream consumer sees
+      // one stable shape: TimestampType micros.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions
-          .expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view (for `spark.sql` entry points). */
