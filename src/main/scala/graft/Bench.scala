@@ -59,23 +59,30 @@ object Bench {
       release(spark)
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // trailing signal block: the driver archives a fixed-size TAIL of
-    // stdout, which used to clip the head of the (long) JSON line and
-    // hide the totals; these compact comment lines come last so any
-    // tail capture shows the total, failures, and the heavy tail. The
-    // word "metric" is confined to the JSON line above so a grep for
-    // it still matches exactly once.
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    // the driver archives (and parses) only a fixed ~2000-char TAIL of
+    // stdout; a per-key map over 160+ queries is ~5 KB, so emitting it
+    // all in the JSON line guaranteed the line arrived head-clipped and
+    // unparseable every round (BENCH_r{3,4,5}: "parsed": null). Keep the
+    // JSON line itself tail-sized: total over ALL queries, but only the
+    // 20 slowest in "queries" (ms precision), plus failure count/names.
+    // The full per-key detail remains visible via the comment lines.
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val qs = slow.map { case (k, v) => f""""$k":${v}%.3f""" }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // trailing signal block: comes last so any tail capture shows the
+    // total, failures, and the heavy tail even if the JSON line ever
+    // grows past the buffer again. The word "metric" is confined to the
+    // JSON line above so a grep for it still matches exactly once.
     println(f"# bench total $total%.1f s over ${results.size} queries" +
       s" (${failed.size} failed) sf=$sfDir")
     if (failed.nonEmpty) println(s"# failed: ${failed.mkString(" ")}")
     // successes only: failures carry the -1 sentinel and would otherwise
     // surface as negative-second "slow" entries when many queries fail
-    results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(20).zipWithIndex.foreach {
+    slow.zipWithIndex.foreach {
       case ((k, v), i) => println(f"# slow${i + 1}%02d $k $v%.2f s")
     }
     spark.stop()

@@ -306,7 +306,35 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** Rolling 7-day active users (WAU per day) — the classic rolling
+    * COUNT DISTINCT that plain window functions cannot express at
+    * scale (engines that allow `count(DISTINCT) OVER RANGE` — the
+    * DuckDB oracle twin does — hold the whole window's value set per
+    * row).
+    *
+    * The scalable shape: dedup to (day, user) once, then EXPLODE each
+    * activity day onto the ≤7 target days it contributes to, and count
+    * distinct users per target day. The fan-out is bounded by the
+    * window length (×7), every stage is a plain key-hash aggregation
+    * with map-side partials, and no task ever holds more than one
+    * day's distinct-set partial — at 100 TB this is two bounded
+    * shuffles, vs a range self-join whose pair space is window-length
+    * × corpus. The trailing join with the observed-day grid drops the
+    * phantom target days the fan-out creates past the corpus end. */
+  def eventsWau(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    val days = ud.select($"d".as("day")).distinct()
+    ud.select(explode(sequence($"d", date_add($"d", 6))).as("day"),
+        $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+      .join(days, Seq("day"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,
     "q_events_funnel" -> eventsFunnel,

@@ -93,7 +93,50 @@ object Quality {
       .orderBy($"check_name")
   }
 
+  /** Order-independent table fingerprint — the cheap equality check a
+    * pipeline runs after a migration/backfill/compaction to prove two
+    * copies of a table hold the SAME ROWS without sorting or moving
+    * either one. Canonical row string → 48-bit md5 slice → exact
+    * decimal SUM + XOR (both commutative, so file layout, partitioning
+    * and row order cannot move the fingerprint; any inserted, deleted
+    * or edited row does, up to hash collision). Engine-portable by
+    * construction: integer/string rendering is identical in Spark and
+    * DuckDB, timestamps go through a pinned 6-digit-fraction format,
+    * and doubles are EXCLUDED from the canonical string (their text
+    * rendering is engine-specific).
+    *
+    * Scale posture: one full scan per table, all-commutative partial
+    * aggregation — the 100 TB fingerprint is one map-side-combined agg
+    * job per table, output is 3 numbers. */
+  def tableFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    def fp(name: String, df: DataFrame): DataFrame =
+      df.select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
+          expr("bit_xor(h)").as("fp_xor"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("fp_sum"),
+          col("fp_xor"))
+    import spark.implicits._
+    val docs = fp("documents", Tables(spark, sfDir, "documents")
+      .select(concat_ws("|", $"doc_id", $"lang", $"source", $"n_chars",
+        $"text").as("s")))
+    val orders = fp("orders", Tables(spark, sfDir, "orders")
+      .select(concat_ws("|", $"o_orderkey", $"o_custkey",
+        $"o_orderstatus",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        $"o_orderpriority").as("s")))
+    val li = fp("lineitem", Tables(spark, sfDir, "lineitem")
+      .select(concat_ws("|", $"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_linenumber", $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .as("s")))
+    docs.unionAll(orders).unionAll(li).orderBy($"table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_quality_constraints" -> qualityConstraints
+    "q_quality_constraints" -> qualityConstraints,
+    "q_table_fingerprint" -> tableFingerprint
   )
 }

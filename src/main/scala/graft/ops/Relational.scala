@@ -365,6 +365,52 @@ object Relational {
       .orderBy($"action")
   }
 
+  /** CDC changelog application — the MERGE-with-deletes shape under
+    * every table format's changefeed apply (Delta CDF / Iceberg
+    * changelog / Debezium sink). A sequence-ordered stream of I/U/D
+    * operations collapses to latest-per-key (row_number over the key,
+    * newest sequence first), then ONE full-outer join against the
+    * snapshot applies it: D drops the row, U/I carry new values,
+    * untouched keys keep their snapshot row.
+    *
+    * Scale posture: the changelog exchange (window on k) and the join
+    * co-partition on the same key, so AQE plans snapshot⨝latest as a
+    * plain co-located SMJ/hash join — two key-hash shuffles total at
+    * any scale, per-key window state is O(that key's ops), and nothing
+    * touches the driver. The changelog here is synthesized
+    * deterministically from the orders key domain (seq 2 overrides a
+    * seq-1 update on %10==0 keys — latest-wins is load-bearing). */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val m = $"o_orderkey" % 10
+    def ev(filter: org.apache.spark.sql.Column, op: String,
+        price: org.apache.spark.sql.Column,
+        status: org.apache.spark.sql.Column, seq: Int): DataFrame =
+      o.filter(filter).select($"o_orderkey".as("k"), lit(op).as("op"),
+        price.as("new_price"), status.as("new_status"),
+        lit(seq).as("seq"))
+    val nulS = lit(null).cast("string")
+    val chg = ev(m <= 1, "U", $"o_totalprice" + 100.0, nulS, 1)
+      .unionAll(ev(m === 2 || m === 3, "D", lit(null).cast("double"), nulS, 1))
+      .unionAll(ev(m >= 8, "I", $"o_totalprice", lit("N"), 1))
+      .unionAll(ev(m === 0, "U", $"o_totalprice" + 200.0, nulS, 2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"seq".desc)
+    val latest = chg.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn", "seq")
+    val snapshot = o.filter(m < 8)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+        $"o_orderstatus".as("status"))
+    snapshot.join(latest, Seq("k"), "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select($"k",
+        when($"op".isin("U", "I"), $"new_price").otherwise($"price")
+          .as("price"),
+        coalesce($"new_status", $"status").as("status"))
+      .orderBy($"k")
+  }
+
   // ---- §2.2 filter / project / cast -------------------------------------
 
   /** Compound predicate: AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL.
@@ -712,6 +758,7 @@ object Relational {
     "q_join_bloom_prejoin" -> joinBloomPrejoin,
     "q_sink_xml_roundtrip" -> sinkXmlRoundtrip,
     "q_merge_upsert" -> mergeUpsert,
+    "q_cdc_apply" -> cdcApply,
     "q_filter_predicates" -> filterPredicates,
     "q_project_compute" -> projectCompute,
     "q_cast_decimal" -> castDecimal,

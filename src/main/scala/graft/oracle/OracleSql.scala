@@ -1930,6 +1930,85 @@ object OracleSql {
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
     analytics ++ layout ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
+    // latest-wins CDC apply: same synthesized changelog, window + full
+    // outer join formulation (the Spark side's exact twin)
+    "q_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey AS k, 'U' AS op,
+        |    o_totalprice + 100.0 AS new_price,
+        |    CAST(NULL AS VARCHAR) AS new_status, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 10 <= 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL, NULL, 1
+        |  FROM orders WHERE o_orderkey % 10 IN (2, 3)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'I', o_totalprice, 'N', 1
+        |  FROM orders WHERE o_orderkey % 10 >= 8
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_totalprice + 200.0, NULL, 2
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT k, op, new_price, new_status FROM (
+        |    SELECT chg.*, row_number()
+        |      OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |snap AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |    o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 10 < 8)
+        |SELECT coalesce(s.k, l.k) AS k,
+        |  CASE WHEN l.op IN ('U', 'I') THEN l.new_price
+        |       ELSE s.price END AS price,
+        |  coalesce(l.new_status, s.status) AS status
+        |FROM snap s FULL JOIN latest l ON s.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY k""".stripMargin,
+
+    // plain GROUP BY — salting is semantics-preserving by contract
+    "q_agg_skew_salted" ->
+      s"""SELECT CASE WHEN user_id % 10 < 7 THEN 'hot'
+         |       ELSE 'u' || user_id END AS k,
+         |  count(*) AS n,
+         |  ${dsumDec(dec("value"))} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // rolling COUNT DISTINCT via day-grid range join (succinct, but
+    // window-length × corpus pair space — the shape the Spark side's
+    // bounded explode replaces at scale)
+    "q_events_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT cast(ts as date) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM ud)
+        |SELECT days.d AS day, count(DISTINCT ud.user_id) AS wau
+        |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.d ORDER BY day""".stripMargin,
+
+    // identical canonical string + 48-bit md5 slice; hex→int spelled
+    // DuckDB-style ('0x…'::BIGINT ≡ Spark's conv(…,16,10))
+    "q_table_fingerprint" -> {
+      def one(name: String, canon: String, table: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |  cast(sum(h) as decimal(38,0)) AS fp_sum,
+           |  bit_xor(h) AS fp_xor
+           |FROM (SELECT ('0x' || substr(md5($canon), 1, 12))::BIGINT AS h
+           |      FROM $table)""".stripMargin
+      one("documents",
+        "concat_ws('|', doc_id, lang, source, n_chars, text)",
+        "documents") +
+        "\nUNION ALL\n" +
+        one("orders",
+          "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+            "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), " +
+            "o_orderpriority)",
+          "orders") +
+        "\nUNION ALL\n" +
+        one("lineitem",
+          "concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+            "l_linenumber, l_returnflag, l_linestatus, " +
+            "strftime(l_shipdate, '%Y-%m-%d %H:%M:%S.%f'))",
+          "lineitem") +
+        "\nORDER BY table_name"
+    },
     "q_agg_hash_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: latest-wins CDC apply, salted two-stage
+  * aggregation, rolling 7-day distinct users, and the order-independent
+  * table fingerprint — each pinned against an independent in-suite
+  * formulation plus its structural invariants. */
+class OpsRound6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q_cdc_apply -------------------------------------------------------
+
+  private lazy val cdcResult =
+    ops.Relational.cdcApply(spark, sfDir)
+      .as[(Long, Double, String)].collect()
+  private lazy val origPrice: Map[Long, Double] =
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toMap
+
+  test("q_cdc_apply: deletes drop, inserts land, untouched keys keep") {
+    val byKey = cdcResult.map(r => r._1 -> r).toMap
+    assert(byKey.size === cdcResult.length) // key-unique output
+    origPrice.keys.foreach { k =>
+      (k % 10) match {
+        case 2 | 3 => assert(!byKey.contains(k), s"deleted key $k present")
+        case 8 | 9 =>
+          assert(byKey(k)._2 === origPrice(k) && byKey(k)._3 === "N",
+            s"insert $k wrong")
+        case 4 | 5 | 6 | 7 =>
+          assert(byKey(k)._2 === origPrice(k), s"untouched $k changed")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_cdc_apply: latest sequence wins over earlier updates") {
+    val byKey = cdcResult.map(r => r._1 -> r).toMap
+    origPrice.keys.foreach { k =>
+      (k % 10) match {
+        // seq-2 update (+200) must override the seq-1 update (+100)
+        case 0 => assert(byKey(k)._2 === origPrice(k) + 200.0)
+        case 1 => assert(byKey(k)._2 === origPrice(k) + 100.0)
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- q_agg_skew_salted -------------------------------------------------
+
+  test("q_agg_skew_salted equals the plain one-stage groupBy") {
+    val salted = ops.Skew.aggSkewSalted(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    val plain = Tables(spark, sfDir, "events")
+      .select(when($"user_id" % 10 < 7, lit("hot"))
+        .otherwise(concat(lit("u"), $"user_id")).as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        sum(Det.dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"k")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("q_agg_skew_salted plans two aggregation exchanges (key+salt, key)") {
+    val plan = finalPlan(ops.Skew.aggSkewSalted(spark, sfDir))
+    val finalSection = plan.split("Initial Plan").head
+    // partial/final HashAggregate pairs for each stage → 4 aggregates
+    assert("HashAggregate".r.findAllIn(finalSection).size >= 4, plan)
+  }
+
+  // ---- q_events_wau ------------------------------------------------------
+
+  test("q_events_wau matches the range-join formulation and bounds dau") {
+    val wau = ops.Analytics.eventsWau(spark, sfDir)
+      .as[(java.sql.Date, Long)].collect().toSeq
+    val ud = Tables(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    val byRangeJoin = ud.select($"d".as("day")).distinct()
+      .join(ud, ud("d").between(date_sub($"day", 6), $"day"))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+      .orderBy($"day").as[(java.sql.Date, Long)].collect().toSeq
+    assert(wau === byRangeJoin)
+    val dau = ud.groupBy($"d".as("day"))
+      .agg(countDistinct($"user_id").as("dau"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    wau.foreach { case (day, w) => assert(w >= dau(day)) }
+  }
+
+  // ---- q_table_fingerprint -----------------------------------------------
+
+  test("q_table_fingerprint is layout-independent and content-sensitive") {
+    val base = ops.Quality.tableFingerprint(spark, sfDir)
+      .as[(String, Long, BigDecimal, Long)].collect().toSeq
+
+    // layout independence: rewrite the corpus shuffled into many small
+    // files; the fingerprint of every table must not move
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    Tables.names.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      df.repartition(7, pmod(hash(df.columns.map(col): _*), lit(7)))
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val shuffled = ops.Quality.tableFingerprint(spark, dir)
+      .as[(String, Long, BigDecimal, Long)].collect().toSeq
+    assert(shuffled === base)
+
+    // content sensitivity: editing ONE row's payload moves both the
+    // sum and the xor fingerprint of exactly that table. Fresh dir —
+    // overwriting in place would invalidate the Tables plan cache's
+    // file listing for `dir`.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_fp2").toString
+    Seq("orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir2/$t.parquet")
+    }
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text",
+        when($"doc_id" === 0, concat($"text", lit("!"))).otherwise($"text"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val edited = ops.Quality.tableFingerprint(spark, dir2)
+      .as[(String, Long, BigDecimal, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val baseMap = base.map(r => r._1 -> r).toMap
+    assert(edited("documents")._2 === baseMap("documents")._2) // same rows
+    assert(edited("documents")._3 !== baseMap("documents")._3)
+    assert(edited("documents")._4 !== baseMap("documents")._4)
+    assert(edited("orders") === baseMap("orders"))
+    assert(edited("lineitem") === baseMap("lineitem"))
+  }
+}
