@@ -495,6 +495,63 @@ object LlmOps {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** INCREMENTAL embedding dedup — the shape a live ingestion pipeline
+    * actually runs: a new BATCH (vec_id % 20 == 0 here) is screened
+    * against the already-indexed CORPUS (the rest), and only
+    * batch×corpus pairs are ever candidates — never batch² and never
+    * corpus² (the text-side twin is [[dedupIncremental]]). Candidates
+    * come from the same 16-band × 4-sign-bit LSH cells as
+    * [[dedupEmbeddingAnn]] (two equi shuffles on (band, sig)), the
+    * exact codegen'd dot verifies ≥ 0.4, and both probe joins stay
+    * SHUFFLE_HASH so the wide embedding arrays never transit a
+    * broadcast build. At 100 TB the corpus signatures are a standing
+    * bucketed table and each arriving batch pays |batch|·collision
+    * work — corpus size only enters through cell occupancy. */
+  def dedupEmbeddingIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val all = spread(Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding"))
+    val batch = all.filter($"vec_id" % 20 === 0)
+    val corpus = all.filter($"vec_id" % 20 =!= 0)
+    def banded(df: DataFrame, as: String) =
+      df.select($"vec_id".as(as), posexplode(bandSigExpr)
+        .as(Seq("band", "sig")))
+    val cand = banded(batch, "vec_b")
+      .join(banded(corpus, "vec_c"), Seq("band", "sig"))
+      .select($"vec_b", $"vec_c").distinct()
+    cand
+      .join(batch.select($"vec_id".as("vec_b"), $"embedding".as("ea"))
+        .hint("SHUFFLE_HASH"), "vec_b")
+      .join(corpus.select($"vec_id".as("vec_c"), $"embedding".as("eb"))
+        .hint("SHUFFLE_HASH"), "vec_c")
+      .select($"vec_b", $"vec_c", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
+      .filter($"sim" >= 0.4)
+      .orderBy($"vec_b", $"vec_c")
+  }
+
+  /** Exact dedup with a SURVIVOR POLICY — when the same content lands
+    * from several sources, keep the copy from the most trusted one
+    * (provenance-ranked dedup, the curation flavor of
+    * [[dedupExact]]'s min-id rule). Rank = deterministic per-source
+    * priority class (hash-free, so the policy is auditable), ties
+    * broken by min doc_id. One shuffle on the content key; the rank
+    * window's width is the duplicate multiplicity, never the corpus. */
+  def dedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pr = expr("cast(substring(source, 4, 10) as int) % 3")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text").orderBy($"priority", $"doc_id")
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text", pr.as("priority"))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"text")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"source", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
   /** Near-dup CLUSTERS: the operator a real dedup pipeline runs after
     * pair mining — connected components over the near-dup pair graph,
     * yielding a deterministic canonical representative (min id) per
@@ -2150,6 +2207,8 @@ object LlmOps {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_embedding" -> dedupEmbedding,
     "q_dedup_embedding_ann" -> dedupEmbeddingAnn,
+    "q_dedup_embedding_incr" -> dedupEmbeddingIncremental,
+    "q_dedup_priority" -> dedupPriority,
     "q_sim_cosine_topk" -> simCosineTopk,
     "q_sim_ann_bucketed" -> simAnnBucketed,
     "q_sim_topk_batch" -> simTopkBatch,

@@ -974,6 +974,41 @@ object OracleSql {
          |WHERE $dotSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // same band arithmetic as the ANN key, restricted to batch×corpus
+    // candidate pairs (vec_b % 20 = 0 vs <> 0)
+    "q_dedup_embedding_incr" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, k,
+         |    list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN embedding[k * 4 + i] > 0
+         |           THEN (cast(1 as bigint) << (4 - i)) ELSE 0 END)) AS s
+         |  FROM embeddings, range(0, 16) t(k)),
+         |cand AS (
+         |  SELECT DISTINCT sa.vec_id AS vec_b, sb.vec_id AS vec_c
+         |  FROM sig sa JOIN sig sb
+         |    ON sa.k = sb.k AND sa.s = sb.s
+         |   AND sa.vec_id % 20 = 0 AND sb.vec_id % 20 <> 0)
+         |SELECT c.vec_b, c.vec_c, $dotSql AS sim
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_b
+         |JOIN embeddings q ON q.vec_id = c.vec_c
+         |WHERE $dotSql >= 0.4
+         |ORDER BY vec_b, vec_c""".stripMargin,
+
+    // provenance-ranked exact dedup: same priority class + min-id
+    // tie-break, rank-window formulation
+    "q_dedup_priority" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    cast(substring(source, 4, 10) as int) % 3 AS priority,
+        |    count(*) OVER (PARTITION BY text) AS n_copies,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY cast(substring(source, 4, 10) as int) % 3,
+        |        doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, cast(n_copies as bigint) AS n_copies
+        |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     // connected components = min node id reachable in the undirected
     // near-dup pair graph (edges = the exact shingle-Jaccard pairs of
     // q_dedup_ngram_jaccard); recursive transitive closure is fine at

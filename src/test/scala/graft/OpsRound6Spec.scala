@@ -88,6 +88,47 @@ class OpsRound6Spec extends SparkSpec {
     wau.foreach { case (day, w) => assert(w >= dau(day)) }
   }
 
+  // ---- q_dedup_embedding_incr --------------------------------------------
+
+  test("q_dedup_embedding_incr is exactly the cross-split slice of the ANN key") {
+    val incr = ops.LlmOps.dedupEmbeddingIncremental(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // sides are pure: batch left, corpus right — never batch² / corpus²
+    incr.foreach { case (b, c, _) =>
+      assert(b % 20 == 0 && c % 20 != 0)
+    }
+    // the pair set (unordered) equals the ANN result restricted to
+    // pairs straddling the batch/corpus split — same cells, same
+    // verify, so this is an exact equality, not a recall bound
+    val ann = ops.LlmOps.dedupEmbeddingAnn(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val annCross = ann.collect {
+      case (a, b, s) if (a % 20 == 0) != (b % 20 == 0) =>
+        (math.min(a, b), math.max(a, b), s)
+    }.toSet
+    val incrUnordered = incr.map { case (b, c, s) =>
+      (math.min(b, c), math.max(b, c), s)
+    }.toSet
+    assert(incrUnordered === annCross)
+  }
+
+  // ---- q_dedup_priority --------------------------------------------------
+
+  test("q_dedup_priority keeps the (priority, doc_id)-minimal copy per text") {
+    val kept = ops.LlmOps.dedupPriority(spark, sfDir)
+      .as[(Long, String, Long)].collect().toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect().toSeq
+    def prio(src: String) = src.drop(3).toInt % 3
+    val expected = docs.groupBy(_._3).map { case (_, rows) =>
+      val win = rows.minBy { case (id, src, _) => (prio(src), id) }
+      (win._1, win._2, rows.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(kept === expected)
+    assert(kept.map(_._3).sum === docs.size) // every copy accounted for
+  }
+
   // ---- q_table_fingerprint -----------------------------------------------
 
   test("q_table_fingerprint is layout-independent and content-sensitive") {
