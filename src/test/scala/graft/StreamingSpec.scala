@@ -442,6 +442,77 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(rows === Set((1L, "a", 1L), (1L, "b", 1L), (1L, "c", 2L)))
   }
+
+  test("transformWithState materializes a CDC changelog latest-wins across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // the streaming twin of q_cdc_apply (ops.Relational.cdcApply):
+    // per-key ValueState holds (seq, op, price), each microbatch folds
+    // its rows latest-wins, deletes become tombstone state so a stale
+    // late update can never resurrect a deleted key (in production the
+    // tombstones would carry a TTL; NONE here for determinism)
+    val mem = MemoryStream[(Long, String, Double, Long)](spark)
+    val out = mem.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new CdcLatestProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF("k", "op", "price", "seq")
+      .writeStream.format("memory").queryName("tws_cdc_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L),
+        (1L, "U", 11.0, 3L)) // intra-batch latest-wins: seq 3 beats 1
+      q.processAllAvailable()
+      mem.addData((2L, "D", 0.0, 4L), (1L, "U", 99.0, 4L),
+        (1L, "U", 12.0, 5L), (3L, "I", 30.0, 6L))
+      q.processAllAvailable()
+      mem.addData((2L, "U", 77.0, 1L)) // stale: must not resurrect k=2
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = spark.table("tws_cdc_out")
+      .as[(Long, String, Double, Long)].collect().toSeq
+    // newest emission per key = the materialized view
+    val latest = sink.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(_._4)
+    }
+    assert(latest === Map(
+      1L -> ((1L, "U", 12.0, 5L)),
+      2L -> ((2L, "D", 0.0, 4L)),
+      3L -> ((3L, "I", 30.0, 6L))))
+    // the stale row changed nothing → no third emission for k=2
+    assert(sink.count(_._1 == 2L) === 2)
+  }
+}
+
+/** Latest-wins CDC state: per-key (seq, op, price) ValueState, updated
+  * only when a strictly newer sequence arrives; emits the new
+  * materialized row (or tombstone) per change — the streaming twin of
+  * [[graft.ops.Relational.cdcApply]]'s row_number-desc semantics.
+  * Top-level class: serializes without capturing the suite. */
+private class CdcLatestProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double, Long), (Long, String, Double, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var cur: ValueState[(Long, String, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cur = getHandle.getValueState[(Long, String, Double)]("cur",
+      org.apache.spark.sql.Encoders.product[(Long, String, Double)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(k: Long,
+      rows: Iterator[(Long, String, Double, Long)],
+      tv: TimerValues): Iterator[(Long, String, Double, Long)] = {
+    val prev = if (cur.exists()) cur.get() else (Long.MinValue, "", 0.0)
+    val best = rows.foldLeft(prev) {
+      case (acc @ (ps, _, _), (_, op, p, s)) =>
+        if (s > ps) (s, op, p) else acc
+    }
+    if (best._1 != prev._1) {
+      cur.update(best)
+      Iterator((k, best._2, best._3, best._1))
+    } else Iterator.empty
+  }
 }
 
 /** [[graft.ops.StreamingOps.stateRunning]]'s per-user running
