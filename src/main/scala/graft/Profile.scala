@@ -170,7 +170,24 @@ object Profile {
         ).reduce(_.unionAll(_)).orderBy(col("check_name"))
       }),
       "x_cap_heap_skew" -> ((s, dir) =>
-        graft.ops.LlmOps.capHeapOn(capSkewWorkload(s, dir), 10))
+        graft.ops.LlmOps.capHeapOn(capSkewWorkload(s, dir), 10)),
+      // A/B for the rolling-distinct rewrite: the range-join
+      // formulation (the DuckDB oracle's shape — day grid joined to
+      // every user-day within 6 days) vs the shipped bounded ×7
+      // explode (q_events_wau). The range join's pair space is
+      // window-length × |user-days| THROUGH A JOIN (at 100 TB, a
+      // shuffle of that product); the explode ships 7·|user-days|
+      // pre-aggregated rows. Measured numbers in SCALE.md.
+      "x_wau_rangejoin" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val ud = graft.Tables(s, dir, "events")
+          .select(to_date($"ts").as("d"), $"user_id").distinct()
+        ud.select($"d".as("day")).distinct()
+          .join(ud, ud("d").between(date_sub($"day", 6), $"day"))
+          .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+          .orderBy($"day")
+      })
     )
 
   /** One-hot-domain skewed cap workload shared by the x_cap probes:

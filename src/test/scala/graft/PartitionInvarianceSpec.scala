@@ -28,7 +28,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // sampler picked, so layout-independence of the FINAL ids is
     // exactly the property to pin; sessionize: stacked windows;
     // pagerank: 10 iterative join+agg rounds of fixed-point sums
-    "q_ids_contiguous", "q_sessionize_gap", "q_graph_pagerank")
+    "q_ids_contiguous", "q_sessionize_gap", "q_graph_pagerank",
+    // round 6: latest-wins CDC (key window + full-outer join), salted
+    // two-stage agg (salt values derive from row hashes, not layout),
+    // commutative table fingerprint, bounded-explode rolling distinct,
+    // provenance-ranked dedup (content-key rank window)
+    "q_cdc_apply", "q_agg_skew_salted", "q_table_fingerprint",
+    "q_events_wau", "q_dedup_priority")
 
   private lazy val alt = {
     val s = spark.newSession()
