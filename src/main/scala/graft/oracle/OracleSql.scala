@@ -1009,6 +1009,19 @@ object OracleSql {
         |SELECT doc_id, source, cast(n_copies as bigint) AS n_copies
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // snapshot time travel: both as-of reads recomputed from the
+    // generation arithmetic (gen 2 = repriced %10<=1, dropped %10 in 2,3)
+    "q_source_time_travel" ->
+      s"""SELECT 1 AS generation, o_orderstatus, count(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 2, o_orderstatus, count(*),
+         |  ${dsumDec(s"cast(CASE WHEN o_orderkey % 10 <= 1 THEN o_totalprice + 100.0 ELSE o_totalprice END as decimal(27,4))")}
+         |FROM orders WHERE o_orderkey % 10 >= 4 OR o_orderkey % 10 <= 1
+         |GROUP BY o_orderstatus
+         |ORDER BY generation, o_orderstatus""".stripMargin,
+
     // connected components = min node id reachable in the undirected
     // near-dup pair graph (edges = the exact shingle-Jaccard pairs of
     // q_dedup_ngram_jaccard); recursive transitive closure is fine at

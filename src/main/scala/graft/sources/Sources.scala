@@ -197,6 +197,41 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** SNAPSHOT TIME TRAVEL over a generation-partitioned layout — the
+    * poor-man's table format: every ingest lands a FULL snapshot under
+    * `gen=N`, and an as-of read is a partition-PRUNED scan of exactly
+    * one snapshot directory (the same pruning `q_sink_partitioned_prune`
+    * pins; table formats implement this with manifests instead of
+    * directories, but the read-side contract — "as of generation N,
+    * see exactly that data" — is identical). Generation 2 applies
+    * deterministic edits to generation 1 (repriced %10≤1 keys, dropped
+    * %10∈{2,3}), so the two as-of aggregates differing is the proof
+    * that each read saw only its snapshot. At 100 TB the as-of read
+    * costs one snapshot, not the history; storage is where the real
+    * formats earn their manifests (full-copy snapshots double storage
+    * per generation — stated, not hidden). */
+  def sourceTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/time_travel"
+    val o = graft.Tables(spark, sfDir, "orders")
+    o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    o.filter($"o_orderkey" % 10 >= 4 || $"o_orderkey" % 10 <= 1)
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 10 <= 1, $"o_totalprice" + 100.0)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val t = spark.read.parquet(dir)
+    def asOf(g: Int) = t.filter($"gen" === g)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum($"o_totalprice").as("sum_price"))
+      .select(lit(g).as("generation"), $"o_orderstatus", $"n",
+        $"sum_price")
+    asOf(1).unionAll(asOf(2))
+      .orderBy($"generation", $"o_orderstatus")
+  }
+
   /** SMALL-FILE COMPACTION — the table-maintenance operator every
     * long-lived lake needs: over-parallel ingest (16 writer tasks here)
     * crossed with hive partition columns shreds a table into
@@ -279,6 +314,7 @@ object Sources {
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,
     "q_source_binaryfile_images" -> sourceBinaryFileImages,
-    "q_source_schema_evolution" -> sourceSchemaEvolution
+    "q_source_schema_evolution" -> sourceSchemaEvolution,
+    "q_source_time_travel" -> sourceTimeTravel
   )
 }

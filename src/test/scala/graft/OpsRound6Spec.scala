@@ -129,6 +129,24 @@ class OpsRound6Spec extends SparkSpec {
     assert(kept.map(_._3).sum === docs.size) // every copy accounted for
   }
 
+  // ---- q_source_time_travel ----------------------------------------------
+
+  test("q_source_time_travel: as-of reads are partition-pruned snapshots") {
+    val df = sources.Sources.sourceTimeTravel(spark, sfDir)
+    val plan = finalPlan(df)
+    // each as-of branch must push its generation into PartitionFilters
+    // (a pruned snapshot scan, not a filter over the whole history)
+    assert("PartitionFilters:[^\\n]*gen[^\\n]* = 1".r
+      .findFirstIn(plan).nonEmpty, plan)
+    assert("PartitionFilters:[^\\n]*gen[^\\n]* = 2".r
+      .findFirstIn(plan).nonEmpty, plan)
+    // generation 2 dropped the %10 in {2,3} keys: strictly fewer rows
+    val n = df.groupBy($"generation")
+      .agg(sum($"n").cast("long").as("rows"))
+      .as[(Int, Long)].collect().toMap
+    assert(n(2) < n(1) && n(2) > 0)
+  }
+
   // ---- q_table_fingerprint -----------------------------------------------
 
   test("q_table_fingerprint is layout-independent and content-sensitive") {
