@@ -333,7 +333,42 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Trailing-window ANOMALY DETECTION: each (event_type, day)
+    * revenue scored against the mean/stddev of its own PRIOR 7 days
+    * (ROWS 7..1 PRECEDING — strictly historical, so a spike can't
+    * mask itself), |z| > 2 flagged. The determinism layering: daily
+    * revenue and the trailing mean ride the exact decimal pipeline
+    * (identical doubles in both engines), the trailing stddev is the
+    * one legitimately order-dependent accumulation (r4-rounded, the
+    * q_agg_stats precedent), and z is computed from those already-
+    * identical inputs then r4-rounded. Scale posture: the input to
+    * the window is the PRE-AGGREGATED (type, day) grid — dimension ×
+    * days, never the event stream; one partition-by-type window over
+    * a bounded frame. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(graft.Det.dsum($"value").as("revenue"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prior", count($"revenue").over(frame))
+      .withColumn("mean7",
+        (sum($"revenue".cast(org.apache.spark.sql.types.DecimalType(27, 4)))
+          .over(frame).cast("double") / $"n_prior").as("mean7"))
+      .withColumn("sd7", graft.Det.r4(stddev_samp($"revenue").over(frame)))
+      .filter($"n_prior" >= 3)
+      .select($"event_type", $"day", $"revenue", $"mean7", $"sd7",
+        when($"sd7" > 0,
+          graft.Det.r4(($"revenue" - $"mean7") / $"sd7")).as("z"))
+      .withColumn("is_anomaly", coalesce(abs($"z") > 2.0, lit(false)))
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> eventsAnomaly,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

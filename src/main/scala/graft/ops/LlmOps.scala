@@ -1216,10 +1216,13 @@ object LlmOps {
     * sets (≈ 1/w of the grams) are what a winnowing-based dedup would
     * explode into an inverted index (the Σdf² candidate machinery
     * [[dedupNgramJaccardOn]] already provides downstream). */
-  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** (doc_id, n_grams, sel) winnowing selection — the row-local
+    * pipeline shared by [[textWinnow]] (the per-doc report key) and
+    * [[dedupWinnow]] (the sparse-fingerprint pair miner). */
+  private def winnowSel(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val (k, w) = (4, 4)
-    Tables(spark, sfDir, "documents")
+    docs
       .select($"doc_id", expr(
         s"""transform(
            |  filter(split(text, ' '), t -> t <> ''),
@@ -1236,6 +1239,11 @@ object LlmOps {
            |else transform(sequence(0, size(grams) - $w),
            |  j -> array_min(slice(grams, j + 1, $w))) end)"""
           .stripMargin).as("sel"))
+  }
+
+  def textWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    winnowSel(Tables(spark, sfDir, "documents"))
       .select($"doc_id", $"n_grams",
         size($"sel").as("n_selected"),
         expr("array_min(sel)").as("fp_min"),
@@ -1243,6 +1251,34 @@ object LlmOps {
         expr("aggregate(sel, cast(0 as bigint), (a, c) -> a + c)")
           .as("fp_sum"))
       .orderBy($"doc_id")
+  }
+
+  /** Near-dup pairs over the WINNOWED fingerprint sets — MOSS-style
+    * sparse dedup: the inverted index holds only the ≈1/w selected
+    * grams per document (the winnowing guarantee keeps any shared run
+    * ≥ w+k-1 tokens detectable), so index size, Σdf² candidate mass
+    * and shuffle volume all shrink ~w× vs the full-shingle miner
+    * ([[dedupNgramJaccardOn]]) while the pair semantics stay
+    * set-overlap on a deterministic selection. Same two-stage shape:
+    * fingerprint-keyed equi join (never corpus²), per-pair overlap
+    * count, exact set-size join, similarity filter. */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = winnowSel(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", $"sel").filter(size($"sel") > 0)
+      .transform(Tables.truncate)
+    val inv = s.select($"doc_id", explode($"sel").as("fp"))
+    val sz = s.select($"doc_id", size($"sel").as("n"))
+    inv.select($"doc_id".as("doc_a"), $"fp")
+      .join(inv.select($"doc_id".as("doc_b"), $"fp"), "fp")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"common",
+        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("wjaccard"))
+      .filter($"wjaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** TF-IDF: term frequency per doc × ln(N/df), top-3 terms per doc.
@@ -2224,6 +2260,7 @@ object LlmOps {
     "q_text_langid" -> textLangid,
     "q_text_fingerprint" -> textFingerprint,
     "q_text_winnow" -> textWinnow,
+    "q_dedup_winnow" -> dedupWinnow,
     "q_token_count" -> tokenCount,
     "q_text_tfidf" -> textTfidf,
     "q_text_bm25" -> textBm25,

@@ -1009,6 +1009,68 @@ object OracleSql {
         |SELECT doc_id, source, cast(n_copies as bigint) AS n_copies
         |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // winnowed-fingerprint pair miner: same selection CTEs as
+    // q_text_winnow, then unnest → self-join → overlap/jaccard
+    "q_dedup_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
+        |           as bigint)) AS codes
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(codes) - 4 + 1),
+        |      i -> list_reduce(
+        |        list_prepend(cast(0 as bigint),
+        |          array_slice(codes, i + 1, i + 4)),
+        |        (a, b) -> (a * 131 + b) % 1000000007)) AS grams
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(grams) - 4 + 1),
+        |      j -> list_min(array_slice(grams, j + 1, j + 4)))) AS sel
+        |  FROM g),
+        |e AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+        |sz AS (SELECT doc_id, len(sel) AS n FROM s WHERE len(sel) > 0),
+        |pc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |  round(common / (x.n + y.n - common), 4) AS wjaccard
+        |FROM pc JOIN sz x ON pc.doc_a = x.doc_id
+        |JOIN sz y ON pc.doc_b = y.doc_id
+        |WHERE round(common / (x.n + y.n - common), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // trailing-window z-score: identical decimal mean + r4 stddev +
+    // r4 z layering over the same strictly-historical ROWS frame
+    "q_events_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, cast(ts as date) AS day,
+         |    ${dsum("value")} AS revenue
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, day, revenue,
+         |    count(revenue) OVER f AS n_prior,
+         |    cast(sum(cast(revenue as decimal(27,4))) OVER f as double)
+         |      AS s7,
+         |    round(stddev_samp(revenue) OVER f, 4) AS sd7
+         |  FROM daily
+         |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, day, revenue, s7 / n_prior AS mean7, sd7,
+         |  CASE WHEN sd7 > 0
+         |       THEN round((revenue - s7 / n_prior) / sd7, 4) END AS z,
+         |  coalesce(abs(CASE WHEN sd7 > 0
+         |    THEN round((revenue - s7 / n_prior) / sd7, 4) END) > 2.0,
+         |    false) AS is_anomaly
+         |FROM w WHERE n_prior >= 3
+         |ORDER BY event_type, day""".stripMargin,
+
     // snapshot time travel: both as-of reads recomputed from the
     // generation arithmetic (gen 2 = repriced %10<=1, dropped %10 in 2,3)
     "q_source_time_travel" ->

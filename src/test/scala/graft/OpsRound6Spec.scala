@@ -129,6 +129,66 @@ class OpsRound6Spec extends SparkSpec {
     assert(kept.map(_._3).sum === docs.size) // every copy accounted for
   }
 
+  // ---- q_dedup_winnow ----------------------------------------------------
+
+  test("q_dedup_winnow: sparse index, valid similarities, exact on clones") {
+    // the sparsity claim: selected fingerprints are a strict minority
+    // of the full gram stream (the w=4 winnowing guarantee ⇒ ≈1/4)
+    val stats = ops.LlmOps.textWinnow(spark, sfDir)
+      .agg(sum($"n_selected").cast("long"), sum($"n_grams").cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(stats._1 * 2 < stats._2,
+      s"selected ${stats._1} of ${stats._2} grams — not sparse")
+    ops.LlmOps.dedupWinnow(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().foreach {
+        case (a, b, common, wj) =>
+          assert(a < b && common > 0 && wj >= 0.5 && wj <= 1.0)
+      }
+    // two identical documents must pair at exactly 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_wn").toString
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq((1L, text, "en", "src1", text.length.toLong),
+        (2L, text, "en", "src2", text.length.toLong),
+        (3L, "completely different words entirely here now", "en",
+          "src3", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = ops.LlmOps.dedupWinnow(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2, p._4)) === Seq((1L, 2L, 1.0)))
+  }
+
+  // ---- q_events_anomaly --------------------------------------------------
+
+  test("q_events_anomaly: z-scores recompute from the daily grid") {
+    val rows = ops.Analytics.eventsAnomaly(spark, sfDir)
+      .select($"event_type", $"day", $"revenue", $"mean7", $"sd7", $"z",
+        $"is_anomaly")
+      .as[(String, java.sql.Date, Double, Double, Double, Option[Double],
+        Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rev, mean7, sd7, z, anom) =>
+      z match {
+        case Some(zv) =>
+          assert(sd7 > 0)
+          assert(math.abs(zv - math.floor((rev - mean7) / sd7 * 1e4 + 0.5) / 1e4)
+            < 1e-9 || math.abs(zv - (rev - mean7) / sd7) < 1e-3)
+          assert(anom === (math.abs(zv) > 2.0))
+        case None =>
+          assert(!anom)
+      }
+    }
+    // the frame is strictly historical: the first 3 days per type are
+    // excluded (n_prior >= 3 needs at least 3 PRIOR days)
+    val firstDays = Tables(spark, sfDir, "events")
+      .groupBy($"event_type").agg(min(to_date($"ts")).as("d0"))
+      .as[(String, java.sql.Date)].collect().toMap
+    rows.foreach { case (tp, day, _, _, _, _, _) =>
+      assert(day.toLocalDate.isAfter(
+        firstDays(tp).toLocalDate.plusDays(2)))
+    }
+  }
+
   // ---- q_source_time_travel ----------------------------------------------
 
   test("q_source_time_travel: as-of reads are partition-pruned snapshots") {
