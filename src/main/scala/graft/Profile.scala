@@ -178,6 +178,25 @@ object Profile {
       // window-length × |user-days| THROUGH A JOIN (at 100 TB, a
       // shuffle of that product); the explode ships 7·|user-days|
       // pre-aggregated rows. Measured numbers in SCALE.md.
+      "x_winnow_sel" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LlmOps.winnowSel(Tables(s, dir, "documents"))
+          .agg(sum(size(col("sel"))))
+      }),
+      "x_winnow_inv_norules" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        s.conf.set("spark.sql.optimizer.excludedRules",
+          "graft.plans.RewriteVectorDot,graft.plans.RewriteSetOverlap")
+        graft.ops.LlmOps.winnowSel(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("sel")).as("fp"))
+          .groupBy(col("fp")).count().agg(sum(col("count") * col("count")))
+      }),
+      "x_winnow_inv" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LlmOps.winnowSel(Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(col("sel")).as("fp"))
+          .groupBy(col("fp")).count().agg(sum(col("count") * col("count")))
+      }),
       "x_wau_rangejoin" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
@@ -246,7 +265,12 @@ object Profile {
       val prevExcluded =
         spark.conf.getOption("spark.sql.optimizer.excludedRules")
       try {
-        fn(spark, sfDir).explain("formatted")
+        // formatted explain is pathologically slow on some plans with
+        // deeply-nested HOF lambdas through Generate (q_dedup_winnow
+        // hung here even at 100 rows while EXECUTING fine) — skippable
+        // so the timing protocol still works on those keys
+        if (!sys.env.contains("SPARK_GRAFT_NOEXPLAIN"))
+          fn(spark, sfDir).explain("formatted")
         (1 to reps).foreach { i =>
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()

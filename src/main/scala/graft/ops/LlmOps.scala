@@ -1218,26 +1218,44 @@ object LlmOps {
     * [[dedupNgramJaccardOn]] already provides downstream). */
   /** (doc_id, n_grams, sel) winnowing selection — the row-local
     * pipeline shared by [[textWinnow]] (the per-doc report key) and
-    * [[dedupWinnow]] (the sparse-fingerprint pair miner). */
-  private def winnowSel(docs: DataFrame): DataFrame = {
+    * [[dedupWinnow]] (the sparse-fingerprint pair miner).
+    *
+    * The per-token code is a FULL-CONTENT hash (48-bit md5 slice, the
+    * engine-portable trick `q_table_fingerprint` pins), not a cheap
+    * (first-char, length) sketch: the fingerprints feed an
+    * inverted-index JOIN downstream, where code collisions multiply
+    * Σdf² — with the cheap code the round-6 bench measured the pair
+    * space exploding to 368 s at sf0.1 (a few dozen distinct codes
+    * across the whole vocabulary), vs seconds with content hashing.
+    * EVALUATION-ORDER TRAP, learned the hard way: writing the stages
+    * as chained selects (codes → grams → sel) lets CollapseProject
+    * inline the `grams` SUBTREE into the per-element lambda
+    * `j -> array_min(slice(grams, …))` — interpreted HOF evaluation
+    * then recomputes the whole grams→codes chain PER ELEMENT PER ROW
+    * (cubic; jstack showed one task burning 10+ CPU-minutes in
+    * UTF8String.split). Each stage is therefore LET-BOUND through the
+    * single-element `transform(array(<expr>), x -> …)[1]` idiom: the
+    * stage expression is evaluated exactly once as the array element,
+    * and every inner lambda references the bound VARIABLE, which
+    * cannot be re-expanded by any optimizer rewrite. */
+  private[graft] def winnowSel(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val (k, w) = (4, 4)
     docs
       .select($"doc_id", expr(
-        s"""transform(
-           |  filter(split(text, ' '), t -> t <> ''),
-           |  t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
-           |       as bigint))""".stripMargin).as("codes"))
-      .select($"doc_id", expr(
-        s"""case when size(codes) < $k then array()
-           |else transform(sequence(0, size(codes) - $k),
-           |  i -> aggregate(slice(codes, i + 1, $k), cast(0 as bigint),
-           |    (acc, c) -> (acc * 131 + c) % 1000000007)) end"""
+        s"""element_at(transform(array(
+           |    transform(filter(split(text, ' '), t -> t <> ''),
+           |      t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint))),
+           |  cs -> case when size(cs) < $k then array()
+           |        else transform(sequence(0, size(cs) - $k),
+           |          i -> aggregate(slice(cs, i + 1, $k), cast(0 as bigint),
+           |            (acc, c) -> (acc * 131 + c) % 1000000007)) end), 1)"""
           .stripMargin).as("grams"))
       .select($"doc_id", size($"grams").as("n_grams"), expr(
-        s"""array_distinct(case when size(grams) < $w then array()
-           |else transform(sequence(0, size(grams) - $w),
-           |  j -> array_min(slice(grams, j + 1, $w))) end)"""
+        s"""element_at(transform(array(grams),
+           |  g -> array_distinct(case when size(g) < $w then array()
+           |       else transform(sequence(0, size(g) - $w),
+           |         j -> array_min(slice(g, j + 1, $w))) end)), 1)"""
           .stripMargin).as("sel"))
   }
 

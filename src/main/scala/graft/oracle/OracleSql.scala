@@ -1016,8 +1016,7 @@ object OracleSql {
         |  SELECT doc_id,
         |    list_transform(
         |      list_filter(string_split(text, ' '), t -> t <> ''),
-        |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
-        |           as bigint)) AS codes
+        |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS codes
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -1254,8 +1253,7 @@ object OracleSql {
         |  SELECT doc_id,
         |    list_transform(
         |      list_filter(string_split(text, ' '), t -> t <> ''),
-        |      t -> cast(ascii(substring(t, 1, 1)) * 31 + length(t)
-        |           as bigint)) AS codes
+        |      t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS codes
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
