@@ -306,6 +306,78 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** Event-type TRANSITION MATRIX (first-order Markov counts): for
+    * each user's time-ordered event stream, count each observed
+    * (prev_type → next_type) adjacency and its conditional
+    * probability P(next | prev). The path/flow analysis every product
+    * analytics engine ships (Sankey source data), and the bigram
+    * statistics a sequence-model curriculum is seeded with.
+    *
+    * Determinism: (ts, event_id) is a total order per user, so `lead`
+    * is unambiguous; the probability divides two exact integer counts
+    * (identical longs in both engines ⇒ identical IEEE quotient).
+    *
+    * Scale posture: ONE user_id exchange for the adjacency window
+    * (per-key state = one row lookahead), then a partial→final agg
+    * onto the (prev, next) grid — output is |event_type|², dimension-
+    * sized, never corpus-sized. The per-prev totals come from a
+    * second window over the already-aggregated grid (|types|² rows),
+    * not from re-scanning events. */
+  def eventsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val grid = Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy($"prev_type")
+    grid
+      .select($"prev_type", $"next_type", $"n",
+        ($"n".cast("double") / sum($"n").over(wp)).as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** MARKET-BASKET co-occurrence mining (the A-priori support/lift
+    * step): item pairs bought together in ≥ 3 orders, with lift =
+    * P(a,b) / (P(a)·P(b)) — co-purchase affinity vs chance. Top-20 by
+    * support.
+    *
+    * Scale posture: the pair space is Σ (basket size)² — bounded by
+    * the ORDER, never the catalog or the order count (max basket here
+    * 13 ⇒ ≤ 169 candidate rows per order; a retailer's basket cap
+    * bounds it the same way at any scale). One distinct pass to
+    * (order, item), one equi self-join on the order key, partial-agged
+    * pair counts, per-item counts equi-joined back (the item dimension
+    * can be catalog-sized — no broadcast assumed), TakeOrdered top-k.
+    * Lift divides exact integer counts — identical doubles both
+    * engines. */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("item")).distinct()
+    val n = Tables(spark, sfDir, "orders")
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = li.groupBy($"item").agg(count(lit(1)).as("c"))
+    val pairs = li.select($"okey", $"item".as("item_a"))
+      .join(li.select($"okey", $"item".as("item_b")), "okey")
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 3)
+    pairs
+      .join(itemN.select($"item".as("item_a"), $"c".as("ca")), "item_a")
+      .join(itemN.select($"item".as("item_b"), $"c".as("cb")), "item_b")
+      .crossJoin(broadcast(n))
+      .select($"item_a", $"item_b", $"support",
+        (($"support" * $"n_orders").cast("double") / ($"ca" * $"cb"))
+          .as("lift"))
+      .orderBy($"support".desc, $"item_a", $"item_b")
+      .limit(20)
+  }
+
   /** Rolling 7-day active users (WAU per day) — the classic rolling
     * COUNT DISTINCT that plain window functions cannot express at
     * scale (engines that allow `count(DISTINCT) OVER RANGE` — the
@@ -369,6 +441,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> eventsAnomaly,
+    "q_events_transitions" -> eventsTransitions,
+    "q_basket_pairs" -> basketPairs,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

@@ -1019,6 +1019,53 @@ object LlmOps {
     r.orderBy($"r".desc, $"node").limit(20)
   }
 
+  /** TRIANGLE COUNTING over the kNN graph ([[knnGraphBucketed]]'s
+    * edges, undirected+deduped) — the local-clustering signal used to
+    * separate tight semantic clusters from hub-ish noise when sampling
+    * a corpus by graph structure (PageRank covered importance; this is
+    * cohesion). Output: per-node triangle participation count.
+    *
+    * Scale posture: the classic DEGREE-ORDERED node-iterator. Every
+    * undirected edge is oriented from its lower (degree, id) endpoint
+    * to the higher, so wedge enumeration at a node is bounded by its
+    * ORIENTED out-degree — Σ d_out² = O(m^1.5) total pair space on any
+    * graph (vs Σ d² which a hub node blows up) — and closure is one
+    * equi semi-ish join of wedges against the oriented edge list on
+    * the (v, w) composite key: no pair of nodes is ever compared
+    * outside a shared wedge. Every step is an equi join or partial-
+    * agged groupBy; the triangle→member fan-out is exactly ×3. The
+    * lexicographic (degree, id) comparison rides Spark/DuckDB struct
+    * (row) ordering — no global rank window, no single-partition
+    * stage. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables.truncate(knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id").as("lo"),
+        greatest($"vec_id", $"nbr_id").as("hi"))
+      .distinct())
+    val deg = und.select(explode(array($"lo", $"hi")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select($"node".as("lo"), $"deg".as("dlo")), "lo")
+      .join(deg.select($"node".as("hi"), $"deg".as("dhi")), "hi")
+    // orient each edge from the lower (deg, id) endpoint to the higher
+    val loK = struct($"dlo".as("d"), $"lo".as("n"))
+    val hiK = struct($"dhi".as("d"), $"hi".as("n"))
+    val oriented = withDeg.select(
+      when(loK < hiK, $"lo").otherwise($"hi").as("src"),
+      when(loK < hiK, hiK).otherwise(loK).as("dk"),
+      when(loK < hiK, $"hi").otherwise($"lo").as("dst"))
+    val e1 = oriented.select($"src", $"dst".as("v"), $"dk".as("vk"))
+    val e2 = oriented.select($"src", $"dst".as("w"), $"dk".as("wk"))
+    val wedges = e1.join(e2, Seq("src")).filter($"vk" < $"wk")
+    val closing = oriented.select($"src".as("v"), $"dst".as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select($"src", $"v", $"w")
+    tris.select(explode(array($"src", $"v", $"w")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"node")
+  }
+
   /** Reproducible global training shuffle: the corpus in the
     * pseudo-random order of a seeded Knuth multiplicative hash of
     * doc_id (epoch seed — a different seed is a different
@@ -1366,6 +1413,47 @@ object LlmOps {
       .limit(20)
   }
 
+  /** HYBRID RETRIEVAL via Reciprocal Rank Fusion: the sparse
+    * ([[textBm25]], query "hash join") and dense (cosine around the
+    * vec_id-0 embedding, [[simCosineTopk]]'s modality) top-20 lists
+    * fused by RRF — score(d) = Σ_lists 1/(60 + rank_list(d)) — the
+    * standard way production retrieval merges keyword and embedding
+    * channels without score calibration. Top-10 by fused score.
+    *
+    * Determinism: each rank is a row_number over a total order; the
+    * fused score is ONE addition of two identically-computed doubles
+    * (or one + 0.0), then r4; ties broken by doc_id. The rank windows
+    * run over ALREADY-REDUCED top-20 lists (TakeOrdered output), so
+    * their unpartitioned frames span ≤ 20 rows — broadcast-sized by
+    * construction, not a corpus-wide single-partition stage. Scale:
+    * both channel top-ks reduce corpus-side (TakeOrderedAndProject /
+    * partial-agged token stats); the fusion joins two ≤ k-row lists. */
+  def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy($"score".desc, $"id")
+    val sparse = textBm25(spark, sfDir)
+      .select($"doc_id".as("id"), $"bm25".as("score"))
+      .withColumn("rk", row_number().over(wAll))
+      .select($"id", $"rk".as("rk_sparse"))
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val dense = v.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id".as("id"),
+        Det.r4(dot(spark)($"embedding", $"qe")).as("score"))
+      .orderBy($"score".desc, $"id").limit(20)
+      .withColumn("rk", row_number().over(wAll))
+      .select($"id", $"rk".as("rk_dense"))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .select($"id", $"rk_sparse", $"rk_dense",
+        Det.r4(
+          coalesce(lit(1.0) / (lit(60) + $"rk_sparse"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rk_dense"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"id")
+      .limit(10)
+  }
+
   /** Unigram language-model PERPLEXITY scoring (the CCNet-style
     * quality filter): train corpus unigram MLE probabilities in one
     * aggregation, score every document by its average token negative
@@ -1690,6 +1778,48 @@ object LlmOps {
       .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
       .filter($"n_docs" >= 2)
       .orderBy($"span")
+  }
+
+  /** Segment-level dedup REWRITE (the RefinedWeb/Gopher "remove
+    * duplicated spans" curation stage): each document is cut into
+    * fixed 10-token segments (row-local HOF arithmetic, no shuffle),
+    * every segment keeps only its corpus-wide FIRST occurrence
+    * (lowest (doc_id, seg_idx)), and each document is reassembled
+    * from its surviving segments in order — [[dedupSpans]] detects
+    * recurring spans; this is the stage that actually rewrites the
+    * corpus. Output: per-doc segment/kept counts + the cleaned text.
+    *
+    * Determinism: first-occurrence is a min over the total key
+    * (doc_id, seg_idx); reassembly sorts by seg_idx before joining.
+    * Scale posture: the segment TEXT is the dedup join key — no pair
+    * space; the keep-mark is one min-aggregate window per segment
+    * value (hottest segment still combines map-side via the two-level
+    * agg shape), reassembly is one doc_id groupBy whose per-key state
+    * is that document's own segments. Both shuffles are partial-agged
+    * key hashes; nothing is corpus². */
+  def textSegmentClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, cast((size(toks) - 1) / 10 as int)),
+          |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+    val firstOwner = segs.groupBy($"seg")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("first"))
+    val kept = segs.join(firstOwner, "seg")
+      .filter($"doc_id" === $"first.doc_id" && $"seg_idx" === $"first.seg_idx")
+    val perDoc = segs.groupBy($"doc_id").agg(count(lit(1)).as("n_segs"))
+    perDoc.join(
+        kept.groupBy($"doc_id").agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(" +
+            "collect_list(struct(seg_idx, seg))), s -> s.seg), ' ')")
+            .as("clean_text")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
   }
 
   /** One BPE training step: adjacent character-pair frequencies over
@@ -2270,6 +2400,9 @@ object LlmOps {
     "q_sim_ann_pq" -> simAnnPq,
     "q_knn_graph_bucketed" -> knnGraphBucketed,
     "q_graph_pagerank" -> graphPagerank,
+    "q_graph_triangles" -> graphTriangles,
+    "q_text_segment_clean" -> textSegmentClean,
+    "q_sim_hybrid_rrf" -> simHybridRrf,
     "q_shuffle_deterministic" -> shuffleDeterministic,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,

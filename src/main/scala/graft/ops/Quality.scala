@@ -93,6 +93,44 @@ object Quality {
       .orderBy($"check_name")
   }
 
+  /** Gopher-style per-document QUALITY RULES (Rae et al. 2021 §A1.1,
+    * adapted to this corpus's ranges): word count in [20, 90], mean
+    * word length in [4.0, 5.0], ≥ 1 stopword, type-token ratio ≥ 0.4
+    * — the heuristic row-level filter every pretraining curation
+    * pipeline runs before the statistical stages. Emits the per-doc
+    * feature values, each rule verdict, and the conjunction, so
+    * downstream can both filter and audit WHY a doc fell.
+    *
+    * Determinism: every feature is a ratio of exact integers (token
+    * count, char count via whitespace-stripped length, stopword and
+    * distinct-token counts) — identical doubles in both engines; r4
+    * only for display stability. Scale posture: entirely row-local
+    * codegen'd HOFs over the token array — zero shuffles, scan-speed
+    * map stage, same posture as q_text_quality; the ORDER BY is the
+    * only exchange. */
+  def qualityGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"),
+        length(regexp_replace($"text", " ", "")).as("chars"))
+      .select($"doc_id",
+        size($"toks").as("n_words"),
+        ($"chars".cast("double") / size($"toks")).as("mwl"),
+        expr("size(filter(toks, t -> t = 'a' OR t = 'the'))").as("n_stop"),
+        (size(array_distinct($"toks")).cast("double") / size($"toks"))
+          .as("ttr"))
+      .select($"doc_id", $"n_words", graft.Det.r4($"mwl").as("mean_word_len"),
+        $"n_stop", graft.Det.r4($"ttr").as("ttr"),
+        ($"n_words" >= 20 && $"n_words" <= 90).as("ok_wordcount"),
+        ($"mwl" >= 4.0 && $"mwl" <= 5.0).as("ok_meanwordlen"),
+        ($"n_stop" >= 1).as("ok_stopword"),
+        ($"ttr" >= 0.4).as("ok_ttr"))
+      .withColumn("passes",
+        $"ok_wordcount" && $"ok_meanwordlen" && $"ok_stopword" && $"ok_ttr")
+      .orderBy($"doc_id")
+  }
+
   /** Order-independent table fingerprint — the cheap equality check a
     * pipeline runs after a migration/backfill/compaction to prove two
     * copies of a table hold the SAME ROWS without sorting or moving
@@ -137,6 +175,7 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_constraints" -> qualityConstraints,
+    "q_quality_gopher" -> qualityGopher,
     "q_table_fingerprint" -> tableFingerprint
   )
 }

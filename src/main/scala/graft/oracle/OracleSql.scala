@@ -1172,6 +1172,106 @@ object OracleSql {
          |SELECT vec_id, nbr_id, sim, cast(rk as int) AS rk FROM r
          |WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
 
+    // same kNN edge derivation as q_knn_graph_bucketed; the oracle
+    // enumerates each triangle once in id order (x < y < z) — the
+    // Spark side's degree-ordered orientation yields the same set
+    "q_graph_triangles" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |rnk AS (SELECT vec_id, nbr_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS lo,
+         |                        greatest(vec_id, nbr_id) AS hi
+         |        FROM rnk WHERE rk <= 3),
+         |tri AS (
+         |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+         |  FROM und a
+         |  JOIN und b ON a.lo = b.lo AND a.hi < b.hi
+         |  JOIN und c ON c.lo = a.hi AND c.hi = b.hi),
+         |mem AS (SELECT x AS node FROM tri
+         |        UNION ALL SELECT y FROM tri
+         |        UNION ALL SELECT z FROM tri)
+         |SELECT node, count(*) AS n_triangles FROM mem
+         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_text_segment_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |segs AS (
+        |  SELECT doc_id, cast(u.i as int) AS seg_idx,
+        |    array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS seg
+        |  FROM t, UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    min(doc_id * 1000 + seg_idx) OVER (PARTITION BY seg) AS mn
+        |  FROM segs),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM marked
+        |         WHERE doc_id * 1000 + seg_idx = mn),
+        |perdoc AS (SELECT doc_id, count(*) AS n_segs FROM segs
+        |           GROUP BY doc_id),
+        |kd AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |       FROM keep GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_segs,
+        |  coalesce(kd.n_kept, 0) AS n_kept,
+        |  coalesce(kd.clean_text, '') AS clean_text
+        |FROM perdoc p LEFT JOIN kd ON p.doc_id = kd.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // the sparse channel is exactly q_text_bm25's top-20; the dense
+    // channel is the brute-force cosine top-20 around vec_id 0
+    "q_sim_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT cast(sum(dl) as bigint) AS total_dl,
+         |              count(*) AS n_docs FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+         |       WHERE token IN ('hash', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk
+         |        WHERE token IN ('hash', 'join') GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, dl.dl,
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * (1.0 - 0.75
+         |          + 0.75 * dl / (cast(total_dl as double) / n_docs)))
+         |      AS contrib
+         |  FROM tf JOIN dfq USING (token)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc_id, round(sum(contrib), 4) AS bm25
+         |  FROM sc GROUP BY 1
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |sparse AS (
+         |  SELECT doc_id AS id, cast(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) as int) AS rk_sparse
+         |  FROM bm),
+         |dn AS (
+         |  SELECT a.vec_id AS id, $dotSql AS sim
+         |  FROM embeddings a,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY sim DESC, a.vec_id LIMIT 20),
+         |dense AS (
+         |  SELECT id, cast(row_number() OVER (
+         |    ORDER BY sim DESC, id) as int) AS rk_dense
+         |  FROM dn)
+         |SELECT coalesce(s.id, d.id) AS id, s.rk_sparse, d.rk_dense,
+         |  round(coalesce(cast(1.0 as double) / (60 + s.rk_sparse), 0.0)
+         |      + coalesce(cast(1.0 as double) / (60 + d.rk_dense), 0.0),
+         |    4) AS rrf
+         |FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
+         |ORDER BY rrf DESC, coalesce(s.id, d.id) LIMIT 10""".stripMargin,
+
     // hugeint multiply mirrors the Spark side's decimal(38,0) knuth
     // hash (same rationale as q_sample_cap_per_source); seed 42 is
     // the epoch key
@@ -1650,6 +1750,37 @@ object OracleSql {
 
     // one SELECT per constraint here; the Spark side fuses same-table
     // constraints into one scan (the aggregates are identical)
+    // every feature is a ratio of exact integers — identical doubles
+    // in both engines; thresholds compare the UNROUNDED values
+    "q_quality_gopher" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks0,
+        |    length(replace(text, ' ', '')) AS chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(toks0, t -> t <> '')) as int) AS n_words,
+        |    chars,
+        |    cast(len(list_filter(toks0,
+        |      t -> t = 'a' OR t = 'the')) as int) AS n_stop,
+        |    len(list_distinct(list_filter(toks0, t -> t <> ''))) AS nd
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  round(cast(chars as double) / n_words, 4) AS mean_word_len,
+        |  n_stop,
+        |  round(cast(nd as double) / n_words, 4) AS ttr,
+        |  n_words >= 20 AND n_words <= 90 AS ok_wordcount,
+        |  cast(chars as double) / n_words >= 4.0
+        |    AND cast(chars as double) / n_words <= 5.0 AS ok_meanwordlen,
+        |  n_stop >= 1 AS ok_stopword,
+        |  cast(nd as double) / n_words >= 0.4 AS ok_ttr,
+        |  (n_words >= 20 AND n_words <= 90)
+        |    AND (cast(chars as double) / n_words >= 4.0
+        |         AND cast(chars as double) / n_words <= 5.0)
+        |    AND n_stop >= 1
+        |    AND cast(nd as double) / n_words >= 0.4 AS passes
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_quality_constraints" ->
       """WITH checks AS (
         |  SELECT 'documents.lang_accepted' AS check_name,
@@ -2090,6 +2221,46 @@ object OracleSql {
         |SELECT days.d AS day, count(DISTINCT ud.user_id) AS wau
         |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
         |GROUP BY days.d ORDER BY day""".stripMargin,
+
+    // the oracle replays the delete arithmetic over the source table —
+    // a pruning bug that missed/extra-dropped a file group can't match
+    "q_delete_rewrite" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE NOT (o_orderkey BETWEEN 200 AND 499)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        |            FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |itemn AS (SELECT item, count(*) AS c FROM li GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        count(*) AS support
+        |      FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, support,
+        |  cast(support * n_orders as double) / (ia.c * ib.c) AS lift
+        |FROM p
+        |JOIN itemn ia ON p.item_a = ia.item
+        |JOIN itemn ib ON p.item_b = ib.item
+        |CROSS JOIN n
+        |WHERE support >= 3
+        |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    "q_events_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY cast(ts as timestamp), event_id) AS next_type
+        |  FROM events),
+        |g AS (SELECT event_type AS prev_type, next_type, count(*) AS n
+        |      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  cast(n as double)
+        |    / cast(sum(n) OVER (PARTITION BY prev_type) as double) AS p
+        |FROM g ORDER BY prev_type, next_type""".stripMargin,
 
     // identical canonical string + 48-bit md5 slice; hex→int spelled
     // DuckDB-style ('0x…'::BIGINT ≡ Spark's conv(…,16,10))

@@ -274,6 +274,48 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** COPY-ON-WRITE DELETE with partition-level pruning — the GDPR /
+    * retention-delete maintenance operator: the table lives as
+    * key-range file groups (`fg = o_orderkey div 1000`, one file per
+    * group — the layout a manifest's min/max stats describe), a
+    * range-shaped delete ([200, 499]) computes which groups it can
+    * possibly touch FROM THE PREDICATE (fg ∈ [200/1000, 499/1000] —
+    * zone-map pruning as arithmetic), rewrites ONLY those groups
+    * dropping the victims, and the committed table is untouched
+    * groups as-is + rewritten groups. Untouched files are never read,
+    * never written (PartitionFilters + unchanged-file identity pinned
+    * in suite). At 100 TB a range/tenant/time-shaped delete touches
+    * history÷groups of the data; the stated trade: a SCATTERED delete
+    * set degenerates to rewriting every group — that is when
+    * merge-on-read deletion vectors beat copy-on-write, at the cost
+    * of read-side merge work. Output: the after-delete table summary
+    * (per-status counts + exact decimal sums), so a pruning bug that
+    * missed a group or dropped an untouched one cannot hash-match. */
+  def deleteRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/delete_rewrite"
+    val (b, loKey, hiKey) = (1000, 200, 499)
+    val o = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("fg", expr(s"o_orderkey div $b"))
+    o.repartition($"fg")
+      .write.mode("overwrite").partitionBy("fg").parquet(s"$dir/table")
+    val t = spark.read.schema(o.schema).parquet(s"$dir/table")
+    // prune: only groups the range can touch are read for the rewrite
+    val (fgLo, fgHi) = (loKey / b, hiKey / b)
+    t.filter($"fg".between(fgLo, fgHi))
+      .filter(!$"o_orderkey".between(loKey, hiKey))
+      .repartition($"fg")
+      .write.mode("overwrite").partitionBy("fg").parquet(s"$dir/rewritten")
+    // the committed view: untouched groups as-is + rewritten groups
+    val after = t.filter(!$"fg".between(fgLo, fgHi))
+      .unionAll(spark.read.schema(o.schema).parquet(s"$dir/rewritten"))
+    after.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** BAD-RECORD ingest (PERMISSIVE mode) — the reality of landing a
     * 100 TB JSON feed: some lines are corrupt, and the job must
     * quarantine rather than die. Every 13th document's JSON line is
@@ -310,6 +352,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_describe_schema" -> describeSchema,
     "q_source_badrecords" -> sourceBadRecords,
+    "q_delete_rewrite" -> deleteRewrite,
     "q_compact_small_files" -> compactSmallFiles,
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,

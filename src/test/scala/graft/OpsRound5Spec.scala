@@ -583,13 +583,22 @@ class OpsRound5Spec extends SparkSpec {
 
   // ---- q_text_winnow -----------------------------------------------------
 
+  /** The shipped per-token code: 48-bit md5 slice (content hash —
+    * see winnowSel's scaladoc for why the cheap (char, length) code
+    * was retired). */
+  private def tokenCode(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   test("q_text_winnow matches a driver-side winnowing replay") {
     val (k, w, m) = (4, 4, 1000000007L)
     val docs = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val want = docs.map { case (id, text) =>
-      val codes = text.split(" ").filter(_.nonEmpty)
-        .map(t => t.head.toLong * 31 + t.length)
+      val codes = text.split(" ").filter(_.nonEmpty).map(tokenCode)
       val grams = codes.sliding(k).filter(_.length == k)
         .map(_.foldLeft(0L)((a, c) => (a * 131 + c) % m)).toArray
       val sel = grams.sliding(w).filter(_.length == w)
@@ -615,8 +624,7 @@ class OpsRound5Spec extends SparkSpec {
     val sels = graft.ops.LlmOps.textWinnow(spark, sfDir)
       .select($"doc_id", $"n_grams").as[(Long, Int)].collect().toMap
     docs.foreach { case (id, text) =>
-      val codes = text.split(" ").filter(_.nonEmpty)
-        .map(t => t.head.toLong * 31 + t.length)
+      val codes = text.split(" ").filter(_.nonEmpty).map(tokenCode)
       val grams = codes.sliding(k).filter(_.length == k)
         .map(_.foldLeft(0L)((a, c) => (a * 131 + c) % m)).toArray
       assert(sels(id) === grams.length)

@@ -248,4 +248,185 @@ class OpsRound6Spec extends SparkSpec {
     assert(edited("orders") === baseMap("orders"))
     assert(edited("lineitem") === baseMap("lineitem"))
   }
+
+  // ---- q_events_transitions ----------------------------------------------
+
+  test("q_events_transitions: mass conservation and conditional rows") {
+    val rows = ops.Analytics.eventsTransitions(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // Σ n over the grid = Σ_users (events_user - 1): every adjacency
+    // counted exactly once
+    val perUser = Tables(spark, sfDir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    assert(rows.map(_._3).sum === perUser.map(_._2 - 1).sum)
+    // P(next | prev) sums to 1 per prev
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  // ---- q_graph_triangles -------------------------------------------------
+
+  test("q_graph_triangles matches a driver-side naive enumeration") {
+    val und = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id").as("lo"),
+        greatest($"vec_id", $"nbr_id").as("hi"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map[Long, Long]()
+    for ((a, b) <- und; c <- adj.getOrElse(b, Set.empty[Long])
+         if und((a, c))) { // a < b < c by construction of (lo, hi)
+      Seq(a, b, c).foreach(n => want(n) = want.getOrElse(n, 0L) + 1L)
+    }
+    val got = ops.LlmOps.graphTriangles(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want.toMap)
+    assert(got.nonEmpty, "corpus kNN graph should close some triangles")
+  }
+
+  // ---- q_text_segment_clean ----------------------------------------------
+
+  test("q_text_segment_clean keeps exactly one copy of every segment") {
+    val rows = ops.LlmOps.textSegmentClean(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1) === docs.map(_._1).sorted)
+    // driver replay: global first-occurrence over (doc_id, seg_idx)
+    val segsByDoc = docs.sortBy(_._1).map { case (id, text) =>
+      id -> text.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    val wantKept = segsByDoc.map { case (id, segs) =>
+      id -> segs.filter(seen.add)
+    }.toMap
+    rows.foreach { case (id, nSegs, nKept, clean) =>
+      assert(nSegs === segsByDoc.toMap.apply(id).size)
+      assert(nKept === wantKept(id).size)
+      assert(clean === wantKept(id).mkString(" "))
+      assert(nKept <= nSegs)
+    }
+    // total kept = number of DISTINCT segments corpus-wide
+    assert(rows.map(_._3).sum === seen.size)
+    assert(rows.exists(r => r._3 < r._2),
+      "corpus should contain at least one repeated segment")
+  }
+
+  // ---- q_sim_hybrid_rrf --------------------------------------------------
+
+  test("q_sim_hybrid_rrf fuses the two channel rankings exactly") {
+    val sparse = ops.LlmOps.textBm25(spark, sfDir)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val dense = ops.LlmOps.simCosineTopk(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq // top-10 of the same ordering
+    val got = ops.LlmOps.simHybridRrf(spark, sfDir)
+      .as[(Long, Option[Int], Option[Int], Double)].collect().toSeq
+    assert(got.size === 10)
+    got.foreach { case (id, rs, rd, rrf) =>
+      assert(rs.nonEmpty || rd.nonEmpty)
+      rs.foreach(r => assert(sparse(id) === r))
+      rd.foreach(r => assert(r >= 1 && r <= 20))
+      val want = rs.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 1e-4)
+    }
+    // dense ranks agree with the brute-force top-10 prefix
+    dense.zipWithIndex.foreach { case ((id, _), i) =>
+      got.find(_._1 == id).flatMap(_._3).foreach(r => assert(r === i + 1))
+    }
+    // fused order is non-increasing in rrf with doc_id tiebreak
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+    case _ => ()
+    }
+  }
+
+  // ---- q_delete_rewrite --------------------------------------------------
+
+  test("q_delete_rewrite prunes untouched file groups and drops victims") {
+    val summary = sources.Sources.deleteRewrite(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    // content: exactly the victims gone
+    val want = Tables(spark, sfDir, "orders")
+      .filter(!$"o_orderkey".between(200, 499))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum($"o_totalprice").as("s"))
+      .orderBy($"o_orderstatus")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(summary === want)
+    // surgical rewrite: ONLY fg=0 was rewritten — every other group is
+    // served from its original landed directory
+    val root = java.nio.file.Paths.get(
+      s"${ops.Relational.scratchRoot}/delete_rewrite")
+    val rewritten = java.nio.file.Files.list(root.resolve("rewritten"))
+      .toArray.map(_.toString).filter(_.contains("fg="))
+    assert(rewritten.map(_.split("fg=").last.toLong).toSeq === Seq(0L))
+    val untouched = java.nio.file.Files.list(root.resolve("table"))
+      .toArray.map(_.toString).filter(_.contains("fg="))
+      .filterNot(_.endsWith("fg=0"))
+    assert(untouched.nonEmpty)
+    // and the committed view really reads those original files
+    val after = spark.read.parquet(
+      s"${ops.Relational.scratchRoot}/delete_rewrite/table")
+    val plan = finalPlan(after.filter(!$"fg".between(0, 0)))
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
+  // ---- q_basket_pairs ----------------------------------------------------
+
+  test("q_basket_pairs: supports and lift recompute from the baskets") {
+    val got = ops.Analytics.basketPairs(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.size === 20)
+    val baskets = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val nOrders = Tables(spark, sfDir, "orders").count()
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val supp = baskets.groupBy(_._1).values.flatMap { items =>
+      val v = items.map(_._2).toSeq.sorted
+      for (i <- v.indices; j <- (i + 1) until v.size) yield (v(i), v(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (a, b, s, lift) =>
+      assert(a < b && s >= 3)
+      assert(supp((a, b)) === s)
+      val wantLift = (s * nOrders).toDouble / (itemN(a) * itemN(b))
+      assert(lift === wantLift)
+    }
+    // top-20 really is the support-descending head
+    val cut = got.map(_._3).min
+    assert(supp.values.count(_ > cut) <= 20)
+  }
+
+  // ---- q_quality_gopher --------------------------------------------------
+
+  test("q_quality_gopher: verdicts recompute from the features") {
+    val rows = ops.Quality.qualityGopher(spark, sfDir)
+      .as[(Long, Int, Double, Int, Double, Boolean, Boolean, Boolean,
+        Boolean, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, nw, mwl, nstop, ttr, okW, okM, okS, okT, p) =>
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      assert(nw === toks.length)
+      assert(nstop === toks.count(t => t == "a" || t == "the"))
+      val mwlRaw = toks.map(_.length).sum.toDouble / toks.length
+      val ttrRaw = toks.distinct.length.toDouble / toks.length
+      assert(math.abs(mwl - mwlRaw) < 1e-4 && math.abs(ttr - ttrRaw) < 1e-4)
+      assert(okW === (nw >= 20 && nw <= 90))
+      assert(okM === (mwlRaw >= 4.0 && mwlRaw <= 5.0))
+      assert(okS === (nstop >= 1))
+      assert(okT === (ttrRaw >= 0.4))
+      assert(p === (okW && okM && okS && okT))
+    }
+    // the rules discriminate on this corpus: both outcomes occur
+    assert(rows.exists(_._10) && rows.exists(!_._10))
+  }
 }

@@ -21,6 +21,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_mix_temperature", // 1-row broadcast normalizer crossJoin
     "q_layout_zorder",   // 1-row broadcast domain-max crossJoin
     "q_text_bm25",       // 1-row broadcast corpus stats crossJoin
+    "q_sim_hybrid_rrf",  // 1-row broadcast query vector + corpus stats
+    "q_basket_pairs",    // 1-row broadcast order-count crossJoin
     "q_text_perplexity", // 1-row broadcast token-total crossJoin
     "q_ts_gapfill"       // 31-row broadcast day-grid crossJoin
   )
