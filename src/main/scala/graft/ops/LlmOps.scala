@@ -468,7 +468,11 @@ object LlmOps {
     * collisions collapse to 2^-16 → candidate mass ~ B·n²/65536.
     * Recall here (measured, PropertySpec): ≥ 0.93 at every SF vs the
     * brute-force baseline. */
-  def dedupEmbeddingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The live ANN pair-mining plan — exposed (package-private) so the
+    * suite can pin ITS physical plan (no BNL, SHUFFLE_HASH verify)
+    * even though the declared keys consume the memoized pairs. */
+  private[graft] def mineAnnPairs(spark: SparkSession,
+      sfDir: String): DataFrame = {
     import spark.implicits._
     val v = spread(Tables(spark, sfDir, "embeddings")
       .select($"vec_id", $"embedding"))
@@ -492,7 +496,19 @@ object LlmOps {
         .hint("SHUFFLE_HASH"), "vec_b")
       .select($"vec_a", $"vec_b", Det.r4(dot(spark)($"ea", $"eb")).as("sim"))
       .filter($"sim" >= 0.4)
-      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** ANN near-dup pairs, mined ONCE per (session, corpus) and
+    * materialized ([[Memo]]) — the same labels-style dataflow: at
+    * 100 TB the verified pair list is a table you write once and every
+    * downstream stage (pair report, semantic clustering, keep-list)
+    * scans. */
+  private def annPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "ann-pairs")(mineAnnPairs(spark, sfDir))
+
+  def dedupEmbeddingAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    annPairs(spark, sfDir).orderBy($"vec_a", $"vec_b")
   }
 
   /** INCREMENTAL embedding dedup — the shape a live ingestion pipeline
@@ -608,6 +624,38 @@ object LlmOps {
       .join(sizes.select($"component".as("doc_id"), $"n_members"), "doc_id")
       .select($"doc_id", $"lang", $"source", $"n_members")
       .orderBy($"doc_id")
+  }
+
+  /** SEMANTIC-dedup keep-list (the SemDeDup output stage, embedding-
+    * space twin of [[dedupClusterKeep]]): connected components over
+    * the VERIFIED ANN pair graph ([[annPairs]], cosine ≥ 0.4), one
+    * canonical vector (min vec_id) kept per semantic cluster with its
+    * cluster size — unpaired vectors are singleton components and are
+    * kept. Completes the embedding-dedup story from pair REPORT
+    * (`q_dedup_embedding_ann`) to the corpus a training run reads.
+    *
+    * Scale posture: pairs are mined once and materialized (Memo —
+    * the production dataflow); CC is the same O(log d)-round
+    * shortcutting min-label loop as the text clusters; the keep join
+    * is labels-agg ⨝ vectors on vec_id. Nothing here rescales with
+    * corpus² — the LSH banding bounded the pair space upstream. */
+  private def semanticLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "semantic-labels") {
+      import spark.implicits._
+      Graph.connectedComponents(
+        Tables(spark, sfDir, "embeddings").select($"vec_id".as("id")),
+        annPairs(spark, sfDir)
+          .select($"vec_a".as("src"), $"vec_b".as("dst")))
+    }
+
+  def dedupSemanticKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = semanticLabels(spark, sfDir)
+      .groupBy($"component").agg(count(lit(1)).as("n_members"))
+    Tables(spark, sfDir, "embeddings")
+      .join(sizes.select($"component".as("vec_id"), $"n_members"), "vec_id")
+      .select($"vec_id", $"label", $"n_members")
+      .orderBy($"vec_id")
   }
 
   /** LEAKAGE-SAFE train/val/test split: assign whole near-dup
@@ -2401,6 +2449,7 @@ object LlmOps {
     "q_knn_graph_bucketed" -> knnGraphBucketed,
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
+    "q_dedup_semantic_keep" -> dedupSemanticKeep,
     "q_text_segment_clean" -> textSegmentClean,
     "q_sim_hybrid_rrf" -> simHybridRrf,
     "q_shuffle_deterministic" -> shuffleDeterministic,

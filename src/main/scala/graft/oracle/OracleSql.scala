@@ -974,6 +974,39 @@ object OracleSql {
          |WHERE $dotSql >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // SemDeDup keep-list: same band-LSH + exact-dot pair derivation as
+    // q_dedup_embedding_ann, then the recursive closure / min-label
+    // components (the q_dedup_cluster pattern) and the keep join
+    "q_dedup_semantic_keep" ->
+      s"""WITH RECURSIVE sig AS (
+         |  SELECT vec_id, k,
+         |    list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN embedding[k * 4 + i] > 0
+         |           THEN (cast(1 as bigint) << (4 - i)) ELSE 0 END)) AS s
+         |  FROM embeddings, range(0, 16) t(k)),
+         |cand AS (
+         |  SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+         |  FROM sig sa JOIN sig sb
+         |    ON sa.k = sb.k AND sa.s = sb.s AND sa.vec_id < sb.vec_id),
+         |p AS (
+         |  SELECT c.vec_a, c.vec_b
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_a
+         |  JOIN embeddings q ON q.vec_id = c.vec_b
+         |  WHERE $dotSql >= 0.4),
+         |und AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |        UNION ALL SELECT vec_b, vec_a FROM p),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |csz AS (SELECT component, count(*) AS n_members
+         |        FROM comp GROUP BY component)
+         |SELECT e.vec_id, e.label, csz.n_members
+         |FROM embeddings e JOIN csz ON e.vec_id = csz.component
+         |ORDER BY e.vec_id""".stripMargin,
+
     // same band arithmetic as the ANN key, restricted to batch×corpus
     // candidate pairs (vec_b % 20 = 0 vs <> 0)
     "q_dedup_embedding_incr" ->

@@ -346,6 +346,41 @@ class OpsRound6Spec extends SparkSpec {
     }
   }
 
+  // ---- q_dedup_semantic_keep ---------------------------------------------
+
+  test("q_dedup_semantic_keep matches a driver-side union-find over ANN pairs") {
+    val pairs = ops.LlmOps.dedupEmbeddingAnn(spark, sfDir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toSeq
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = vecs.map(v => v._1 -> find(v._1)).toMap
+    val sizes = comp.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = vecs.filter(v => comp(v._1) == v._1)
+      .map(v => (v._1, v._2, sizes(v._1))).sortBy(_._1)
+    val got = ops.LlmOps.dedupSemanticKeep(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === want)
+    // every vector is accounted for exactly once across kept clusters
+    assert(got.map(_._3).sum === vecs.size)
+    assert(got.exists(_._3 > 1), "some semantic cluster should be non-trivial")
+  }
+
+  test("ANN pair MINING plan stays BNL-free with SHUFFLE_HASH verify") {
+    // the declared keys consume the memoized pairs, so the sweep sees a
+    // scan — this pins the LIVE mining plan instead
+    val plan = finalPlan(ops.LlmOps.mineAnnPairs(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+  }
+
   // ---- q_delete_rewrite --------------------------------------------------
 
   test("q_delete_rewrite prunes untouched file groups and drops victims") {

@@ -34,7 +34,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // commutative table fingerprint, bounded-explode rolling distinct,
     // provenance-ranked dedup (content-key rank window)
     "q_cdc_apply", "q_agg_skew_salted", "q_table_fingerprint",
-    "q_events_wau", "q_dedup_priority")
+    "q_events_wau", "q_dedup_priority",
+    // late round 6: degree-ordered triangle join, global
+    // first-occurrence segment rewrite, two-channel RRF fusion,
+    // basket pair mining — each moves data on a content/composite key
+    // whose grouping must not depend on where rows started
+    "q_graph_triangles", "q_text_segment_clean", "q_sim_hybrid_rrf",
+    "q_basket_pairs", "q_events_transitions")
 
   private lazy val alt = {
     val s = spark.newSession()
