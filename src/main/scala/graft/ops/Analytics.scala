@@ -341,6 +341,35 @@ object Analytics {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Weekly CHURN: per activity week, how many active users do NOT
+    * return the following week — the companion metric to
+    * [[retentionCohort]] (cohort view) and [[eventsWau]] (rolling
+    * view). A user churns out of week w iff their next activity week
+    * is not w+7d (including never returning); the corpus's final week
+    * reports 100% churn by construction — surfaced, not special-cased
+    * (a production job excludes the open week at the boundary).
+    *
+    * Scale posture: events dedup to (user, week) first (partial-agged
+    * distinct — corpus → users×weeks), then ONE user_id window with a
+    * one-row lead lookahead, then a week-grid agg. The churn rate
+    * divides exact integer counts. */
+  def eventsChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val uw = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"week")
+    uw.withColumn("next_week", lead($"week", 1).over(w))
+      .groupBy($"week")
+      .agg(count(lit(1)).as("n_active"),
+        count(when($"next_week".isNull ||
+          $"next_week" > date_add($"week", 7), lit(1))).as("n_churned"))
+      .select($"week", $"n_active", $"n_churned",
+        ($"n_churned".cast("double") / $"n_active").as("churn_rate"))
+      .orderBy($"week")
+  }
+
   /** MARKET-BASKET co-occurrence mining (the A-priori support/lift
     * step): item pairs bought together in ≥ 3 orders, with lift =
     * P(a,b) / (P(a)·P(b)) — co-purchase affinity vs chance. Top-20 by
@@ -443,6 +472,7 @@ object Analytics {
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,
+    "q_events_churn" -> eventsChurn,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

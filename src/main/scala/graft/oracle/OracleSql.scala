@@ -2282,6 +2282,24 @@ object OracleSql {
         |WHERE support >= 3
         |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
 
+    "q_events_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    cast(date_trunc('week', cast(ts as timestamp)) as date) AS week
+        |  FROM events),
+        |l AS (SELECT user_id, week,
+        |        lead(week) OVER (PARTITION BY user_id ORDER BY week)
+        |          AS next_week
+        |      FROM uw),
+        |g AS (SELECT week, count(*) AS n_active,
+        |        count(CASE WHEN next_week IS NULL
+        |                     OR next_week > week + 7 THEN 1 END)
+        |          AS n_churned
+        |      FROM l GROUP BY week)
+        |SELECT week, n_active, n_churned,
+        |  cast(n_churned as double) / n_active AS churn_rate
+        |FROM g ORDER BY week""".stripMargin,
+
     "q_events_transitions" ->
       """WITH s AS (
         |  SELECT event_type,

@@ -439,6 +439,33 @@ class OpsRound6Spec extends SparkSpec {
     assert(supp.values.count(_ > cut) <= 20)
   }
 
+  // ---- q_events_churn ----------------------------------------------------
+
+  test("q_events_churn: conservation against the (user, week) activity set") {
+    val got = ops.Analytics.eventsChurn(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val uw = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("w"))
+      .distinct().as[(Long, java.sql.Date)].collect().toSeq
+    val byUser = uw.groupBy(_._1).view
+      .mapValues(_.map(_._2.toLocalDate).sortBy(_.toEpochDay)).toMap
+    val wantChurn = uw.map { case (u, w0) =>
+      val w = w0.toLocalDate
+      val later = byUser(u).filter(_.isAfter(w))
+      (w0, later.isEmpty || later.head.isAfter(w.plusDays(7)))
+    }.groupBy(_._1).view.mapValues(v =>
+      (v.size.toLong, v.count(_._2).toLong)).toMap
+    got.foreach { case (week, active, churned, rate) =>
+      val (wa, wc) = wantChurn(week)
+      assert(active === wa && churned === wc)
+      assert(rate === wc.toDouble / wa)
+    }
+    assert(got.map(_._2).sum === uw.size)
+    // the corpus's final week churns everyone by construction
+    assert(got.last._3 === got.last._2 && got.last._4 === 1.0)
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
