@@ -197,6 +197,29 @@ object Profile {
           .select(col("doc_id"), explode(col("sel")).as("fp"))
           .groupBy(col("fp")).count().agg(sum(col("count") * col("count")))
       }),
+      // A/B for the triangle orientation under a HUB: kNN edges plus
+      // one synthetic hub (id -1) adjacent to EVERY vector. Id-ordered
+      // orientation makes the lowest id the wedge center — the hub
+      // enumerates n²/2 wedges; degree ordering orients every hub edge
+      // INTO the hub (max degree), so the hub is never a center and
+      // the wedge space stays Σ d_out² = O(m^1.5). Same triangle set
+      // either way. Measured numbers in SCALE.md.
+      "x_tri_hub_degorder" -> ((s, dir) =>
+        graft.ops.LlmOps.triangleCountOn(triHubWorkload(s, dir))),
+      "x_tri_hub_idorder" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val und = triHubWorkload(s, dir)
+        val e1 = und.select($"lo".as("src"), $"hi".as("v"))
+        val e2 = und.select($"lo".as("src"), $"hi".as("w"))
+        val wedges = e1.join(e2, Seq("src")).filter($"v" < $"w")
+        val tris = wedges.join(
+          und.select($"lo".as("v"), $"hi".as("w")), Seq("v", "w"))
+          .select($"src", $"v", $"w")
+        tris.select(explode(array($"src", $"v", $"w")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+          .orderBy($"node")
+      }),
       "x_wau_rangejoin" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._
@@ -221,6 +244,20 @@ object Profile {
       .withColumn("source", lit("hot"))
       .withColumn("hk", graft.ops.LlmOps.knuthHash($"doc_id"))
       .select($"source", $"doc_id", $"hk")
+  }
+
+  /** Hub-stress triangle workload shared by the x_tri probes: the kNN
+    * undirected edges plus a hub (id -1) adjacent to every vector. */
+  private def triHubWorkload(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val knn = graft.ops.LlmOps.knnGraphBucketed(s, dir)
+      .select(least($"vec_id", $"nbr_id").as("lo"),
+        greatest($"vec_id", $"nbr_id").as("hi"))
+      .distinct()
+    val hub = Tables(s, dir, "embeddings")
+      .select(lit(-1L).as("lo"), $"vec_id".as("hi"))
+    Tables.truncate(knn.unionAll(hub))
   }
 
   /** Banded all-pairs set-array workload shared by the x_overlap

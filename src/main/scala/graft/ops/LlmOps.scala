@@ -1087,10 +1087,17 @@ object LlmOps {
     * stage. */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val und = Tables.truncate(knnGraphBucketed(spark, sfDir)
+    triangleCountOn(Tables.truncate(knnGraphBucketed(spark, sfDir)
       .select(least($"vec_id", $"nbr_id").as("lo"),
         greatest($"vec_id", $"nbr_id").as("hi"))
-      .distinct())
+      .distinct()))
+  }
+
+  /** Degree-ordered triangle counting over an undirected, deduped
+    * edge list `(lo, hi)` with lo < hi — the core [[graphTriangles]]
+    * runs on the kNN graph and the Profile hub-stress A/B reuses. */
+  private[graft] def triangleCountOn(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
     val deg = und.select(explode(array($"lo", $"hi")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     val withDeg = und
