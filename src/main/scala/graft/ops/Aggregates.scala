@@ -119,6 +119,32 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Equi-width HISTOGRAM of events.value: global min/max (one
+    * partial-agged 1-row pass, broadcast back) fix 10 bins; every row
+    * buckets map-side by pure arithmetic `least(floor((v-min)/w), 9)`
+    * — no sort, no window, two scans total at any corpus size (a
+    * production profiler fuses min/max into a prior stats pass and
+    * pays one). Bin ids and bounds are IEEE-identical in both engines
+    * (identical operands through -, /, floor); bounds r4 for display.
+    * The distribution-profiling twin of the rank-based
+    * [[aggPercentile]]. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val stats = e.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+    e.crossJoin(broadcast(stats))
+      .select($"value", $"vmin",
+        (($"vmax" - $"vmin") / 10.0).as("w"))
+      .select(least(floor(($"value" - $"vmin") / $"w"), lit(9))
+        .cast("int").as("bin"), $"vmin", $"w")
+      .groupBy($"bin", $"vmin", $"w")
+      .agg(count(lit(1)).as("n"))
+      .select($"bin", $"n",
+        Det.r4($"vmin" + $"bin" * $"w").as("bin_lo"),
+        Det.r4($"vmin" + ($"bin" + 1) * $"w").as("bin_hi"))
+      .orderBy($"bin")
+  }
+
   /** HLL++ approximate distinct — sketch values are engine-specific by
     * design, so no oracle (driver records a rows-only check). */
   def aggHll(spark: SparkSession, sfDir: String): DataFrame = {
@@ -288,6 +314,7 @@ object Aggregates {
     "q_agg_stats" -> aggStats,
     "q_agg_collect_sorted" -> aggCollectSorted,
     "q_agg_hll" -> aggHll,
-    "q_agg_percentile" -> aggPercentile
+    "q_agg_percentile" -> aggPercentile,
+    "q_agg_histogram" -> aggHistogram
   )
 }

@@ -341,6 +341,47 @@ object Analytics {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** RFM customer SEGMENTATION: per customer recency (days since
+    * epoch of the last order), frequency (order count) and monetary
+    * (exact decimal revenue), each split at its MEDIAN into a
+    * high/low flag → 8 segments with counts and per-segment revenue —
+    * the classic marketing cut, and the same pre-aggregate-then-
+    * threshold shape a curation pipeline uses to band sources by
+    * activity.
+    *
+    * Scale posture: the heavy pass is ONE partial-agged groupBy
+    * (orders → customer dimension); the medians run over the
+    * CUSTOMER AGGREGATE (dimension-sized — the justified place for
+    * exact `percentile`, same stance as q_embed_centroids), land in a
+    * 1-row broadcast, and the segment label is a map-side comparison.
+    * Nothing corpus-sized ever funnels through a single task.
+    * Determinism: r/f are exact longs, m is the exact decimal-sum
+    * double, the interpolated medians run on identical inputs in both
+    * engines, and segment flags compare those identical doubles. */
+  def customerRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(datediff(to_date(max($"o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("r"),
+        count(lit(1)).as("f"),
+        graft.Det.dsum($"o_totalprice").as("m"))
+    val med = cust.agg(
+      expr("percentile(r, 0.5)").as("mr"),
+      expr("percentile(f, 0.5)").as("mf"),
+      expr("percentile(m, 0.5)").as("mm"))
+    cust.crossJoin(broadcast(med))
+      .select(
+        concat(when($"r" > $"mr", "R+").otherwise("R-"),
+          when($"f" > $"mf", "F+").otherwise("F-"),
+          when($"m" > $"mm", "M+").otherwise("M-")).as("segment"),
+        $"m")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        graft.Det.dsum($"m").as("revenue"))
+      .orderBy($"segment")
+  }
+
   /** Weekly CHURN: per activity week, how many active users do NOT
     * return the following week — the companion metric to
     * [[retentionCohort]] (cohort view) and [[eventsWau]] (rolling
@@ -473,6 +514,7 @@ object Analytics {
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,
     "q_events_churn" -> eventsChurn,
+    "q_customer_rfm" -> customerRfm,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

@@ -1468,6 +1468,51 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Sliding-window CO-OCCURRENCE with PMI — the skip-gram statistics
+    * word-vector training (word2vec/GloVe) and collocation detection
+    * start from: unordered token pairs within a ±2 window, scored by
+    * pointwise mutual information ln(p(a,b) / (p(a)·p(b))) with
+    * p(a,b) = n_ab/P, p(a) = n_a/T. Pairs seen ≥ 5 times, top-20 by
+    * PMI.
+    *
+    * Scale posture: pair generation is ROW-LOCAL HOF arithmetic (each
+    * position pairs with its next ≤ 2 — a ×2 fan-out, no join), then
+    * one partial-agged pair groupBy; unigram counts are a second
+    * token pass; T and P are a 1-row broadcast. The pair-type
+    * cardinality is Heaps-bounded like the vocab. Determinism: counts
+    * are exact longs, ln runs on identical operands, r4; ties broken
+    * by the pair itself. */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val pairs = toks.select(explode(expr(
+      """CASE WHEN size(toks) < 2 THEN array() ELSE
+        |flatten(transform(sequence(1, size(toks) - 1), i ->
+        |  filter(transform(array(1, 2), d ->
+        |    CASE WHEN i + d <= size(toks) THEN
+        |      named_struct(
+        |        'w1', least(element_at(toks, i), element_at(toks, i + d)),
+        |        'w2', greatest(element_at(toks, i), element_at(toks, i + d)))
+        |    END), p -> p IS NOT NULL))) END""".stripMargin)).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+    val totals = pairs.agg(Det.lsum($"n_ab").as("p_total"))
+      .crossJoin(uni.agg(Det.lsum($"n").as("t_total")))
+    pairs.filter($"n_ab" >= 5)
+      .join(uni.select($"w".as("w1"), $"n".as("na")), "w1")
+      .join(uni.select($"w".as("w2"), $"n".as("nb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"n_ab",
+        Det.r4(log(
+          ($"n_ab" * $"t_total" * $"t_total").cast(DoubleType) /
+            (($"p_total" * $"na").cast(DoubleType) * $"nb"))).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   /** HYBRID RETRIEVAL via Reciprocal Rank Fusion: the sparse
     * ([[textBm25]], query "hash join") and dense (cosine around the
     * vec_id-0 embedding, [[simCosineTopk]]'s modality) top-20 lists
@@ -2459,6 +2504,7 @@ object LlmOps {
     "q_dedup_semantic_keep" -> dedupSemanticKeep,
     "q_text_segment_clean" -> textSegmentClean,
     "q_sim_hybrid_rrf" -> simHybridRrf,
+    "q_text_pmi" -> textPmi,
     "q_shuffle_deterministic" -> shuffleDeterministic,
     "q_text_stats" -> textStats,
     "q_pack_chunks" -> packChunks,

@@ -1331,6 +1331,32 @@ object OracleSql {
          |SELECT qid, vec_id, sim, cast(rk as int) AS rk FROM r
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
+    // same ±2 skip-gram window, unordered pair, exact counts; CASE
+    // empty-array guard mirrors the Spark side
+    "q_text_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |pr AS (
+        |  SELECT least(toks[i], toks[i + d]) AS w1,
+        |         greatest(toks[i], toks[i + d]) AS w2
+        |  FROM t, UNNEST(range(1, greatest(len(toks), 1))) u(i),
+        |       UNNEST([1, 2]) v(d)
+        |  WHERE i + d <= len(toks)),
+        |pc AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY w1, w2),
+        |un AS (SELECT w, count(*) AS n
+        |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |tot AS (SELECT (SELECT cast(sum(n_ab) as bigint) FROM pc)
+        |          AS p_total,
+        |        (SELECT cast(sum(n) as bigint) FROM un) AS t_total)
+        |SELECT w1, w2, n_ab,
+        |  round(ln(cast(n_ab * t_total * t_total as double)
+        |    / (cast(p_total * na as double) * nb)), 4) AS pmi
+        |FROM (SELECT pc.w1, pc.w2, pc.n_ab, a.n AS na, b.n AS nb
+        |      FROM pc JOIN un a ON pc.w1 = a.w
+        |      JOIN un b ON pc.w2 = b.w
+        |      WHERE pc.n_ab >= 5) x CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  ${davg("n_chars")} AS avg_chars,
@@ -2281,6 +2307,48 @@ object OracleSql {
         |CROSS JOIN n
         |WHERE support >= 3
         |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // scattered-delete twin: tombstone arithmetic replayed
+    "q_delete_vectors" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderkey % 10 <> 3
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_customer_rfm" ->
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', DATE '1970-01-01',
+         |      cast(max(o_orderdate) as date)) AS r,
+         |    count(*) AS f,
+         |    ${dsum("o_totalprice")} AS m
+         |  FROM orders GROUP BY o_custkey),
+         |med AS (SELECT quantile_cont(r, 0.5) AS mr,
+         |               quantile_cont(f, 0.5) AS mf,
+         |               quantile_cont(m, 0.5) AS mm FROM cust),
+         |seg AS (
+         |  SELECT (CASE WHEN r > mr THEN 'R+' ELSE 'R-' END
+         |       || CASE WHEN f > mf THEN 'F+' ELSE 'F-' END
+         |       || CASE WHEN m > mm THEN 'M+' ELSE 'M-' END) AS segment,
+         |    m
+         |  FROM cust CROSS JOIN med)
+         |SELECT segment, count(*) AS n_customers,
+         |  ${dsum("m")} AS revenue
+         |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+
+    "q_agg_histogram" ->
+      """WITH st AS (SELECT min(value) AS vmin, max(value) AS vmax
+        |            FROM events),
+        |b AS (
+        |  SELECT cast(least(floor((value - vmin) / ((vmax - vmin) / 10.0)),
+        |         9) as int) AS bin,
+        |    vmin, (vmax - vmin) / 10.0 AS w
+        |  FROM events CROSS JOIN st)
+        |SELECT bin, count(*) AS n,
+        |  round(vmin + bin * w, 4) AS bin_lo,
+        |  round(vmin + (bin + 1) * w, 4) AS bin_hi
+        |FROM b GROUP BY bin, vmin, w ORDER BY bin""".stripMargin,
 
     "q_events_churn" ->
       """WITH uw AS (

@@ -316,6 +316,38 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** MERGE-ON-READ delete via DELETION VECTORS — the other half of
+    * the delete trade [[deleteRewrite]] names: when the delete set is
+    * SCATTERED (here every o_orderkey % 10 == 3 — a key stripe that
+    * touches every file group, the case where copy-on-write
+    * degenerates to rewriting the whole table), the delete lands as a
+    * small TOMBSTONE table next to the data (write cost O(deleted
+    * keys), no data file touched) and every read merges it back with
+    * an anti join. Tombstones are dimension-sized → broadcast anti
+    * join (a real format compresses them to per-file bitmaps; the
+    * read-side semantics — scan minus tombstones — are identical).
+    * The read-side merge cost on EVERY scan until compaction is the
+    * stated price; `q_delete_rewrite` pays at write time instead.
+    * Output: the same after-delete summary shape, so the oracle's
+    * arithmetic replay catches a merge that missed or over-dropped. */
+  def deleteVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/delete_mor"
+    val o = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    o.write.mode("overwrite").parquet(s"$dir/table")
+    // the deletion vector: tombstone keys land as their own small file
+    o.filter($"o_orderkey" % 10 === 3).select($"o_orderkey".as("del_key"))
+      .write.mode("overwrite").parquet(s"$dir/tombstones")
+    val t = spark.read.parquet(s"$dir/table")
+    val dv = spark.read.parquet(s"$dir/tombstones")
+    t.join(broadcast(dv), $"o_orderkey" === $"del_key", "left_anti")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** BAD-RECORD ingest (PERMISSIVE mode) — the reality of landing a
     * 100 TB JSON feed: some lines are corrupt, and the job must
     * quarantine rather than die. Every 13th document's JSON line is
@@ -353,6 +385,7 @@ object Sources {
     "q_describe_schema" -> describeSchema,
     "q_source_badrecords" -> sourceBadRecords,
     "q_delete_rewrite" -> deleteRewrite,
+    "q_delete_vectors" -> deleteVectors,
     "q_compact_small_files" -> compactSmallFiles,
     "q_source_catalog_pushdown" -> catalogPushdown,
     "q_source_binaryfile" -> sourceBinaryFile,

@@ -466,6 +466,112 @@ class OpsRound6Spec extends SparkSpec {
     assert(got.last._3 === got.last._2 && got.last._4 === 1.0)
   }
 
+  // ---- q_delete_vectors --------------------------------------------------
+
+  test("q_delete_vectors: scattered tombstones merge out on read") {
+    val got = sources.Sources.deleteVectors(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    val want = Tables(spark, sfDir, "orders")
+      .filter($"o_orderkey" % 10 =!= 3)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), Det.dsum($"o_totalprice").as("s"))
+      .orderBy($"o_orderstatus")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === want)
+    // the data files were NOT rewritten: the landed table still holds
+    // every key, tombstones live in their own small sidecar
+    val root = s"${ops.Relational.scratchRoot}/delete_mor"
+    assert(spark.read.parquet(s"$root/table").count() ===
+      Tables(spark, sfDir, "orders").count())
+    val nTomb = spark.read.parquet(s"$root/tombstones").count()
+    assert(nTomb > 0 && nTomb ===
+      Tables(spark, sfDir, "orders")
+        .filter($"o_orderkey" % 10 === 3).count())
+  }
+
+  // ---- q_customer_rfm ----------------------------------------------------
+
+  test("q_customer_rfm: segments recompute from per-customer medians") {
+    val cust = Tables(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(datediff(to_date(max($"o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("r"),
+        count(lit(1)).as("f"),
+        Det.dsum($"o_totalprice").as("m"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      val pos = (n - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val (mr, mf, mm) = (median(cust.map(_._2.toDouble)),
+      median(cust.map(_._3.toDouble)), median(cust.map(_._4)))
+    val want = cust.groupBy { c =>
+      (if (c._2 > mr) "R+" else "R-") + (if (c._3 > mf) "F+" else "F-") +
+        (if (c._4 > mm) "M+" else "M-")
+    }.view.mapValues(g => (g.size.toLong,
+      g.map(c => BigDecimal(c._4).setScale(4)).sum.toDouble)).toMap
+    val got = ops.Analytics.customerRfm(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    got.foreach { case (seg, n, rev) =>
+      val (wn, wrev) = want(seg)
+      assert(n === wn, seg)
+      assert(math.abs(rev - wrev) < 1e-6, seg)
+    }
+    assert(got.map(_._2).sum === cust.size)
+  }
+
+  // ---- q_agg_histogram ---------------------------------------------------
+
+  test("q_agg_histogram: bins partition the value range exactly") {
+    val got = ops.Aggregates.aggHistogram(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    val vals = Tables(spark, sfDir, "events")
+      .select($"value").as[Double].collect().toSeq
+    val (vmin, vmax) = (vals.min, vals.max)
+    val w = (vmax - vmin) / 10.0
+    val want = vals.groupBy(v =>
+      math.min(math.floor((v - vmin) / w), 9).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got.map(g => g._1 -> g._2).toMap === want)
+    assert(got.map(_._2).sum === vals.size)
+    got.foreach { case (bin, _, lo, hi) =>
+      assert(lo < hi && bin >= 0 && bin <= 9)
+    }
+  }
+
+  // ---- q_text_pmi --------------------------------------------------------
+
+  test("q_text_pmi matches a driver-side skip-gram replay") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"text").as[String].collect().toSeq
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    val uni = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { text =>
+      val t = text.split(" ", -1)
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      for (i <- t.indices; d <- 1 to 2 if i + d < t.length) {
+        val k = if (t(i) <= t(i + d)) (t(i), t(i + d)) else (t(i + d), t(i))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val tTotal = uni.values.sum
+    val pTotal = pairCounts.values.sum
+    val want = pairCounts.toSeq.collect { case ((a, b), nab) if nab >= 5 =>
+      val pmi = math.log(
+        (nab * tTotal * tTotal).toDouble / ((pTotal * uni(a)).toDouble * uni(b)))
+      (a, b, nab,
+        BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    val got = ops.LlmOps.textPmi(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
