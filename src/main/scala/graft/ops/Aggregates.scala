@@ -119,6 +119,33 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** MERGEABLE-sketch rollup — the reason sketches matter at scale:
+    * per-day DataSketches HLL sketches of distinct users are built
+    * ONCE (one partial-agged pass; at 100 TB these are the
+    * pre-aggregated rollup rows a metrics store persists), and the
+    * all-time distinct estimate comes from UNIONING the daily
+    * sketches — no second scan of the event stream, ever. Register-
+    * wise max is associative+commutative, so the merged estimate
+    * equals the direct single-pass sketch (asserted in suite along
+    * with the error bound vs exact). Declared rows-only (sketch
+    * estimates are library-specific; DuckDB's approx sketch differs
+    * by design) — exact twins ride alongside for the property test. */
+  def aggHllRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val daily = e.groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+    val perDay = daily.select($"day".cast("string").as("day"),
+      hll_sketch_estimate($"sk").as("est_users"), $"exact_users")
+    val total = daily.agg(hll_union_agg($"sk").as("sk"))
+      .crossJoin(broadcast(
+        e.agg(countDistinct($"user_id").as("exact_users"))))
+      .select(lit("ALL").as("day"),
+        hll_sketch_estimate($"sk").as("est_users"), $"exact_users")
+    perDay.unionByName(total).orderBy($"day")
+  }
+
   /** Equi-width HISTOGRAM of events.value: global min/max (one
     * partial-agged 1-row pass, broadcast back) fix 10 bins; every row
     * buckets map-side by pure arithmetic `least(floor((v-min)/w), 9)`
@@ -315,6 +342,7 @@ object Aggregates {
     "q_agg_collect_sorted" -> aggCollectSorted,
     "q_agg_hll" -> aggHll,
     "q_agg_percentile" -> aggPercentile,
-    "q_agg_histogram" -> aggHistogram
+    "q_agg_histogram" -> aggHistogram,
+    "q_agg_hll_rollup" -> aggHllRollup
   )
 }

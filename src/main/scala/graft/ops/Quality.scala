@@ -173,7 +173,50 @@ object Quality {
     docs.unionAll(orders).unionAll(li).orderBy($"table_name")
   }
 
+  /** INCREMENTAL fingerprint maintenance — [[tableFingerprint]]'s
+    * commutativity turned into the refresh job: yesterday's snapshot
+    * stores only the (n_rows, fp_sum, fp_xor) partials (landed to
+    * parquet exactly as a stats store would hold them), today's delta
+    * fingerprints alone, and the served fingerprint is the MERGE
+    * (+, +, XOR) — history is never re-scanned. The oracle computes
+    * the fingerprint DIRECTLY over the full table, so the hash match
+    * IS the proof that merge ≡ recompute (the q_agg_incremental
+    * pattern applied to integrity checking). At 100 TB this is how a
+    * daily-ingest table keeps a live fingerprint for replication
+    * checks at delta cost. */
+  def fingerprintIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${Relational.scratchRoot}/fp_incremental"
+    val o = Tables(spark, sfDir, "orders")
+    def canon(df: DataFrame) =
+      df.select(concat_ws("|", $"o_orderkey", $"o_custkey",
+        $"o_orderstatus",
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        $"o_orderpriority").as("s"))
+    def parts(df: DataFrame) =
+      canon(df)
+        .select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
+          expr("bit_xor(h)").as("fp_xor"))
+    parts(o.filter($"o_orderkey" % 10 < 8))
+      .write.mode("overwrite").parquet(dir)
+    val snapshot = spark.read.schema(
+      "n_rows BIGINT, fp_sum DECIMAL(38,0), fp_xor BIGINT").parquet(dir)
+    snapshot.unionByName(parts(o.filter($"o_orderkey" % 10 >= 8)))
+      .agg(sum($"n_rows").cast("long").as("n_rows"),
+        sum($"fp_sum").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)).as("fp_sum"),
+        expr("bit_xor(fp_xor)").as("fp_xor"))
+      .select(lit("orders").as("table_name"), $"n_rows", $"fp_sum",
+        $"fp_xor")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,
     "q_quality_gopher" -> qualityGopher,
     "q_table_fingerprint" -> tableFingerprint

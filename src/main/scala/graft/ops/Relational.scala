@@ -636,6 +636,35 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store
+    * point-in-time contract: a purchase joins its latest prior click
+    * only if that click is ≤ 10 minutes old, else NULL (serving a
+    * feature staler than the bound is worse than serving none). Same
+    * union+window O(1)-state shape as [[joinAsof]]; the bound is one
+    * map-side comparison AFTER the window, so tolerance changes cost
+    * nothing. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("click_ts"),
+        lit(null).cast(LongType).as("p_event_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast(TimestampType).as("click_ts"),
+        $"event_id".as("p_event_id"))
+    val tagged = clicks.withColumn("src", lit(0))
+      .unionByName(purchases.withColumn("src", lit(1)))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", max($"click_ts").over(w))
+      .filter($"p_event_id".isNotNull)
+      .select($"p_event_id".as("event_id"), $"user_id", $"ts",
+        when($"last_click_ts" >= $"ts" - expr("INTERVAL 10 MINUTES"),
+          $"last_click_ts").as("last_click_ts"))
+      .orderBy($"event_id")
+  }
+
   /** The same as-of semantics through the NATIVE operator
     * (graft.plans.AsOfJoin → AsOfJoinExec): co-clustered hash
     * exchanges + per-partition (key, time) sorts + one O(1)-state
@@ -773,6 +802,7 @@ object Relational {
     "q_join_range_interval" -> joinRangeInterval,
     "q_join_interval_bucketed" -> joinIntervalBucketed,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_asof_native" -> joinAsofNative,
     "q_join_multiway_star" -> joinMultiwayStar,
     "q_join_bucketed" -> joinBucketed,

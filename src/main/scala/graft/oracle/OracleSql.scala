@@ -2309,6 +2309,31 @@ object OracleSql {
         |ORDER BY support DESC, item_a, item_b LIMIT 20""".stripMargin,
 
     // scattered-delete twin: tombstone arithmetic replayed
+    // tolerance as-of: max-click-in-[ts-10min, ts] ≡ latest click
+    // NULLed when staler than the bound (all clicks below the stale
+    // max are staler still)
+    "q_join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
+        |  cast((SELECT max(c.ts) FROM events c
+        |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |          AND c.ts <= p.ts
+        |          AND c.ts >= p.ts - INTERVAL 10 MINUTE) as timestamp)
+        |    AS last_click_ts
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the oracle fingerprints the FULL table directly — the hash match
+    // proves the snapshot+delta merge ≡ recompute
+    "q_fingerprint_incremental" ->
+      """SELECT 'orders' AS table_name, count(*) AS n_rows,
+        |  cast(sum(h) as decimal(38,0)) AS fp_sum,
+        |  bit_xor(h) AS fp_xor
+        |FROM (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey,
+        |        o_custkey, o_orderstatus,
+        |        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'),
+        |        o_orderpriority)), 1, 12))::BIGINT AS h
+        |      FROM orders)""".stripMargin,
+
     "q_delete_vectors" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          |  ${dsum("o_totalprice")} AS sum_price

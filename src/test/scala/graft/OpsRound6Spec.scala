@@ -572,6 +572,53 @@ class OpsRound6Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q_agg_hll_rollup --------------------------------------------------
+
+  test("q_agg_hll_rollup: merged estimate = direct sketch, error bounded") {
+    val rows = ops.Aggregates.aggHllRollup(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.exists(_._1 == "ALL"))
+    rows.foreach { case (day, est, exact) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$day: est $est vs exact $exact")
+    }
+    // union of daily sketches ≡ one direct sketch over all events
+    // (register-wise max is associative) — the mergeability claim
+    val direct = Tables(spark, sfDir, "events")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("est"))
+      .as[Long].collect().head
+    assert(rows.find(_._1 == "ALL").get._2 === direct)
+  }
+
+  // ---- q_join_asof_tolerance ---------------------------------------------
+
+  test("q_join_asof_tolerance = as-of with stale matches nulled") {
+    val base = ops.Relational.joinAsof(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    val got = ops.Relational.joinAsofTolerance(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().toSeq
+    val want = base.map { case (id, u, ts, click) =>
+      (id, u, ts,
+        click.filter(c => ts.getTime - c.getTime <= 10 * 60 * 1000))
+    }
+    assert(got === want)
+    // the bound actually bites on this corpus: some match is dropped
+    assert(got.count(_._4.isEmpty) > base.count(_._4.isEmpty))
+  }
+
+  // ---- q_fingerprint_incremental -----------------------------------------
+
+  test("q_fingerprint_incremental merge equals the direct fingerprint") {
+    val inc = ops.Quality.fingerprintIncremental(spark, sfDir)
+      .as[(String, Long, BigDecimal, Long)].collect().head
+    val direct = ops.Quality.tableFingerprint(spark, sfDir)
+      .filter($"table_name" === "orders")
+      .as[(String, Long, BigDecimal, Long)].collect().head
+    assert(inc === direct)
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {

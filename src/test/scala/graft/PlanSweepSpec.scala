@@ -26,6 +26,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_customer_rfm",    // 1-row broadcast median-thresholds crossJoin
     "q_text_pmi",        // 1-row broadcast totals crossJoin
     "q_agg_histogram",   // 1-row broadcast min/max crossJoin
+    "q_agg_hll_rollup",  // 1-row broadcast exact-total crossJoin
     "q_text_perplexity", // 1-row broadcast token-total crossJoin
     "q_ts_gapfill"       // 31-row broadcast day-grid crossJoin
   )
