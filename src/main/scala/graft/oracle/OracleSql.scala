@@ -2312,6 +2312,54 @@ object OracleSql {
     // tolerance as-of: max-click-in-[ts-10min, ts] ≡ latest click
     // NULLed when staler than the bound (all clicks below the stale
     // max are staler still)
+    // same golden-angle coordinate derivation + planar wraparound
+    // metric; the oracle replays from the base tables directly (the
+    // landed catalog holds identical values)
+    "q_spatial_cone" ->
+      """WITH cat AS (
+        |  SELECT p_partkey AS id,
+        |    (p_partkey * cast(137.508 as double)) % cast(360 as double)
+        |      AS ra,
+        |    (p_partkey * cast(97.13 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS dec
+        |  FROM part)
+        |SELECT id, ra, dec,
+        |  round(least(abs(ra - 180.0), 360.0 - abs(ra - 180.0))
+        |      * least(abs(ra - 180.0), 360.0 - abs(ra - 180.0))
+        |      + dec * dec, 4) AS dist2
+        |FROM cat
+        |WHERE ra >= 155.0 AND ra <= 205.0
+        |  AND dec >= -25.0 AND dec <= 25.0
+        |  AND least(abs(ra - 180.0), 360.0 - abs(ra - 180.0))
+        |      * least(abs(ra - 180.0), 360.0 - abs(ra - 180.0))
+        |      + dec * dec <= 625.0
+        |ORDER BY id""".stripMargin,
+
+    "q_spatial_zones_join" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS a_id,
+        |    (p_partkey * cast(137.508 as double)) % cast(360 as double)
+        |      AS a_ra,
+        |    (p_partkey * cast(97.13 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS a_dec
+        |  FROM part),
+        |b AS (
+        |  SELECT s_suppkey AS b_id,
+        |    (s_suppkey * cast(211.7 as double)) % cast(360 as double)
+        |      AS b_ra,
+        |    (s_suppkey * cast(53.77 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS b_dec
+        |  FROM supplier)
+        |SELECT a_id, b_id,
+        |  round(least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      + (a_dec - b_dec) * (a_dec - b_dec), 4) AS dist2
+        |FROM a JOIN b
+        |  ON least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      + (a_dec - b_dec) * (a_dec - b_dec) <= 9.0
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
         |  cast((SELECT max(c.ts) FROM events c

@@ -619,6 +619,47 @@ class OpsRound6Spec extends SparkSpec {
     assert(inc === direct)
   }
 
+  // ---- q_spatial_cone / q_spatial_zones_join -----------------------------
+
+  test("q_spatial_cone pushes the bounding box into the parquet scan") {
+    val df = ops.Spatial.spatialCone(spark, sfDir)
+    val plan = finalPlan(df)
+    // the box lands on the FileScan itself (DataFilters → pushed to
+    // the parquet reader; the toString truncates before PushedFilters)
+    assert("DataFilters: \\[[^\\n]*ra#\\d+ >= 155\\.0".r
+      .findFirstIn(plan).nonEmpty, plan.take(1600))
+    assert("DataFilters: \\[[^\\n]*dec#\\d+ >= -25".r
+      .findFirstIn(plan).nonEmpty, plan.take(1600))
+    // every returned row is genuinely inside the cone
+    df.as[(Long, Double, Double, Double)].collect().foreach {
+      case (_, ra, dec, d2) =>
+        val dra = math.min(math.abs(ra - 180.0), 360.0 - math.abs(ra - 180.0))
+        assert(dra * dra + dec * dec <= 625.0 + 1e-9)
+        assert(d2 <= 625.0001)
+    }
+  }
+
+  test("q_spatial_zones_join equals the all-pairs crossmatch (band lossless)") {
+    val got = ops.Spatial.spatialZonesJoin(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // naive all-pairs replay over the derived catalogs
+    val a = ops.Spatial.partCatalog(spark, sfDir)
+      .as[(Long, Double, Double)].collect()
+    val b = Tables(spark, sfDir, "supplier")
+      .select($"s_suppkey", ($"s_suppkey" * 211.7) % 360.0,
+        ($"s_suppkey" * 53.77) % 120.0 - 60.0)
+      .as[(Long, Double, Double)].collect()
+    val want = (for {
+      (ai, ara, adec) <- a; (bi, bra, bdec) <- b
+      dra = math.min(math.abs(ara - bra), 360.0 - math.abs(ara - bra))
+      d2 = dra * dra + (adec - bdec) * (adec - bdec)
+      if d2 <= 9.0
+    } yield (ai, bi)).toSeq.sorted
+    assert(got.map(p => (p._1, p._2)).sorted === want)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, d2) => assert(d2 >= 0.0 && d2 <= 9.0001) }
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
