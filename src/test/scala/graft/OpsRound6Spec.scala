@@ -622,14 +622,23 @@ class OpsRound6Spec extends SparkSpec {
   // ---- q_spatial_cone / q_spatial_zones_join -----------------------------
 
   test("q_spatial_cone pushes the bounding box into the parquet scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = ops.Spatial.spatialCone(spark, sfDir)
-    val plan = finalPlan(df)
-    // the box lands on the FileScan itself (DataFilters → pushed to
-    // the parquet reader; the toString truncates before PushedFilters)
-    assert("DataFilters: \\[[^\\n]*ra#\\d+ >= 155\\.0".r
-      .findFirstIn(plan).nonEmpty, plan.take(1600))
-    assert("DataFilters: \\[[^\\n]*dec#\\d+ >= -25".r
-      .findFirstIn(plan).nonEmpty, plan.take(1600))
+    df.collect()
+    // read the scan's PushedFilters from the node metadata — the plan
+    // STRING truncates the filter list at an arbitrary position
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val pushed = scans(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ra,155.0)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(ra,205.0)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(dec,-25.0)"), pushed)
     // every returned row is genuinely inside the cone
     df.as[(Long, Double, Double, Double)].collect().foreach {
       case (_, ra, dec, d2) =>
