@@ -1897,9 +1897,14 @@ object LlmOps {
     * agg shape), reassembly is one doc_id groupBy whose per-key state
     * is that document's own segments. Both shuffles are partial-agged
     * key hashes; nothing is corpus². */
-  def textSegmentClean(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val segs = spread(Tables(spark, sfDir, "documents"))
+  def textSegmentClean(spark: SparkSession, sfDir: String): DataFrame =
+    segmentCleanOn(spread(Tables(spark, sfDir, "documents")))
+
+  /** The segment-dedup-rewrite core over any (doc_id, text) relation —
+    * shared by the standalone key and the curation-v2 composition. */
+  private[graft] def segmentCleanOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", posexplode(expr(
         """transform(sequence(0, cast((size(toks) - 1) / 10 as int)),
@@ -2209,6 +2214,41 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Curation v2 — the round-6 stages composed end-to-end, in the
+    * order a production pretraining pipeline runs them:
+    * (1) the Gopher quality gate ([[Quality.qualityGopher]]'s exact
+    * rule set, reused via semi join so the two keys cannot drift),
+    * (2) the segment-dedup REWRITE over the survivors
+    * ([[segmentCleanOn]] — first occurrence is computed WITHIN the
+    * quality-passed corpus, which is why the stage order matters),
+    * (3) a mostly-duplicate drop (docs that lost ≥ half their
+    * segments), (4) exact dedup of the rewritten text (min doc_id
+    * canonical), (5) the per-(lang, source) report of what a training
+    * run would actually read. One declarative plan: a broadcastable
+    * semi join + the rewrite's two key-hash shuffles + one dedup
+    * shuffle + the report agg — every stage individually
+    * hash-verified by its standalone key, and the composition is
+    * hash-verified here as one CTE chain. */
+  def pipelineCurationV2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val passed = docs.join(
+      Quality.qualityGopher(spark, sfDir).filter($"passes")
+        .select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cleaned = segmentCleanOn(spread(passed))
+    val kept = cleaned.filter($"n_kept" * 2 > $"n_segs")
+    val canonical = kept.groupBy($"clean_text")
+      .agg(min($"doc_id").as("doc_id"))
+    kept.join(canonical.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
+      .select($"lang", $"source",
+        size(split($"clean_text", " ")).as("n_tokens"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), Det.lsum($"n_tokens").as("n_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
   // ---- multimodal columns ------------------------------------------------
 
   /** Mixed scalar + vector row: documents ⨝ embeddings carrying the
@@ -2503,6 +2543,7 @@ object LlmOps {
     "q_graph_triangles" -> graphTriangles,
     "q_dedup_semantic_keep" -> dedupSemanticKeep,
     "q_text_segment_clean" -> textSegmentClean,
+    "q_pipeline_curation_v2" -> pipelineCurationV2,
     "q_sim_hybrid_rrf" -> simHybridRrf,
     "q_text_pmi" -> textPmi,
     "q_shuffle_deterministic" -> shuffleDeterministic,

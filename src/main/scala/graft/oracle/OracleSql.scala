@@ -1331,6 +1331,60 @@ object OracleSql {
          |SELECT qid, vec_id, sim, cast(rk as int) AS rk FROM r
          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
 
+    // the round-6 stages as ONE CTE chain: gopher gate → segment
+    // rewrite over the survivors → majority filter → exact dedup →
+    // per-(lang, source) report
+    "q_pipeline_curation_v2" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks0,
+        |    length(replace(text, ' ', '')) AS chars
+        |  FROM documents),
+        |g1 AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks0, t -> t <> '')) AS n_words, chars,
+        |    len(list_filter(toks0,
+        |      t -> t = 'a' OR t = 'the')) AS n_stop,
+        |    len(list_distinct(list_filter(toks0, t -> t <> ''))) AS nd
+        |  FROM g0),
+        |pass AS (
+        |  SELECT doc_id FROM g1
+        |  WHERE n_words >= 20 AND n_words <= 90
+        |    AND cast(chars as double) / n_words >= 4.0
+        |    AND cast(chars as double) / n_words <= 5.0
+        |    AND n_stop >= 1
+        |    AND cast(nd as double) / n_words >= 0.4),
+        |t AS (SELECT d.doc_id, d.lang, d.source,
+        |        string_split(d.text, ' ') AS toks
+        |      FROM documents d JOIN pass p ON d.doc_id = p.doc_id),
+        |segs AS (
+        |  SELECT doc_id, cast(u.i as int) AS seg_idx,
+        |    array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS seg
+        |  FROM t, UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    min(doc_id * 1000 + seg_idx) OVER (PARTITION BY seg) AS mn
+        |  FROM segs),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM marked
+        |         WHERE doc_id * 1000 + seg_idx = mn),
+        |perdoc AS (SELECT doc_id, count(*) AS n_segs FROM segs
+        |           GROUP BY doc_id),
+        |kd AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |       FROM keep GROUP BY doc_id),
+        |maj AS (SELECT p.doc_id, kd.clean_text
+        |        FROM perdoc p JOIN kd ON p.doc_id = kd.doc_id
+        |        WHERE kd.n_kept * 2 > p.n_segs),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM maj
+        |          GROUP BY clean_text),
+        |fin AS (SELECT m.doc_id, m.clean_text FROM maj m
+        |        JOIN canon c ON m.doc_id = c.doc_id)
+        |SELECT t.lang, t.source, count(*) AS n_docs,
+        |  cast(sum(len(string_split(f.clean_text, ' '))) as bigint)
+        |    AS n_tokens
+        |FROM fin f JOIN t ON f.doc_id = t.doc_id
+        |GROUP BY t.lang, t.source
+        |ORDER BY t.lang, t.source""".stripMargin,
+
     // same ±2 skip-gram window, unordered pair, exact counts; CASE
     // empty-array guard mirrors the Spark side
     "q_text_pmi" ->

@@ -669,6 +669,38 @@ class OpsRound6Spec extends SparkSpec {
     got.foreach { case (_, _, d2) => assert(d2 >= 0.0 && d2 <= 9.0001) }
   }
 
+  // ---- q_pipeline_curation_v2 --------------------------------------------
+
+  test("q_pipeline_curation_v2 matches a driver-side stage-by-stage replay") {
+    val passedIds = ops.Quality.qualityGopher(spark, sfDir)
+      .filter($"passes").select($"doc_id").as[Long].collect().toSet
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"source", $"text")
+      .as[(Long, String, String, String)].collect().toSeq
+      .filter(d => passedIds(d._1)).sortBy(_._1)
+    // segment rewrite WITHIN the survivors
+    val seen = scala.collection.mutable.Set[String]()
+    val cleaned = docs.map { case (id, lang, src, text) =>
+      val segs = text.split(" ", -1).grouped(10).map(_.mkString(" ")).toVector
+      val kept = segs.filter(seen.add)
+      (id, lang, src, segs.size, kept.size, kept.mkString(" "))
+    }
+    val majority = cleaned.filter(c => c._5 * 2 > c._4)
+    // exact dedup of the rewritten text, min doc_id canonical
+    val canon = majority.groupBy(_._6).map(_._2.minBy(_._1)._1).toSet
+    val fin = majority.filter(c => canon(c._1))
+    val want = fin.groupBy(c => (c._2, c._3)).map { case ((lang, src), g) =>
+      (lang, src, g.size.toLong,
+        g.map(_._6.split(" ", -1).length.toLong).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = ops.LlmOps.pipelineCurationV2(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the gates actually bite: fewer docs than passed, fewer than total
+    assert(got.map(_._3).sum < passedIds.size)
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
