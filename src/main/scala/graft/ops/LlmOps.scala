@@ -688,9 +688,12 @@ object LlmOps {
 
   // ---- similarity search -------------------------------------------------
 
-  /** Brute-force cosine top-10 around vec_id = 0 (the correctness
-    * baseline for ANN). The single query row is broadcast. */
-  def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Brute-force cosine top-k around vec_id = 0 — ONE definition of
+    * the dense retrieval channel (query broadcast, r4 dot, sim-desc /
+    * id tie-break), shared by the declared baseline key and
+    * [[simHybridRrf]]'s dense side so the two can't desynchronize. */
+  private def cosineTopk(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, sfDir, "embeddings")
     val q = v.filter($"vec_id" === 0).select($"embedding".as("qe"))
@@ -698,8 +701,13 @@ object LlmOps {
       .crossJoin(broadcast(q))
       .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
-      .limit(10)
+      .limit(k)
   }
+
+  /** Brute-force cosine top-10 around vec_id = 0 (the correctness
+    * baseline for ANN). The single query row is broadcast. */
+  def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
+    cosineTopk(spark, sfDir, 10)
 
   private val bucketExpr = expr(
     """aggregate(sequence(1, 8), 0L,
@@ -1506,9 +1514,12 @@ object LlmOps {
       .join(uni.select($"w".as("w2"), $"n".as("nb")), "w2")
       .crossJoin(broadcast(totals))
       .select($"w1", $"w2", $"n_ab",
+        // cast BEFORE multiplying: the integer product n_ab·T² overflows
+        // long on a ~10M-token corpus (DuckDB would error, Spark would
+        // wrap) — all-double products are IEEE-identical in both engines
         Det.r4(log(
-          ($"n_ab" * $"t_total" * $"t_total").cast(DoubleType) /
-            (($"p_total" * $"na").cast(DoubleType) * $"nb"))).as("pmi"))
+          ($"n_ab".cast(DoubleType) * $"t_total" * $"t_total") /
+            ($"p_total".cast(DoubleType) * $"na" * $"nb"))).as("pmi"))
       .orderBy($"pmi".desc, $"w1", $"w2")
       .limit(20)
   }
@@ -1536,13 +1547,8 @@ object LlmOps {
       .select($"doc_id".as("id"), $"bm25".as("score"))
       .withColumn("rk", row_number().over(wAll))
       .select($"id", $"rk".as("rk_sparse"))
-    val v = Tables(spark, sfDir, "embeddings")
-    val q = v.filter($"vec_id" === 0).select($"embedding".as("qe"))
-    val dense = v.filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(q))
-      .select($"vec_id".as("id"),
-        Det.r4(dot(spark)($"embedding", $"qe")).as("score"))
-      .orderBy($"score".desc, $"id").limit(20)
+    val dense = cosineTopk(spark, sfDir, 20)
+      .select($"vec_id".as("id"), $"sim".as("score"))
       .withColumn("rk", row_number().over(wAll))
       .select($"id", $"rk".as("rk_dense"))
     sparse.join(dense, Seq("id"), "full_outer")

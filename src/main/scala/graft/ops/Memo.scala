@@ -26,11 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Memo {
 
-  /** Realistic working set is (2 kinds) × (a few corpora); 16 is a
-    * service-hygiene backstop, not a tuning knob — eviction of an
-    * entry still referenced by an in-flight plan is only possible past
-    * 16 live (session, corpus, kind) combinations. */
-  private val MaxEntries = 16
+  /** Realistic working set is a handful of kinds (shingle index,
+    * cluster labels, ANN pairs, semantic labels, …) × (a few corpora);
+    * 32 is a service-hygiene backstop, not a tuning knob — eviction of
+    * an entry still referenced by an in-flight plan is only possible
+    * past 32 live (session, corpus, kind) combinations. */
+  private val MaxEntries = 32
 
   private val entries =
     new java.util.LinkedHashMap[(String, String), (String, sys.ShutdownHookThread)]
@@ -47,29 +48,45 @@ private[graft] object Memo {
     } catch { case _: Throwable => () }
 
   /** The memoized relation for (spark, sfDir, kind): built + written
-    * exactly once, re-read as a plain parquet scan by every consumer. */
+    * once, re-read as a plain parquet scan by every consumer.
+    *
+    * The BUILD runs OUTSIDE the global lock — a build can itself be
+    * minutes of Spark jobs and may recursively memoize its own inputs
+    * (semantic labels build on ANN pairs), so holding the lock across
+    * it would serialize every other session's memo access behind one
+    * builder. The cost is that two racing builders for the same key
+    * may both materialize; the loser's dir is deleted and the winner's
+    * is shared — correctness is unaffected (builds are deterministic). */
   def parquet(spark: SparkSession, sfDir: String, kind: String)
       (build: => DataFrame): DataFrame = {
     val uuid = String.valueOf(System.identityHashCode(spark))
     val key = (uuid, s"$kind@$sfDir")
-    val path = entries.synchronized {
-      val hit = entries.get(key)
-      if (hit != null) hit._1
-      else {
+    val hit0 = entries.synchronized(Option(entries.get(key)))
+    val path = hit0 match {
+      case Some((p, _)) => p
+      case None =>
         val out = java.nio.file.Files.createTempDirectory(s"graft-$kind-")
         val hook = sys.addShutdownHook(deleteDir(out.toString))
         build.write.mode("overwrite").parquet(out.toString)
-        entries.put(key, (out.toString, hook))
-        while (entries.size > MaxEntries) {
-          val it = entries.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          val (p, h) = eldest.getValue
-          try h.remove() catch { case _: Throwable => () }
-          deleteDir(p)
+        entries.synchronized {
+          val raced = entries.get(key)
+          if (raced != null) {
+            try hook.remove() catch { case _: Throwable => () }
+            deleteDir(out.toString)
+            raced._1
+          } else {
+            entries.put(key, (out.toString, hook))
+            while (entries.size > MaxEntries) {
+              val it = entries.entrySet().iterator()
+              val eldest = it.next()
+              it.remove()
+              val (p, h) = eldest.getValue
+              try h.remove() catch { case _: Throwable => () }
+              deleteDir(p)
+            }
+            out.toString
+          }
         }
-        out.toString
-      }
     }
     spark.read.parquet(path)
   }

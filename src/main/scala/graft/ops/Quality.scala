@@ -116,10 +116,14 @@ object Quality {
         length(regexp_replace($"text", " ", "")).as("chars"))
       .select($"doc_id",
         size($"toks").as("n_words"),
-        ($"chars".cast("double") / size($"toks")).as("mwl"),
+        // greatest(…, 1): an empty doc divides by 1 (ratios 0.0, every
+        // rule false) instead of by 0, where Spark (NULL) and DuckDB
+        // (NaN under IEEE division) would disagree
+        ($"chars".cast("double") / greatest(size($"toks"), lit(1)))
+          .as("mwl"),
         expr("size(filter(toks, t -> t = 'a' OR t = 'the'))").as("n_stop"),
-        (size(array_distinct($"toks")).cast("double") / size($"toks"))
-          .as("ttr"))
+        (size(array_distinct($"toks")).cast("double")
+          / greatest(size($"toks"), lit(1))).as("ttr"))
       .select($"doc_id", $"n_words", graft.Det.r4($"mwl").as("mean_word_len"),
         $"n_stop", graft.Det.r4($"ttr").as("ttr"),
         ($"n_words" >= 20 && $"n_words" <= 90).as("ok_wordcount"),
@@ -146,25 +150,40 @@ object Quality {
     * Scale posture: one full scan per table, all-commutative partial
     * aggregation — the 100 TB fingerprint is one map-side-combined agg
     * job per table, output is 3 numbers. */
+  /** (n_rows, fp_sum, fp_xor) of a one-column canonical-string
+    * relation `s` — the commutative md5-slice pipeline shared by
+    * [[tableFingerprint]] and [[fingerprintIncremental]] (ONE
+    * definition, so the merge-equals-recompute guarantee can't drift
+    * from the direct fingerprint). */
+  private def md5Parts(canon: DataFrame): DataFrame =
+    canon
+      .select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
+        .as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
+        expr("bit_xor(h)").as("fp_xor"))
+
+  /** The pinned orders canonical string (doubles excluded, 6-digit
+    * timestamp format) — shared for the same no-drift reason. */
+  private def ordersCanon(o: DataFrame): DataFrame = {
+    import o.sparkSession.implicits._
+    o.select(concat_ws("|", $"o_orderkey", $"o_custkey",
+      $"o_orderstatus",
+      date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      $"o_orderpriority").as("s"))
+  }
+
   def tableFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    def fp(name: String, df: DataFrame): DataFrame =
-      df.select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
-          .as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
-          expr("bit_xor(h)").as("fp_xor"))
+    def fp(name: String, canon: DataFrame): DataFrame =
+      md5Parts(canon)
         .select(lit(name).as("table_name"), col("n_rows"), col("fp_sum"),
           col("fp_xor"))
     import spark.implicits._
     val docs = fp("documents", Tables(spark, sfDir, "documents")
       .select(concat_ws("|", $"doc_id", $"lang", $"source", $"n_chars",
         $"text").as("s")))
-    val orders = fp("orders", Tables(spark, sfDir, "orders")
-      .select(concat_ws("|", $"o_orderkey", $"o_custkey",
-        $"o_orderstatus",
-        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        $"o_orderpriority").as("s")))
+    val orders = fp("orders", ordersCanon(Tables(spark, sfDir, "orders")))
     val li = fp("lineitem", Tables(spark, sfDir, "lineitem")
       .select(concat_ws("|", $"l_orderkey", $"l_partkey", $"l_suppkey",
         $"l_linenumber", $"l_returnflag", $"l_linestatus",
@@ -189,19 +208,7 @@ object Quality {
     import spark.implicits._
     val dir = s"${Relational.scratchRoot}/fp_incremental"
     val o = Tables(spark, sfDir, "orders")
-    def canon(df: DataFrame) =
-      df.select(concat_ws("|", $"o_orderkey", $"o_custkey",
-        $"o_orderstatus",
-        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        $"o_orderpriority").as("s"))
-    def parts(df: DataFrame) =
-      canon(df)
-        .select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
-          .as("h"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(
-            org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
-          expr("bit_xor(h)").as("fp_xor"))
+    def parts(df: DataFrame) = md5Parts(ordersCanon(df))
     parts(o.filter($"o_orderkey" % 10 < 8))
       .write.mode("overwrite").parquet(dir)
     val snapshot = spark.read.schema(

@@ -1242,10 +1242,10 @@ object OracleSql {
         |  FROM t, UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
         |marked AS (
         |  SELECT doc_id, seg_idx, seg,
-        |    min(doc_id * 1000 + seg_idx) OVER (PARTITION BY seg) AS mn
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
         |  FROM segs),
-        |keep AS (SELECT doc_id, seg_idx, seg FROM marked
-        |         WHERE doc_id * 1000 + seg_idx = mn),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM marked WHERE rn = 1),
         |perdoc AS (SELECT doc_id, count(*) AS n_segs FROM segs
         |           GROUP BY doc_id),
         |kd AS (SELECT doc_id, count(*) AS n_kept,
@@ -1362,10 +1362,10 @@ object OracleSql {
         |  FROM t, UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
         |marked AS (
         |  SELECT doc_id, seg_idx, seg,
-        |    min(doc_id * 1000 + seg_idx) OVER (PARTITION BY seg) AS mn
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
         |  FROM segs),
-        |keep AS (SELECT doc_id, seg_idx, seg FROM marked
-        |         WHERE doc_id * 1000 + seg_idx = mn),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM marked WHERE rn = 1),
         |perdoc AS (SELECT doc_id, count(*) AS n_segs FROM segs
         |           GROUP BY doc_id),
         |kd AS (SELECT doc_id, count(*) AS n_kept,
@@ -1403,8 +1403,8 @@ object OracleSql {
         |          AS p_total,
         |        (SELECT cast(sum(n) as bigint) FROM un) AS t_total)
         |SELECT w1, w2, n_ab,
-        |  round(ln(cast(n_ab * t_total * t_total as double)
-        |    / (cast(p_total * na as double) * nb)), 4) AS pmi
+        |  round(ln(cast(n_ab as double) * t_total * t_total
+        |    / (cast(p_total as double) * na * nb)), 4) AS pmi
         |FROM (SELECT pc.w1, pc.w2, pc.n_ab, a.n AS na, b.n AS nb
         |      FROM pc JOIN un a ON pc.w1 = a.w
         |      JOIN un b ON pc.w2 = b.w
@@ -1879,19 +1879,21 @@ object OracleSql {
         |    len(list_distinct(list_filter(toks0, t -> t <> ''))) AS nd
         |  FROM f)
         |SELECT doc_id, n_words,
-        |  round(cast(chars as double) / n_words, 4) AS mean_word_len,
+        |  round(cast(chars as double) / greatest(n_words, 1), 4)
+        |    AS mean_word_len,
         |  n_stop,
-        |  round(cast(nd as double) / n_words, 4) AS ttr,
+        |  round(cast(nd as double) / greatest(n_words, 1), 4) AS ttr,
         |  n_words >= 20 AND n_words <= 90 AS ok_wordcount,
-        |  cast(chars as double) / n_words >= 4.0
-        |    AND cast(chars as double) / n_words <= 5.0 AS ok_meanwordlen,
+        |  cast(chars as double) / greatest(n_words, 1) >= 4.0
+        |    AND cast(chars as double) / greatest(n_words, 1) <= 5.0
+        |    AS ok_meanwordlen,
         |  n_stop >= 1 AS ok_stopword,
-        |  cast(nd as double) / n_words >= 0.4 AS ok_ttr,
+        |  cast(nd as double) / greatest(n_words, 1) >= 0.4 AS ok_ttr,
         |  (n_words >= 20 AND n_words <= 90)
-        |    AND (cast(chars as double) / n_words >= 4.0
-        |         AND cast(chars as double) / n_words <= 5.0)
+        |    AND (cast(chars as double) / greatest(n_words, 1) >= 4.0
+        |         AND cast(chars as double) / greatest(n_words, 1) <= 5.0)
         |    AND n_stop >= 1
-        |    AND cast(nd as double) / n_words >= 0.4 AS passes
+        |    AND cast(nd as double) / greatest(n_words, 1) >= 0.4 AS passes
         |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_quality_constraints" ->

@@ -561,7 +561,8 @@ class OpsRound6Spec extends SparkSpec {
     val pTotal = pairCounts.values.sum
     val want = pairCounts.toSeq.collect { case ((a, b), nab) if nab >= 5 =>
       val pmi = math.log(
-        (nab * tTotal * tTotal).toDouble / ((pTotal * uni(a)).toDouble * uni(b)))
+        nab.toDouble * tTotal * tTotal /
+          (pTotal.toDouble * uni(a) * uni(b)))
       (a, b, nab,
         BigDecimal(pmi).setScale(4, BigDecimal.RoundingMode.HALF_UP)
           .toDouble)
