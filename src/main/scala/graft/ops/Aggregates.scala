@@ -119,6 +119,27 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Deterministic MODE per group: the most frequent l_quantity per
+    * return flag, ties broken by the smaller value — `mode()` engines
+    * differ on tie order, so the tie-break is pinned explicitly via
+    * max_by over the (count DESC, value ASC) total order. Two
+    * partial-agged aggregations ((group, value) counts → per-group
+    * argmax); per-group state across the second shuffle is ONE
+    * (count, value) pair, never the value histogram. */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity".cast("int").as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"l_returnflag")
+      .agg(expr(
+        "max_by(named_struct('v', qty, 'n', n)," +
+          " named_struct('n', n, 'negv', -qty))").as("m"))
+      .select($"l_returnflag", $"m.v".as("mode_qty"),
+        $"m.n".as("n_occurrences"))
+      .orderBy($"l_returnflag")
+  }
+
   /** MERGEABLE-sketch rollup — the reason sketches matter at scale:
     * per-day DataSketches HLL sketches of distinct users are built
     * ONCE (one partial-agged pass; at 100 TB these are the
@@ -343,6 +364,7 @@ object Aggregates {
     "q_agg_hll" -> aggHll,
     "q_agg_percentile" -> aggPercentile,
     "q_agg_histogram" -> aggHistogram,
-    "q_agg_hll_rollup" -> aggHllRollup
+    "q_agg_hll_rollup" -> aggHllRollup,
+    "q_agg_mode" -> aggMode
   )
 }

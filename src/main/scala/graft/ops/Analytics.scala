@@ -341,6 +341,28 @@ object Analytics {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** PERIOD-OVER-PERIOD change — the daily-revenue delta/percent
+    * report every metrics dashboard leads with: per event type, each
+    * day's exact-decimal revenue vs the PREVIOUS OBSERVED day (lag 1
+    * over the type's day series). The window input is the
+    * pre-aggregated type×day grid (dimension-sized), one bounded
+    * partition per type; pct divides two exact-sum doubles (identical
+    * operands ⇒ identical IEEE quotient), r4 for display. */
+  def eventsPop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(graft.Det.dsum($"value").as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .select($"event_type", $"day", $"revenue", $"prev_revenue",
+        graft.Det.r4(($"revenue" - $"prev_revenue") / $"prev_revenue")
+          .as("pct_change"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** RFM customer SEGMENTATION: per customer recency (days since
     * epoch of the last order), frequency (order count) and monetary
     * (exact decimal revenue), each split at its MEDIAN into a
@@ -515,6 +537,7 @@ object Analytics {
     "q_basket_pairs" -> basketPairs,
     "q_events_churn" -> eventsChurn,
     "q_customer_rfm" -> customerRfm,
+    "q_events_pop" -> eventsPop,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

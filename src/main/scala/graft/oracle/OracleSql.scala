@@ -2479,6 +2479,31 @@ object OracleSql {
         |  round(vmin + (bin + 1) * w, 4) AS bin_hi
         |FROM b GROUP BY bin, vmin, w ORDER BY bin""".stripMargin,
 
+    "q_agg_mode" ->
+      s"""WITH c AS (
+         |  SELECT l_returnflag, cast(l_quantity as int) AS qty,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY 1, 2),
+         |r AS (SELECT l_returnflag, qty, n,
+         |        row_number() OVER (PARTITION BY l_returnflag
+         |          ORDER BY n DESC, qty) AS rk
+         |      FROM c)
+         |SELECT l_returnflag, qty AS mode_qty, n AS n_occurrences
+         |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_pop" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    """ + dsum("value") + """ AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, revenue,
+        |        lag(revenue) OVER (PARTITION BY event_type
+        |          ORDER BY day) AS prev_revenue
+        |      FROM daily)
+        |SELECT event_type, day, revenue, prev_revenue,
+        |  round((revenue - prev_revenue) / prev_revenue, 4) AS pct_change
+        |FROM l ORDER BY event_type, day""").stripMargin,
+
     "q_events_churn" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

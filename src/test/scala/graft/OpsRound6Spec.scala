@@ -702,6 +702,45 @@ class OpsRound6Spec extends SparkSpec {
     assert(got.map(_._3).sum < passedIds.size)
   }
 
+  // ---- q_agg_mode / q_events_pop -----------------------------------------
+
+  test("q_agg_mode: pinned tie-break matches a driver-side histogram") {
+    val got = ops.Aggregates.aggMode(spark, sfDir)
+      .as[(String, Int, Long)].collect().toSeq
+    val counts = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("int"))
+      .as[(String, Int)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (flag, qty, n) =>
+      assert(counts((flag, qty)) === n)
+      val better = counts.collect {
+        case ((f, q), c) if f == flag && (c > n || (c == n && q < qty)) => q
+      }
+      assert(better.isEmpty, s"$flag: $better beats ($qty, $n)")
+    }
+    assert(got.map(_._1) === got.map(_._1).sorted && got.nonEmpty)
+  }
+
+  test("q_events_pop: pct change recomputes from the daily grid") {
+    val rows = ops.Analytics.eventsPop(spark, sfDir)
+      .as[(String, java.sql.Date, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    byType.values.foreach { g =>
+      val s = g.sortBy(_._2.toLocalDate.toEpochDay)
+      assert(s.head._4.isEmpty && s.head._5.isEmpty) // first day: no prior
+      s.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4.contains(a._3))
+          val want = BigDecimal((b._3 - a._3) / a._3)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(b._5.contains(want))
+        case _ => ()
+      }
+    }
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
