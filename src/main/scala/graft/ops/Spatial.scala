@@ -90,7 +90,9 @@ object Spatial {
     * the stored catalog, making the join co-located. The ra wraparound
     * rides the distance metric; zone height = r so the ±1 band is
     * lossless. */
-  def spatialZonesJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The zones-join match stream (a_id, b_id, d2 ≤ r²) shared by the
+    * pair-report and best-match keys. */
+  private def zoneMatches(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val a = partCatalog(spark, sfDir)
       .select($"id".as("a_id"), $"ra".as("a_ra"), $"dec".as("a_dec"),
@@ -103,12 +105,40 @@ object Spatial {
     a.join(b, "zone")
       .withColumn("d2", dist2($"a_ra", $"a_dec", $"b_ra", $"b_dec"))
       .filter($"d2" <= XmatchR * XmatchR)
+      .select($"a_id", $"b_id", $"d2")
+  }
+
+  def spatialZonesJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    zoneMatches(spark, sfDir)
       .select($"a_id", $"b_id", graft.Det.r4($"d2").as("dist2"))
       .orderBy($"a_id", $"b_id")
   }
 
+  /** BEST-MATCH crossmatch — the form a survey pipeline actually
+    * consumes ("for each object, its nearest counterpart within r"):
+    * the same zones match stream reduced to the argmin per left
+    * object via ONE partial-agged min over the total (d2, b_id) order
+    * (min_by on a struct — no rank window, per-key shuffle state is a
+    * single (d2, id) pair even where the match multiplicity is large;
+    * the d2 component of the key is the UNROUNDED double, identical
+    * in both engines, so the argmin can't straddle a rounding
+    * boundary). Objects with no counterpart in range emit nothing —
+    * the standard best-match contract. */
+  def spatialBestMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    zoneMatches(spark, sfDir)
+      .groupBy($"a_id")
+      .agg(expr(
+        "min_by(named_struct('b', b_id, 'd', d2)," +
+          " named_struct('d', d2, 'b', b_id))").as("m"))
+      .select($"a_id", $"m.b".as("b_id"), graft.Det.r4($"m.d").as("dist2"))
+      .orderBy($"a_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_cone" -> spatialCone,
-    "q_spatial_zones_join" -> spatialZonesJoin
+    "q_spatial_zones_join" -> spatialZonesJoin,
+    "q_spatial_best_match" -> spatialBestMatch
   )
 }

@@ -2416,6 +2416,39 @@ object OracleSql {
         |      + (a_dec - b_dec) * (a_dec - b_dec) <= 9.0
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // argmin per left object over the all-pairs matches, (d2, b_id)
+    // total order — d2 compared UNROUNDED, exactly like the Spark side
+    "q_spatial_best_match" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS a_id,
+        |    (p_partkey * cast(137.508 as double)) % cast(360 as double)
+        |      AS a_ra,
+        |    (p_partkey * cast(97.13 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS a_dec
+        |  FROM part),
+        |b AS (
+        |  SELECT s_suppkey AS b_id,
+        |    (s_suppkey * cast(211.7 as double)) % cast(360 as double)
+        |      AS b_ra,
+        |    (s_suppkey * cast(53.77 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS b_dec
+        |  FROM supplier),
+        |m AS (
+        |  SELECT a_id, b_id,
+        |    least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      + (a_dec - b_dec) * (a_dec - b_dec) AS d2
+        |  FROM a JOIN b
+        |    ON least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |        * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |        + (a_dec - b_dec) * (a_dec - b_dec) <= 9.0),
+        |r AS (SELECT a_id, b_id, d2,
+        |        row_number() OVER (PARTITION BY a_id
+        |          ORDER BY d2, b_id) AS rk
+        |      FROM m)
+        |SELECT a_id, b_id, round(d2, 4) AS dist2
+        |FROM r WHERE rk = 1 ORDER BY a_id""".stripMargin,
+
     "q_join_asof_tolerance" ->
       """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts,
         |  cast((SELECT max(c.ts) FROM events c

@@ -741,6 +741,22 @@ class OpsRound6Spec extends SparkSpec {
     }
   }
 
+  // ---- q_spatial_best_match ----------------------------------------------
+
+  test("q_spatial_best_match is the per-object argmin of the pair report") {
+    val pairs = ops.Spatial.spatialZonesJoin(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val want = pairs.groupBy(_._1).map { case (a, g) =>
+      val best = g.minBy(p => (p._3, p._2))
+      (a, best._2, best._3)
+    }.toSeq.sortBy(_._1)
+    val got = ops.Spatial.spatialBestMatch(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.size === got.size) // one row per object
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
