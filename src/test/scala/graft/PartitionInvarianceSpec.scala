@@ -40,7 +40,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // basket pair mining — each moves data on a content/composite key
     // whose grouping must not depend on where rows started
     "q_graph_triangles", "q_text_segment_clean", "q_sim_hybrid_rrf",
-    "q_basket_pairs", "q_events_transitions")
+    "q_basket_pairs", "q_events_transitions",
+    // closing round 6: zones crossmatch + min_by argmin, pinned-tie
+    // mode, dimension-percentile RFM thresholds, the composed
+    // curation chain — each aggregates or joins on keys whose
+    // grouping must not depend on initial layout
+    "q_spatial_zones_join", "q_spatial_best_match", "q_agg_mode",
+    "q_customer_rfm", "q_pipeline_curation_v2")
 
   private lazy val alt = {
     val s = spark.newSession()
