@@ -1758,6 +1758,46 @@ object LlmOps {
       .orderBy($"label")
   }
 
+  /** Embedding OUTLIER scoring — the embedding-space quality filter
+    * (drop vectors far from their own label's centroid before they
+    * pollute nearest-neighbor structure): per-vector squared distance
+    * to the label centroid, flagged when > 4× the label's MEDIAN d²
+    * (i.e. > 2× the median distance). The threshold is rank-based
+    * (exact percentile — order-independent, no stddev accumulation to
+    * round), so the flag is bit-deterministic.
+    *
+    * Scale posture: centroids are one partial-agged (label, pos) pass
+    * (decimal-exact means, the [[embedCentroids]] pipeline) collapsed
+    * to label-keyed ARRAYS and BROADCAST — the corpus-side distance
+    * is then a row-local `zip_with` fold (no ×dims explode, no
+    * shuffle); the median runs per label over the n-row d² relation;
+    * the flag is a map-side comparison on UNROUNDED doubles. */
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cArr = Tables(spark, sfDir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "xv")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"xv".cast(DecimalType(27, 10))).cast(DoubleType)
+        / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"label", expr("transform(pm, s -> s.m)").as("cm"))
+    val d = Tables(spark, sfDir, "embeddings")
+      .join(broadcast(cArr), "label")
+      .select($"vec_id", $"label", expr(
+        """aggregate(
+          |  zip_with(embedding, cm,
+          |    (x, m) -> (cast(x as double) - m) * (cast(x as double) - m)),
+          |  cast(0.0 as double), (acc, t) -> acc + t)""".stripMargin)
+        .as("d2"))
+    val med = d.groupBy($"label")
+      .agg(expr("percentile(d2, 0.5)").as("med"))
+    d.join(broadcast(med), "label")
+      .select($"vec_id", $"label", Det.r4($"d2").as("d2"),
+        ($"d2" > $"med" * 4).as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
   /** APPROXIMATE per-group quantiles via the built-in mergeable GK
     * sketch (`percentile_approx`) — the quantile path that survives
     * 100 TB: bounded-memory partials merge associatively across the
@@ -2548,6 +2588,7 @@ object LlmOps {
     "q_graph_pagerank" -> graphPagerank,
     "q_graph_triangles" -> graphTriangles,
     "q_dedup_semantic_keep" -> dedupSemanticKeep,
+    "q_embed_outliers" -> embedOutliers,
     "q_text_segment_clean" -> textSegmentClean,
     "q_pipeline_curation_v2" -> pipelineCurationV2,
     "q_sim_hybrid_rrf" -> simHybridRrf,

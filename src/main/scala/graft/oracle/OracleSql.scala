@@ -866,6 +866,31 @@ object OracleSql {
         |    AS centroid_norm
         |FROM a ORDER BY label""".stripMargin,
 
+    // same decimal-exact centroid means as q_embed_centroids; d² is a
+    // position-ordered list_sum fold ≡ Spark's zip_with fold; the
+    // outlier threshold compares UNROUNDED doubles to 4× the exact
+    // rank-based median
+    "q_embed_outliers" ->
+      """WITH c AS (
+        |  SELECT label, i,
+        |    cast(sum(cast(embedding[i] as decimal(27,10))) as double)
+        |      / count(*) AS m
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT label, list(m ORDER BY i) AS ms FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (cast(e.embedding[i] as double) - a.ms[i])
+        |        * (cast(e.embedding[i] as double) - a.ms[i]))) AS d2
+        |  FROM embeddings e JOIN a ON e.label = a.label),
+        |md AS (SELECT label, quantile_cont(d2, 0.5) AS med FROM d
+        |       GROUP BY label)
+        |SELECT d.vec_id, d.label, round(d.d2, 4) AS d2,
+        |  d.d2 > md.med * 4 AS is_outlier
+        |FROM d JOIN md ON d.label = md.label
+        |ORDER BY d.vec_id""".stripMargin,
+
     "q_dedup_containment" ->
       s"""WITH $shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

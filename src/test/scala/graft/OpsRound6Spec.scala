@@ -757,6 +757,45 @@ class OpsRound6Spec extends SparkSpec {
     assert(got.map(_._1).distinct.size === got.size) // one row per object
   }
 
+  // ---- q_embed_outliers --------------------------------------------------
+
+  test("q_embed_outliers: distances and flags recompute from centroids") {
+    val rows = ops.LlmOps.embedOutliers(spark, sfDir)
+      .as[(Long, Int, Double, Boolean)].collect().toSeq
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect().toSeq
+    assert(rows.map(_._1) === vecs.map(_._1).sorted)
+    val cent = vecs.groupBy(_._2).view.mapValues { g =>
+      val n = g.size
+      (0 until 64).map(i =>
+        (g.map(v => BigDecimal(v._3(i).toDouble).setScale(10,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n)).toArray
+    }.toMap
+    val d2ById = vecs.map { case (id, label, e) =>
+      val c = cent(label)
+      var acc = 0.0
+      (0 until 64).foreach { i =>
+        val t = e(i).toDouble - c(i); acc += t * t
+      }
+      id -> acc
+    }.toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = (s.size - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val medByLabel = vecs.groupBy(_._2).view
+      .mapValues(g => median(g.map(v => d2ById(v._1)))).toMap
+    rows.foreach { case (id, label, d2r, flag) =>
+      assert(math.abs(d2r - d2ById(id)) < 1e-3, id)
+      assert(flag === (d2ById(id) > medByLabel(label) * 4), id)
+    }
+    // exactly half-ish of each label sits below its median — the
+    // threshold is rank-anchored, so SOME flags must be false
+    assert(rows.exists(!_._4))
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
