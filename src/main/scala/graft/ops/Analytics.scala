@@ -184,6 +184,43 @@ object Analytics {
       .orderBy($"n_events")
   }
 
+  /** Top SESSION JOURNEYS — the full-path complement of
+    * [[eventsTransitions]]'s bigram view: events sessionize with the
+    * same 30-minute-gap rule as [[sessionizeGap]] (identical lag +
+    * running-sum pair on the shared (user_id; tus, event_id)
+    * ordering, so the two keys cannot disagree about session
+    * boundaries), each session renders its time-ordered event-type
+    * path ("view>click>purchase"), and the top-10 paths by frequency
+    * are reported — the "top user journeys" panel.
+    *
+    * Scale posture: the two windows and the per-session path
+    * aggregation all share ONE user_id exchange (same partitioning);
+    * per-session state is that session's own events (30-min-gap
+    * sessions are humanly bounded; a bot-length session degrades one
+    * key, not the plan); the path groupBy is partial-agged and the
+    * top-10 is TakeOrdered. */
+  def eventsJourneys(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gapUs = 1800000000L
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("tus"))
+      .withColumn("new_session",
+        when(lag($"tus", 1).over(w).isNull ||
+          $"tus" - lag($"tus", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_session").over(w))
+      .groupBy($"user_id", $"sid")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(tus, event_id, event_type)))," +
+        " s -> s.event_type), '>')").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(10)
+  }
+
   /** LAST-TOUCH attribution: each purchase is credited to the user's
     * most recent preceding touchpoint (view / click / signup);
     * purchases with no prior touchpoint fall to the 'direct' channel.
@@ -538,6 +575,7 @@ object Analytics {
     "q_events_churn" -> eventsChurn,
     "q_customer_rfm" -> customerRfm,
     "q_events_pop" -> eventsPop,
+    "q_events_journeys" -> eventsJourneys,
     "q_events_wau" -> eventsWau,
     "q_scd2_intervals" -> scd2Intervals,
     "q_ts_gapfill" -> tsGapfill,

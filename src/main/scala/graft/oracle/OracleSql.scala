@@ -1833,6 +1833,32 @@ object OracleSql {
 
     // same (user_id; ts, event_id) ordering and 30-min microsecond gap
     // as the Spark side; event_id uniqueness makes the order total
+    // same 30-min-gap sessionization as q_sessionize_gap, then the
+    // time-ordered per-session type path and its frequency top-10
+    "q_events_journeys" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+
     "q_sessionize_gap" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

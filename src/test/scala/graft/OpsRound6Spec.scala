@@ -796,6 +796,38 @@ class OpsRound6Spec extends SparkSpec {
     assert(rows.exists(!_._4))
   }
 
+  // ---- q_events_journeys -------------------------------------------------
+
+  test("q_events_journeys: session paths replay from the raw stream") {
+    val got = ops.Analytics.eventsJourneys(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(got.size === 10)
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val paths = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      s.foreach { e =>
+        if (prev != Long.MinValue && e._2 - prev > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = e._2
+      }
+      sessions.map(_.mkString(">"))
+    }.toSeq
+    val want = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got === want)
+    // journeys and the histogram key must agree on the session count
+    val histo = ops.Analytics.sessionizeGap(spark, sfDir)
+      .agg(sum($"n_sessions").cast("long")).as[Long].collect().head
+    assert(paths.size.toLong === histo)
+  }
+
   // ---- q_quality_gopher --------------------------------------------------
 
   test("q_quality_gopher: verdicts recompute from the features") {
