@@ -568,7 +568,90 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** INTERVAL CONCURRENCY (the stabbing-count operator): how many
+    * orders are "in flight" on each calendar day, where an order's
+    * fulfillment interval is [o_orderdate, o_orderdate + 1 + key%28
+    * days) — a deterministic synthetic duration (the q_udf_despath
+    * precedent: the corpus has no receipt date, so one is derived from
+    * the key). The classic +1/−1 sweep: interval starts and ends
+    * become deltas, deltas PRE-AGGREGATE onto the day grid, and one
+    * running sum over the day-ordered grid yields the concurrent-open
+    * count. Reported: the top-20 peak in-transit days.
+    *
+    * Scale posture: the corpus-sized work is two partial-agged
+    * aggregations onto the DAY GRID (dimension-sized by construction —
+    * ~years × 365 rows); the running sum's unpartitioned window runs
+    * over that grid, never the fact table (at extreme grid sizes the
+    * two-pass partition-offset shape of q_ids_contiguous applies
+    * unchanged). Counts are exact longs. */
+  def intervalsOpen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate").as("start_d"),
+        date_add(to_date($"o_orderdate"),
+          (lit(1) + $"o_orderkey" % 28).cast("int")).as("end_d"))
+    val deltas = o.groupBy($"start_d".as("day"))
+      .agg(count(lit(1)).as("delta"))
+      .unionAll(o.groupBy($"end_d".as("day"))
+        .agg((-count(lit(1))).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("net"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    deltas
+      .withColumn("n_open", sum($"net").over(w).cast("long"))
+      .select($"day", $"net".cast("long").as("net"), $"n_open")
+      .orderBy($"n_open".desc, $"day")
+      .limit(20)
+  }
+
+  /** ABC / PARETO CLASSIFICATION — "which 20% of parts carry 80% of
+    * revenue": per-part exact-decimal revenue, parts ranked by
+    * (revenue DESC, partkey), cumulative revenue share computed by a
+    * running DECIMAL sum (exact — no float accumulation order), class
+    * A ≤ 80% cumulative share, B ≤ 95%, C the tail. Output: per-class
+    * part count, exact revenue, and revenue share. The same
+    * head/torso/tail cut a curation pipeline uses to band sources or
+    * domains by volume before assigning mixture weights.
+    *
+    * Scale posture: the corpus-sized pass is ONE partial-agged groupBy
+    * (lineitem → part dimension); ranking and the running sum operate
+    * on the CATALOG dimension (the justified place — at extreme
+    * catalog sizes the running sum becomes the two-pass range-
+    * partition + offset shape of q_ids_contiguous); the grand total is
+    * a 1-row broadcast. The share quotient divides exact decimal sums
+    * cast to double — identical operands, identical IEEE quotient in
+    * both engines; class boundaries compare those identical doubles. */
+  def abcPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val D = org.apache.spark.sql.types.DecimalType(27, 4)
+    val rev = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(sum(graft.Det.dec($"l_extendedprice").cast(D)).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rev".desc, $"l_partkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = rev.agg(sum($"rev").as("tot"))
+    rev
+      .withColumn("cum", sum($"rev").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"l_partkey", $"rev",
+        when($"cum".cast("double") / $"tot".cast("double") <= 0.80, "A")
+          .when($"cum".cast("double") / $"tot".cast("double") <= 0.95, "B")
+          .otherwise("C").as("abc_class"),
+        $"tot")
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        graft.Det.dsumDec($"rev").as("revenue"),
+        graft.Det.r4(sum($"rev").cast("double")
+          / min($"tot").cast("double")).as("rev_share"))
+      .orderBy($"abc_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intervals_open" -> intervalsOpen,
+    "q_abc_pareto" -> abcPareto,
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,

@@ -222,7 +222,48 @@ object Quality {
         $"fp_xor")
   }
 
+  /** COLUMN PROFILING — the `ANALYZE`/data-profiler pass every
+    * warehouse and curation pipeline runs on landing a new table:
+    * per column, row count, null count, exact distinct count, and
+    * canonical min/max. All five documents columns profile in ONE
+    * fused aggregate pass over ONE scan (the
+    * [[qualityConstraints]] stance), then the single aggregated row
+    * unpivots into one row per column.
+    *
+    * Determinism: longs render identically as strings in both
+    * engines; string min/max is binary collation in both (Spark
+    * UTF8String, DuckDB bytewise); counts are exact.
+    *
+    * Scale posture: one partial-agged scan. The exact
+    * `countDistinct`s expand the scan ×(columns profiled) — the
+    * declared-exact profiler contract; a 100 TB profiler swaps them
+    * for `approx_count_distinct` (same plan shape, HLL partials,
+    * no expand) — the sketch family's q_agg_hll covers that path. */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(count(when(col(c).isNull, lit(1))).cast("long").as(s"${c}_nulls"),
+          countDistinct(col(c)).cast("long").as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+    Tables(spark, sfDir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"), $"n_rows",
+          col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))
+      }: _*)).as("p"))
+      .select($"p.column_name", $"p.n_rows", $"p.n_nulls",
+        $"p.n_distinct", $"p.min_s", $"p.max_s")
+      .orderBy($"column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> profileColumns,
     "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,
     "q_quality_gopher" -> qualityGopher,

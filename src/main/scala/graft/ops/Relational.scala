@@ -775,7 +775,59 @@ object Relational {
     c.except(big).orderBy($"c_custkey")
   }
 
+  /** SNAPSHOT DIFF / table reconciliation — the verification step a
+    * pipeline runs after a migration, backfill or CDC replay: which
+    * rows were added, removed, or changed between two snapshots of a
+    * keyed table, and what is the net value drift?
+    * ([[Quality.tableFingerprint]] answers "are they equal?" in three
+    * numbers; THIS answers "what exactly differs?" when they are not.)
+    *
+    * The second snapshot applies deterministic edits to orders
+    * (delete keys %13, bump price +100 on %11 survivors, insert a
+    * shifted copy of %17 keys), so the oracle can replay the same
+    * arithmetic — a diff bug cannot hash-match.
+    *
+    * Scale posture: ONE full-outer equi join on the PK — both 100 TB
+    * snapshots hash-partition on the key (or arrive co-located from a
+    * bucketed/key-range layout, making the diff exchange-free), and
+    * the add/remove/change classification plus the per-column compare
+    * is map-side arithmetic on the joined row. Output is the
+    * per-status summary — never a materialized row set; the drilldown
+    * variant would add the status column to the joined stream and
+    * write it partitioned by status. Money deltas ride the exact
+    * decimal pipeline (Det rules). */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+        Det.dec($"o_totalprice").as("price"))
+    val next = base.filter($"k" % 13 =!= 0)
+      .select($"k", $"st",
+        when($"k" % 11 === 0, $"price" + Det.dec(lit(100.0)))
+          .otherwise($"price").as("price"))
+      .unionAll(base.filter($"k" % 17 === 0)
+        .select(($"k" + 100000000L).as("k"), lit("N").as("st"),
+          $"price"))
+    val b = base.select($"k", $"st".as("b_st"), $"price".as("b_price"))
+    val n = next.select($"k", $"st".as("n_st"), $"price".as("n_price"))
+    b.join(n, Seq("k"), "full_outer")
+      .select($"k",
+        when($"b_st".isNull, "added")
+          .when($"n_st".isNull, "removed")
+          .when($"b_st" =!= $"n_st" || $"b_price" =!= $"n_price",
+            "changed")
+          .otherwise("unchanged").as("diff_status"),
+        coalesce($"n_price", lit(0.0).cast("decimal(12,2)")).as("np"),
+        coalesce($"b_price", lit(0.0).cast("decimal(12,2)")).as("bp"))
+      .groupBy($"diff_status")
+      .agg(count(lit(1)).as("n"),
+        Det.dsumDec(($"np" - $"bp").cast(
+          org.apache.spark.sql.types.DecimalType(27, 4))).as("net_delta"))
+      .orderBy($"diff_status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> snapshotDiff,
     "q_scan_project" -> scanProject,
     "q_source_range" -> sourceRange,
     "q_sink_csv_roundtrip" -> sinkCsvRoundtrip,

@@ -2332,8 +2332,91 @@ object OracleSql {
          |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   )
 
+  private val round7: Map[String, String] = Map(
+    // replay of the deterministic snapshot edits + full-outer diff
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    cast(o_totalprice as decimal(12,2)) AS price
+        |  FROM orders),
+        |nxt AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 11 = 0 THEN price + cast(100.0 as decimal(12,2))
+        |         ELSE price END AS price
+        |  FROM base WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, 'N', price FROM base WHERE k % 17 = 0),
+        |j AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |              WHEN n.k IS NULL THEN 'removed'
+        |              WHEN b.st <> n.st OR b.price <> n.price
+        |                THEN 'changed'
+        |              ELSE 'unchanged' END AS diff_status,
+        |    coalesce(n.price, cast(0.0 as decimal(12,2))) AS np,
+        |    coalesce(b.price, cast(0.0 as decimal(12,2))) AS bp
+        |  FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
+        |SELECT diff_status, count(*) AS n,
+        |  cast(sum(cast(np - bp as decimal(27,4))) as double) AS net_delta
+        |FROM j GROUP BY diff_status ORDER BY diff_status""".stripMargin,
+
+    "q_intervals_open" ->
+      """WITH o AS (
+        |  SELECT cast(o_orderdate as date) AS start_d,
+        |    cast(o_orderdate as date)
+        |      + cast(1 + o_orderkey % 28 as int) AS end_d
+        |  FROM orders),
+        |d AS (
+        |  SELECT day, sum(delta) AS net FROM (
+        |    SELECT start_d AS day, count(*) AS delta FROM o GROUP BY 1
+        |    UNION ALL
+        |    SELECT end_d AS day, -count(*) AS delta FROM o GROUP BY 1) u
+        |  GROUP BY day),
+        |r AS (SELECT day, cast(net as bigint) AS net,
+        |    cast(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      as bigint) AS n_open
+        |  FROM d)
+        |SELECT day, net, n_open FROM r
+        |ORDER BY n_open DESC, day LIMIT 20""".stripMargin,
+
+    "q_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(cast(cast(l_extendedprice as decimal(12,2))
+        |        as decimal(27,4))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(rev) AS tot FROM rev),
+        |c AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev),
+        |k AS (SELECT l_partkey, rev, tot,
+        |    CASE WHEN cast(cum as double) / cast(tot as double) <= 0.80
+        |           THEN 'A'
+        |         WHEN cast(cum as double) / cast(tot as double) <= 0.95
+        |           THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c CROSS JOIN t)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  cast(sum(rev) as double) AS revenue,
+        |  round(cast(sum(rev) as double) / cast(min(tot) as double), 4)
+        |    AS rev_share
+        |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+
+    "q_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  cast(min($c) as varchar) AS min_s,
+           |  cast(max($c) as varchar) AS max_s
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars", "text")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    }
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    analytics ++ layout ++
+    analytics ++ layout ++ round7 ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)
