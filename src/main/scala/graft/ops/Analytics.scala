@@ -281,7 +281,12 @@ object Analytics {
     * so the build is one custkey exchange plus a per-run aggregate;
     * nothing global. Ordering (o_orderdate, o_orderkey) is total
     * (orderkey is the PK), so runs are uniquely determined. */
-  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The FULL SCD2 interval relation (o_custkey, run, status,
+    * valid_from, valid_to, n_orders) — the dimension
+    * [[scd2Intervals]] samples for its declared output and
+    * [[joinScd2Pit]] probes point-in-time. ONE definition so the two
+    * keys cannot disagree about interval boundaries. */
+  private def scd2Runs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate",
@@ -301,12 +306,57 @@ object Analytics {
         min($"o_orderstatus").as("status"),
         count(lit(1)).as("n_orders"))
     val wr = Window.partitionBy($"o_custkey").orderBy($"run")
-    runs
-      .withColumn("valid_to", lead($"valid_from", 1).over(wr))
+    runs.withColumn("valid_to", lead($"valid_from", 1).over(wr))
+  }
+
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    scd2Runs(spark, sfDir)
       .filter($"o_custkey" % 53 === 0)
       .select($"o_custkey", $"run".cast("long").as("run"), $"status",
         $"valid_from", $"valid_to", $"n_orders")
       .orderBy($"o_custkey", $"run")
+  }
+
+  /** POINT-IN-TIME dimension lookup against the SCD2 dimension — the
+    * warehouse read side of [[scd2Intervals]] (and the feature-store
+    * "status as of T" contract): each probe (customer, as-of date)
+    * resolves to the ONE validity interval containing it, 'none' when
+    * the date precedes the customer's first order or the customer
+    * never ordered. Probe dates are derived deterministically from
+    * the customer key (the q_udf_despath precedent) so they stab the
+    * middle of the 1992–1998 interval timeline, and the oracle
+    * replays the same arithmetic.
+    *
+    * Scale posture: the join is EQUI on the customer key with the
+    * interval-stabbing bound as a residual — per-key candidate width
+    * is that customer's run count (per-customer history, never the
+    * table); the SCD2 tiling guarantees ≤ 1 surviving interval per
+    * probe, so the left join cannot fan out. Both sides co-partition
+    * on the key; at 100 TB the dimension is the smaller side and
+    * broadcasts. Output is the per-status probe census plus a keyed
+    * sample slice. */
+  def joinScd2Pit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probe = Tables(spark, sfDir, "customer")
+      .select($"c_custkey",
+        date_add(lit("1996-01-01").cast("date"),
+          ($"c_custkey" % 1800).cast("int")).as("as_of"))
+    val dim = scd2Runs(spark, sfDir)
+      .select($"o_custkey", $"status", to_date($"valid_from").as("vf"),
+        to_date($"valid_to").as("vt"))
+    probe
+      .join(dim,
+        probe("c_custkey") === dim("o_custkey") &&
+          $"as_of" >= $"vf" && ($"vt".isNull || $"as_of" < $"vt"),
+        "left")
+      .select($"c_custkey", $"as_of",
+        coalesce($"status", lit("none")).as("status"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_customers"),
+        min($"c_custkey").as("min_custkey"),
+        max($"c_custkey").as("max_custkey"))
+      .orderBy($"status")
   }
 
   /** TIME-SERIES GAP-FILL + forward fill: daily revenue per event type
@@ -568,6 +618,61 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** MULTI-TOUCH LINEAR attribution — the fair-share companion to
+    * [[eventsAttribution]]'s last-touch rule: every touchpoint (view /
+    * click / signup) in the hour BEFORE a purchase shares that
+    * purchase's revenue equally; purchases with no in-window touch
+    * credit 'direct' in full. Credit is allocated in FLOOR-DIVIDED
+    * CENTS at (purchase, channel) granularity — (cents·k) div n for k
+    * of n touches — so every per-channel sum is exact integer
+    * arithmetic (the ≤ n−1 cent remainder per purchase is
+    * deliberately unallocated: a documented, deterministic convention,
+    * vs an exact-rational split no engine sums reproducibly).
+    *
+    * Scale posture: the touch↔purchase pairing is an EQUI join on
+    * user_id with the 1-hour band as a residual (pair width = a
+    * user's touches × purchases within an hour; for adversarial
+    * single-user streams the q_join_interval_bucketed band
+    * decomposition applies unchanged); the per-purchase touch count
+    * is a window over the purchase's own in-window touches. Two
+    * key-hash shuffles (user_id, then purchase id), partial-agged
+    * channel rollup. */
+  def attribLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"),
+        $"event_type", $"value")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_eid"), $"user_id",
+        $"tus".as("p_tus"),
+        ($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * 100).cast("long").as("cents"))
+    val t = e.filter($"event_type".isin("view", "click", "signup"))
+      .select($"user_id", $"tus".as("t_tus"),
+        $"event_type".as("channel"))
+    val joined = p.join(t,
+      p("user_id") === t("user_id") &&
+        $"t_tus" >= $"p_tus" - 3600000000L && $"t_tus" < $"p_tus")
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy($"p_eid")
+    val credited = joined
+      .groupBy($"p_eid", $"cents", $"channel")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("n", sum($"k").over(wp))
+      .select($"p_eid", $"channel",
+        expr("(cents * k) DIV n").as("credit_cents"))
+    val direct = p.join(t,
+        p("user_id") === t("user_id") &&
+          $"t_tus" >= $"p_tus" - 3600000000L && $"t_tus" < $"p_tus",
+        "left_anti")
+      .select($"p_eid", lit("direct").as("channel"),
+        $"cents".as("credit_cents"))
+    credited.unionAll(direct)
+      .groupBy($"channel")
+      .agg(countDistinct($"p_eid").as("n_purchases"),
+        (sum($"credit_cents").cast("double") / 100.0).as("credit"))
+      .orderBy($"channel")
+  }
+
   /** INTERVAL CONCURRENCY (the stabbing-count operator): how many
     * orders are "in flight" on each calendar day, where an order's
     * fulfillment interval is [o_orderdate, o_orderdate + 1 + key%28
@@ -652,6 +757,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intervals_open" -> intervalsOpen,
     "q_abc_pareto" -> abcPareto,
+    "q_attrib_linear" -> attribLinear,
+    "q_join_scd2_pit" -> joinScd2Pit,
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,

@@ -262,8 +262,63 @@ object Quality {
       .orderBy($"column_name")
   }
 
+  /** DISTRIBUTION DRIFT via the Population Stability Index — the
+    * ML-monitoring gate that compares a feature's distribution between
+    * a reference window and the current one (here: events.value over
+    * the first vs second half of January). Both halves bin on ONE
+    * SHARED 10-bucket equi-width basis from the GLOBAL min/max (a
+    * 1-row broadcast — the q_agg_histogram machinery), per-bin shares
+    * p (reference) and q (current) divide exact integer counts, and
+    * PSI_i = (p−q)·ln(p/q) — zero by convention when either side is
+    * empty (the standard epsilon-free treatment, documented rather
+    * than hidden behind an arbitrary epsilon). PSI total > 0.25 is the
+    * conventional "significant drift" alarm.
+    *
+    * Determinism: identical exact-count quotients ⇒ identical IEEE
+    * ln/product in both engines; the per-bin term is r4'd for
+    * display, and the TOTAL sums those displayed terms through an
+    * exact decimal cast (a 4-decimal double is never tie-adjacent at
+    * scale 6) so bin addition order cannot move it.
+    *
+    * Scale posture: two scans (global min/max, then one binning agg
+    * fused over both halves via a split column), everything
+    * partial-agged; the bin grid is 10 rows. */
+  def statsDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+      .select($"value",
+        when($"ts" < lit("2024-01-16").cast("timestamp"), "ref")
+          .otherwise("cur").as("half"))
+    val st = e.agg(min($"value").as("vmin"), max($"value").as("vmax"))
+    val binned = e.crossJoin(broadcast(st))
+      .select($"half",
+        least(floor(($"value" - $"vmin") / (($"vmax" - $"vmin") / 10.0)),
+          lit(9)).cast("int").as("bin"))
+      .groupBy($"bin")
+      .agg(count(when($"half" === "ref", 1)).as("n_ref"),
+        count(when($"half" === "cur", 1)).as("n_cur"))
+    val tot = binned.agg(sum($"n_ref").as("t_ref"),
+      sum($"n_cur").as("t_cur"))
+    val terms = binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n_ref", $"n_cur",
+        ($"n_ref".cast("double") / $"t_ref").as("p"),
+        ($"n_cur".cast("double") / $"t_cur").as("q"))
+      .withColumn("psi_term",
+        when($"n_ref" > 0 && $"n_cur" > 0,
+          graft.Det.r4(($"p" - $"q") * log($"p" / $"q")))
+          .otherwise(0.0))
+    val total = terms.agg(sum($"psi_term".cast(
+      org.apache.spark.sql.types.DecimalType(18, 6)))
+      .cast("double").as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select($"bin", $"n_ref", $"n_cur", graft.Det.r4($"p").as("p"),
+        graft.Det.r4($"q").as("q"), $"psi_term", $"psi_total")
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> profileColumns,
+    "q_stats_drift_psi" -> statsDriftPsi,
     "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,
     "q_quality_gopher" -> qualityGopher,

@@ -2402,6 +2402,109 @@ object OracleSql {
         |    AS rev_share
         |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin,
 
+    // floor-divided cent allocation replayed exactly; interval band
+    // via timestamp arithmetic (micros precision both engines)
+    "q_attrib_linear" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_eid, user_id, ts AS p_ts,
+        |    cast(cast(value as decimal(12,2)) * 100 as bigint) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS t_ts, event_type AS channel
+        |      FROM events
+        |      WHERE event_type IN ('view', 'click', 'signup')),
+        |j AS (SELECT p.p_eid, p.cents, t.channel
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |        AND t.t_ts >= p.p_ts - INTERVAL '1 hour'
+        |        AND t.t_ts < p.p_ts),
+        |g AS (SELECT p_eid, cents, channel, count(*) AS k
+        |      FROM j GROUP BY 1, 2, 3),
+        |c AS (SELECT p_eid, channel,
+        |        (cents * k) // sum(k) OVER (PARTITION BY p_eid)
+        |          AS credit_cents
+        |      FROM g),
+        |d AS (SELECT p_eid, 'direct' AS channel, cents AS credit_cents
+        |      FROM p WHERE NOT EXISTS (
+        |        SELECT 1 FROM t WHERE t.user_id = p.user_id
+        |          AND t.t_ts >= p.p_ts - INTERVAL '1 hour'
+        |          AND t.t_ts < p.p_ts)),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM d)
+        |SELECT channel, count(DISTINCT p_eid) AS n_purchases,
+        |  cast(sum(credit_cents) as double) / 100.0 AS credit
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // same SCD2 run CTEs as q_scd2_intervals (unfiltered), probed at
+    // key-derived as-of dates
+    "q_join_scd2_pit" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |      OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderstatus,
+        |    sum(chg) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM o),
+        |g AS (
+        |  SELECT o_custkey, run, min(o_orderdate) AS valid_from,
+        |    min(o_orderstatus) AS status
+        |  FROM r GROUP BY o_custkey, run),
+        |iv AS (
+        |  SELECT o_custkey, status, cast(valid_from as date) AS vf,
+        |    cast(lead(valid_from) OVER (PARTITION BY o_custkey
+        |      ORDER BY run) as date) AS vt
+        |  FROM g),
+        |probe AS (
+        |  SELECT c_custkey,
+        |    DATE '1996-01-01' + cast(c_custkey % 1800 as int) AS as_of
+        |  FROM customer),
+        |m AS (
+        |  SELECT probe.c_custkey, probe.as_of,
+        |    coalesce(iv.status, 'none') AS status
+        |  FROM probe LEFT JOIN iv ON probe.c_custkey = iv.o_custkey
+        |    AND probe.as_of >= iv.vf
+        |    AND (iv.vt IS NULL OR probe.as_of < iv.vt))
+        |SELECT status, count(*) AS n_customers,
+        |  min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+        |FROM m GROUP BY status ORDER BY status""".stripMargin,
+
+    // shared global bin basis + epsilon-free PSI convention; the total
+    // sums decimal-cast r4 terms (exact — bin order cannot move it)
+    "q_stats_drift_psi" ->
+      """WITH e AS (
+        |  SELECT value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+        |         ELSE 'cur' END AS half
+        |  FROM events),
+        |st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM e),
+        |b AS (SELECT half,
+        |    cast(least(floor((value - vmin) / ((vmax - vmin) / 10.0)),
+        |      9) as int) AS bin
+        |  FROM e CROSS JOIN st),
+        |g AS (SELECT bin,
+        |    count(CASE WHEN half = 'ref' THEN 1 END) AS n_ref,
+        |    count(CASE WHEN half = 'cur' THEN 1 END) AS n_cur
+        |  FROM b GROUP BY bin),
+        |tt AS (SELECT cast(sum(n_ref) as bigint) AS t_ref,
+        |    cast(sum(n_cur) as bigint) AS t_cur FROM g),
+        |terms AS (SELECT bin, n_ref, n_cur,
+        |    cast(n_ref as double) / t_ref AS p,
+        |    cast(n_cur as double) / t_cur AS q
+        |  FROM g CROSS JOIN tt),
+        |t2 AS (SELECT bin, n_ref, n_cur, p, q,
+        |    CASE WHEN n_ref > 0 AND n_cur > 0
+        |      THEN round((p - q) * ln(p / q), 4) ELSE 0.0 END AS psi_term
+        |  FROM terms),
+        |tot AS (SELECT cast(sum(cast(psi_term as decimal(18,6)))
+        |    as double) AS psi_total FROM t2)
+        |SELECT bin, n_ref, n_cur, round(p, 4) AS p, round(q, 4) AS q,
+        |  psi_term, psi_total
+        |FROM t2 CROSS JOIN tot ORDER BY bin""".stripMargin,
+
     "q_profile_columns" -> {
       def one(c: String) =
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
