@@ -2560,7 +2560,96 @@ object LlmOps {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** BLOOM-SCREENED incremental exact dedup — the "have we seen this
+    * content before?" membership gate a live ingest runs against a
+    * standing corpus (text-side companion to [[dedupIncremental]]'s
+    * near-dup screen, and the dedup application of
+    * [[Relational.joinBloomPrejoin]]'s runtime-filter machinery): the
+    * corpus's content hashes build ONE bounded mergeable bloom sketch
+    * (sized by the corpus, fpp 1%), the batch probes it MAP-SIDE, and
+    * only bloom-POSITIVE rows proceed to the exact text verify join.
+    * Bloom negatives are definitely-new (no false negatives), so the
+    * final new/dup split is EXACT — the oracle's NOT EXISTS hash-match
+    * is the proof — while at 100 TB only ~(dup-rate + fpp) of the
+    * batch ever shuffles; the rest resolves in the scan.
+    *
+    * Output: per-language batch/dup/new census. The suite pins the
+    * screen's structure (negatives skip the join) and the fpp bound. */
+  def dedupBloomScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val batch = docs.filter($"doc_id" % 10 === 7)
+    val corpus = docs.filter($"doc_id" % 10 =!= 7)
+      .select($"text").distinct()
+    val screened =
+      if (corpus.isEmpty) batch.withColumn("maybe_dup", lit(false))
+      else {
+        val bf = spark.sparkContext.broadcast(
+          corpus.select(expr(
+            "cast(conv(substr(md5(text), 1, 12), 16, 10) as bigint)")
+            .as("h"))
+            .stat.bloomFilter("h", 100000L, 0.01))
+        batch.select($"doc_id", $"lang", $"text")
+          .as[(Long, String, String)]
+          .mapPartitions { it =>
+            val f = bf.value
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { case (id, lang, text) =>
+              val hex = md.digest(text.getBytes("UTF-8"))
+                .take(6).map(b => f"$b%02x").mkString
+              (id, lang, text, f.mightContainLong(
+                java.lang.Long.parseLong(hex, 16)))
+            }
+          }
+          .toDF("doc_id", "lang", "text", "maybe_dup")
+      }
+    // only bloom positives reach the exact verify join; negatives are
+    // new by the no-false-negative guarantee
+    val dupIds = screened.filter($"maybe_dup")
+      .join(docs.filter($"doc_id" % 10 =!= 7).select($"text"),
+        Seq("text"), "left_semi")
+      .select($"doc_id")
+    screened
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_batch"),
+        count(when($"is_dup", 1)).as("n_dup"),
+        count(when($"is_dup".isNull, 1)).as("n_new"))
+      .orderBy($"lang")
+  }
+
+  /** Per-document SHINGLE NOVELTY — the dedup-diagnostics curve ("how
+    * much of each doc is first-seen content?") curation teams read
+    * before picking thresholds: a doc's novelty is the fraction of its
+    * distinct 3-gram shingles whose corpus-wide FIRST occurrence (min
+    * doc_id — the same canonical-owner convention as the dedup keys)
+    * is the doc itself. Clones of earlier docs score ~0, fresh
+    * content ~1.
+    *
+    * Scale posture: reuses the memoized shingle index; the
+    * first-occurrence pass is one partial-agged groupBy on the shingle
+    * key, joined back to the index (shingle-keyed equi join — the
+    * inverted-index shape, no pair space), then one doc_id agg.
+    * Novelty divides exact integers. Docs under 3 tokens have no
+    * shingles and emit nothing (documented; the oracle agrees). */
+  def textNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleIndex(spark, sfDir)
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles").as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_bloom_screen" -> dedupBloomScreen,
+    "q_text_novelty" -> textNovelty,
     "q_multimodal_frames" -> multimodalFrames,
     "q_multimodal_features" -> multimodalFeatures,
     "q_dedup_exact" -> dedupExact,

@@ -316,9 +316,47 @@ object Quality {
       .orderBy($"bin")
   }
 
+  /** LINEAR CLASSIFIER INFERENCE via the hashing trick — the
+    * quality-classifier scoring pass (the fastText/logistic-gate shape
+    * of DCLM/FineWeb-style curation) run as pure SQL: each token hashes
+    * into one of 64 weight buckets (48-bit md5 slice — the engine's
+    * established cross-engine hash), the "model" is a deterministic
+    * integer weight per bucket (a real deployment broadcasts the
+    * trained weight array; the arithmetic stand-in keeps the oracle
+    * exact), and a document's score is the tf-weighted INTEGER weight
+    * sum normalized by token count. label = score > 0.
+    *
+    * Determinism: the score sum is integer arithmetic inside a
+    * row-local fold — no float accumulation anywhere; the normalized
+    * score divides exact longs.
+    *
+    * Scale posture: entirely row-local codegen'd HOFs (hash + weight
+    * lookup + fold fused into the scan) — ZERO shuffles beyond the
+    * output ORDER BY; at 100 TB this runs at scan speed per partition,
+    * which is exactly why production curation pushes classifier
+    * inference into the engine instead of a sidecar service. */
+  def classifyLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val weightExpr =
+      "(((cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 64)" +
+        " * 2654435761) % 201) - 100"
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select($"doc_id", size($"toks").as("n_tokens"),
+        expr(s"aggregate(toks, cast(0 as bigint)," +
+          s" (acc, t) -> acc + ($weightExpr))").as("score_int"))
+      .select($"doc_id", $"n_tokens", $"score_int",
+        ($"score_int".cast("double") / greatest($"n_tokens", lit(1)))
+          .as("score"),
+        ($"score_int" > 0).as("label"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> profileColumns,
     "q_stats_drift_psi" -> statsDriftPsi,
+    "q_classify_linear" -> classifyLinear,
     "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,
     "q_quality_gopher" -> qualityGopher,

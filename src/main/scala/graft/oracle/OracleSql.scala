@@ -2505,6 +2505,56 @@ object OracleSql {
         |  psi_term, psi_total
         |FROM t2 CROSS JOIN tot ORDER BY bin""".stripMargin,
 
+    // bloom negatives are definitely-new, positives exactly verified —
+    // so the final split is the plain NOT EXISTS result
+    "q_dedup_bloom_screen" ->
+      """WITH batch AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id % 10 = 7),
+        |corpus AS (
+        |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 7),
+        |m AS (
+        |  SELECT b.doc_id, b.lang,
+        |    EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |      AS is_dup
+        |  FROM batch b)
+        |SELECT lang, count(*) AS n_batch,
+        |  count(CASE WHEN is_dup THEN 1 END) AS n_dup,
+        |  count(CASE WHEN NOT is_dup THEN 1 END) AS n_new
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_novelty" ->
+      s"""WITH $shingleCte,
+         |f AS (SELECT shingle, min(doc_id) AS first_doc
+         |      FROM sh GROUP BY shingle),
+         |j AS (SELECT sh.doc_id, f.first_doc
+         |      FROM sh JOIN f ON sh.shingle = f.shingle),
+         |g AS (SELECT doc_id, count(*) AS n_shingles,
+         |        count(CASE WHEN first_doc = doc_id THEN 1 END)
+         |          AS n_novel
+         |      FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  cast(n_novel as double) / n_shingles AS novelty
+         |FROM g WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+
+    // identical md5-slice bucket + integer-weight arithmetic, list_sum
+    // as the fold (integer addition — order-free)
+    "q_classify_linear" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    cast(coalesce(list_sum(list_transform(toks, t ->
+        |      ((('0x' || substr(md5(t), 1, 12))::BIGINT % 64)
+        |        * 2654435761) % 201 - 100)), 0) as bigint) AS score_int
+        |  FROM tk)
+        |SELECT doc_id, cast(n_tokens as int) AS n_tokens, score_int,
+        |  cast(score_int as double) / greatest(n_tokens, 1) AS score,
+        |  score_int > 0 AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_profile_columns" -> {
       def one(c: String) =
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
