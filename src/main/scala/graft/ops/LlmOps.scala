@@ -2579,7 +2579,13 @@ object LlmOps {
     import spark.implicits._
     val docs = Tables(spark, sfDir, "documents")
       .select($"doc_id", $"lang", $"text")
+    // the ingest batch: fresh docs (%10=7) plus REPLAYED corpus docs
+    // (%10=3 re-sent under new ids — the re-crawl resending pages it
+    // already delivered), so both the dup and the new path carry
+    // traffic deterministically at every corpus size
     val batch = docs.filter($"doc_id" % 10 === 7)
+      .unionAll(docs.filter($"doc_id" % 10 === 3)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"text"))
     val corpus = docs.filter($"doc_id" % 10 =!= 7)
       .select($"text").distinct()
     val screened =

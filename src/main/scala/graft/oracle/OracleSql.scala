@@ -2510,7 +2510,10 @@ object OracleSql {
     "q_dedup_bloom_screen" ->
       """WITH batch AS (
         |  SELECT doc_id, lang, text FROM documents
-        |  WHERE doc_id % 10 = 7),
+        |  WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, text FROM documents
+        |  WHERE doc_id % 10 = 3),
         |corpus AS (
         |  SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 7),
         |m AS (
