@@ -2653,7 +2653,84 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the kNN graph —
+    * completes the graph-curation triple (PageRank = importance,
+    * triangles = raw cohesion, THIS = normalized cohesion): c(v) =
+    * 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of a node's neighbor
+    * pairs that are themselves connected. High-c nodes sit inside
+    * tight semantic clusters (dedup candidates); low-c high-degree
+    * nodes are hubs/noise.
+    *
+    * Scale posture: reuses [[triangleCountOn]]'s degree-ordered
+    * wedge machinery (Σ d_out² = O(m^1.5) pair space) on the same
+    * deduped undirected edge list; degrees are one partial-agged
+    * explode, the final assembly is a node-keyed left join. The
+    * coefficient divides exact longs — identical doubles in both
+    * engines; deg < 2 is pinned 0.0 (no neighbor pairs). */
+  def graphClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables.truncate(knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id").as("lo"),
+        greatest($"vec_id", $"nbr_id").as("hi"))
+      .distinct())
+    val deg = und.select(explode(array($"lo", $"hi")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCountOn(und), Seq("node"), "left")
+      .withColumn("n_tri", coalesce($"n_triangles", lit(0L)))
+      .select($"node", $"deg", $"n_tri",
+        when($"deg" >= 2,
+          ($"n_tri" * 2).cast("double") / ($"deg" * ($"deg" - 1)))
+          .otherwise(0.0).as("clustering"))
+      .orderBy($"node")
+  }
+
+  /** PERCEPTUAL image hash (aHash) dedup — the near-dup rung between
+    * [[dedupBinaryExact]]'s byte-identical dedup and embedding
+    * near-dup: each decoded raster downscales to the ≤8×8 box (the
+    * shared nearest-neighbor floor resample) and every resized pixel
+    * contributes one bit — 1 iff the pixel exceeds the image MEAN
+    * (compared in exact integer cross-multiplication, px·N > Σpx, so
+    * no division ever happens) — giving a compact shape signature
+    * that survives re-encoding and scaling. Images grouped by
+    * identical hash are perceptual duplicates; canonical min doc_id
+    * kept per group.
+    *
+    * Scale posture: decode+hash is the mapPartitions codec stage
+    * (row-local), the group is ONE hash-keyed partial-agged shuffle
+    * carrying ~70-byte hashes, never media bytes (the
+    * dedupBinaryExact stance). Hamming-tolerant matching at scale
+    * adds the SimHash byte-band pigeonhole on these same bits — the
+    * machinery q_dedup_simhash already ships. */
+  def multimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngPayload(spark, sfDir)
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = img.getRaster
+        val mx = math.max(w, h)
+        val (ow, oh) = if (mx <= 8) (w, h) else (w * 8 / mx, h * 8 / mx)
+        val n = ow * oh
+        val out = Array.tabulate(oh, ow)((j, i) =>
+          r.getSample(i * w / ow, j * h / oh, 0))
+        var sum = 0L
+        for (j <- 0 until oh; i <- 0 until ow) sum += out(j)(i)
+        val bits = new StringBuilder(n)
+        for (j <- 0 until oh; i <- 0 until ow)
+          bits.append(if (out(j)(i).toLong * n > sum) '1' else '0')
+        (id, s"${ow}x$oh:$bits")
+      })
+      .toDF("doc_id", "phash")
+      .groupBy($"phash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_images"))
+      .select($"phash", $"keep_id", $"n_images")
+      .orderBy($"keep_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_clustering" -> graphClustering,
+    "q_multimodal_phash" -> multimodalPhash,
     "q_dedup_bloom_screen" -> dedupBloomScreen,
     "q_text_novelty" -> textNovelty,
     "q_multimodal_frames" -> multimodalFrames,

@@ -136,7 +136,26 @@ object Spatial {
       .orderBy($"a_id")
   }
 
+  /** SKY DENSITY MAP — the survey QA/coverage product (and the
+    * occupancy statistic the zones crossmatch's pair-space estimate
+    * reads): objects binned onto a fixed 15°×15° pixel grid, per-cell
+    * count + canonical min id. One partial-agged aggregation onto a
+    * 24×8 dimension-sized grid; at 100 TB the same cell id is the
+    * stored catalog's partition key, so the density map doubles as
+    * the partition manifest (a finer production grid — HEALPix — only
+    * changes the cell arithmetic, not the plan). */
+  def spatialDensity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    partCatalog(spark, sfDir)
+      .select($"id", floor($"ra" / 15.0).cast("int").as("zx"),
+        floor(($"dec" + 60.0) / 15.0).cast("int").as("zy"))
+      .groupBy($"zx", $"zy")
+      .agg(count(lit(1)).as("n_objects"), min($"id").as("min_id"))
+      .orderBy($"zx", $"zy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_density" -> spatialDensity,
     "q_spatial_cone" -> spatialCone,
     "q_spatial_zones_join" -> spatialZonesJoin,
     "q_spatial_best_match" -> spatialBestMatch

@@ -2558,6 +2558,78 @@ object OracleSql {
         |  score_int > 0 AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_spatial_density" ->
+      """WITH cat AS (
+        |  SELECT p_partkey AS id,
+        |    (p_partkey * 137.508) % 360.0 AS ra,
+        |    (p_partkey * 97.13) % 120.0 - 60.0 AS dec
+        |  FROM part)
+        |SELECT cast(floor(ra / 15.0) as int) AS zx,
+        |  cast(floor((dec + 60.0) / 15.0) as int) AS zy,
+        |  count(*) AS n_objects, min(id) AS min_id
+        |FROM cat GROUP BY 1, 2 ORDER BY zx, zy""".stripMargin,
+
+    // triangles twin + degree join; coefficient divides exact longs
+    "q_graph_clustering" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |rnk AS (SELECT vec_id, nbr_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS lo,
+         |                        greatest(vec_id, nbr_id) AS hi
+         |        FROM rnk WHERE rk <= 3),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |          SELECT lo AS node FROM und
+         |          UNION ALL SELECT hi FROM und) GROUP BY node),
+         |tri AS (
+         |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+         |  FROM und a
+         |  JOIN und b ON a.lo = b.lo AND a.hi < b.hi
+         |  JOIN und c ON c.lo = a.hi AND c.hi = b.hi),
+         |mem AS (SELECT x AS node FROM tri
+         |        UNION ALL SELECT y FROM tri
+         |        UNION ALL SELECT z FROM tri),
+         |tn AS (SELECT node, count(*) AS n_tri FROM mem GROUP BY node)
+         |SELECT d.node, cast(d.deg as bigint) AS deg,
+         |  cast(coalesce(tn.n_tri, 0) as bigint) AS n_tri,
+         |  CASE WHEN d.deg >= 2
+         |    THEN cast(coalesce(tn.n_tri, 0) * 2 as double)
+         |         / (d.deg * (d.deg - 1))
+         |    ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN tn ON d.node = tn.node
+         |ORDER BY d.node""".stripMargin,
+
+    // aHash bits replayed from the generator arithmetic: px·N > Σpx
+    // reduces to (sx_i + sy_j)·N > oh·Σsx + ow·Σsy after the base
+    // gray cancels
+    "q_multimodal_phash" ->
+      s"""WITH $mmShapeCte,
+         |r AS (SELECT doc_id, w, h, g,
+         |  CASE WHEN greatest(w,h) <= 8 THEN w
+         |       ELSE (w*8)//greatest(w,h) END AS ow,
+         |  CASE WHEN greatest(w,h) <= 8 THEN h
+         |       ELSE (h*8)//greatest(w,h) END AS oh
+         |  FROM m),
+         |x AS (SELECT *,
+         |  list_sum(list_transform(range(0, ow), i -> (i*w)//ow)) AS sx,
+         |  list_sum(list_transform(range(0, oh), j -> (j*h)//oh)) AS sy
+         |  FROM r),
+         |p AS (SELECT doc_id,
+         |  ow || 'x' || oh || ':' ||
+         |  array_to_string(list_transform(range(0, ow*oh), k ->
+         |    CASE WHEN (((k % ow) * w) // ow + ((k // ow) * h) // oh)
+         |           * (ow*oh) > oh * sx + ow * sy
+         |    THEN '1' ELSE '0' END), '') AS phash
+         |  FROM x)
+         |SELECT phash, min(doc_id) AS keep_id, count(*) AS n_images
+         |FROM p GROUP BY phash ORDER BY keep_id""".stripMargin,
+
     "q_profile_columns" -> {
       def one(c: String) =
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
