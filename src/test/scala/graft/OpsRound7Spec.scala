@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions: snapshot diff, interval concurrency, ABC/Pareto,
+  * column profiling, linear attribution, SCD2 point-in-time lookup,
+  * PSI drift, bloom-screened dedup, shingle novelty, classifier
+  * scoring, sky density, clustering coefficient, perceptual hash —
+  * each pinned against an independent in-driver replay or its
+  * structural invariants. */
+class OpsRound7Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- q_snapshot_diff ---------------------------------------------------
+
+  test("q_snapshot_diff: status census matches the edit arithmetic") {
+    val rows = ops.Relational.snapshotDiff(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val keys = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey").as[Long].collect()
+    val added = keys.count(_ % 17 == 0)
+    val removed = keys.count(_ % 13 == 0)
+    val changed = keys.count(k => k % 13 != 0 && k % 11 == 0)
+    assert(rows("added")._2 === added)
+    assert(rows("removed")._2 === removed)
+    assert(rows("changed")._2 === changed)
+    assert(rows("unchanged")._2 === keys.length - removed - changed)
+    // every changed row drifts by exactly +100.00
+    assert(rows("changed")._3 === 100.0 * changed)
+  }
+
+  // ---- q_intervals_open --------------------------------------------------
+
+  test("q_intervals_open: peak days match naive stabbing counts") {
+    val top = ops.Analytics.intervalsOpen(spark, sfDir)
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(top.length === 20)
+    val ivs = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate").as("s"),
+        date_add(to_date($"o_orderdate"),
+          (lit(1) + $"o_orderkey" % 28).cast("int")).as("e"))
+      .as[(java.sql.Date, java.sql.Date)].collect()
+    top.foreach { case (day, _, open) =>
+      val naive = ivs.count { case (s, e) =>
+        !day.before(s) && day.before(e)
+      }
+      assert(open === naive, s"day $day")
+    }
+    // peaks are sorted descending with day tiebreak
+    assert(top.map(_._3).toSeq === top.map(_._3).sortBy(-_).toSeq)
+  }
+
+  // ---- q_abc_pareto ------------------------------------------------------
+
+  test("q_abc_pareto: classes partition the catalog, shares sum to 1") {
+    val rows = ops.Analytics.abcPareto(spark, sfDir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSet === Set("A", "B", "C"))
+    val nParts = Tables(spark, sfDir, "lineitem")
+      .select($"l_partkey").distinct().count()
+    assert(rows.map(_._2).sum === nParts)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    // the head class concentrates revenue: mean revenue per A part
+    // strictly exceeds mean revenue per C part
+    val byClass = rows.map(r => r._1 -> r).toMap
+    assert(byClass("A")._3 / byClass("A")._2 >
+      byClass("C")._3 / byClass("C")._2)
+  }
+
+  // ---- q_profile_columns -------------------------------------------------
+
+  test("q_profile_columns: PK and domain facts hold") {
+    val p = ops.Quality.profileColumns(spark, sfDir)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val n = Tables(spark, sfDir, "documents").count()
+    assert(p.keySet ===
+      Set("doc_id", "lang", "source", "n_chars", "text"))
+    p.values.foreach { r => assert(r._2 === n); assert(r._3 === 0L) }
+    assert(p("doc_id")._4 === n) // PK: distinct == rows
+    assert(p("lang")._4 === 5L)
+    assert(p("lang")._5 === "de" && p("lang")._6 === "zh")
+  }
+
+  // ---- q_attrib_linear ---------------------------------------------------
+
+  test("q_attrib_linear matches an in-driver floor-cent replay") {
+    val got = ops.Analytics.attribLinear(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val evs = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts"),
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val touches = evs.filter(e =>
+      Set("view", "click", "signup")(e._4))
+    val credit = scala.collection.mutable.Map
+      .empty[String, (Set[Long], Long)].withDefaultValue((Set.empty, 0L))
+    evs.filter(_._4 == "purchase").foreach {
+      case (eid, uid, tus, _, value) =>
+        val cents = BigDecimal(value).setScale(2).*(100).toLongExact
+        val w = touches.filter(t => t._2 == uid &&
+          t._3 >= tus - 3600000000L && t._3 < tus)
+        if (w.isEmpty) {
+          val (ids, c) = credit("direct")
+          credit("direct") = (ids + eid, c + cents)
+        } else {
+          val n = w.length
+          w.groupBy(_._4).foreach { case (ch, g) =>
+            val (ids, c) = credit(ch)
+            credit(ch) = (ids + eid, c + (cents * g.length) / n)
+          }
+        }
+    }
+    val expect = credit.map { case (ch, (ids, c)) =>
+      (ch, ids.size.toLong, c.toDouble / 100.0)
+    }.toSet
+    assert(got === expect)
+  }
+
+  // ---- q_join_scd2_pit ---------------------------------------------------
+
+  test("q_join_scd2_pit census matches an in-driver interval replay") {
+    val got = ops.Analytics.joinScd2Pit(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val orders = Tables(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate"),
+        $"o_orderstatus")
+      .as[(Long, Long, java.sql.Date, String)].collect()
+    val custs = Tables(spark, sfDir, "customer")
+      .select($"c_custkey").as[Long].collect()
+    val base = java.time.LocalDate.parse("1996-01-01")
+    val statusAt = orders.groupBy(_._1).map { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._3.toLocalDate.toEpochDay, o._2))
+      ck -> sorted
+    }
+    val expect = custs.map { ck =>
+      val asOf = base.plusDays(ck % 1800)
+      statusAt.get(ck) match {
+        case None => "none"
+        case Some(hist) =>
+          // last order at-or-before asOf determines the open interval
+          val prior = hist.filter(!_._3.toLocalDate.isAfter(asOf))
+          if (prior.isEmpty) "none" else prior.last._4
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got === expect)
+  }
+
+  // ---- q_stats_drift_psi -------------------------------------------------
+
+  test("q_stats_drift_psi: bins conserve counts, total sums terms") {
+    val rows = ops.Quality.statsDriftPsi(spark, sfDir)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length === 10)
+    val n = Tables(spark, sfDir, "events").count()
+    assert(rows.map(r => r._2 + r._3).sum === n)
+    val total = rows.map(r => BigDecimal(r._6)).sum.toDouble
+    assert(math.abs(total - rows.head._7) < 1e-9)
+    rows.foreach(r => assert(r._7 === rows.head._7))
+  }
+
+  // ---- q_dedup_bloom_screen ----------------------------------------------
+
+  test("q_dedup_bloom_screen equals the exact NOT EXISTS split") {
+    val got = ops.LlmOps.dedupBloomScreen(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val corpus = docs.filter(_._1 % 10 != 7).map(_._3).toSet
+    val batch = docs.filter(_._1 % 10 == 7) ++
+      docs.filter(_._1 % 10 == 3).map(d => (d._1 + 1000000L, d._2, d._3))
+    val expect = batch.groupBy(_._2).map { case (lang, g) =>
+      val dup = g.count(d => corpus(d._3))
+      (lang, g.length.toLong, dup.toLong, (g.length - dup).toLong)
+    }.toSet
+    assert(got === expect)
+    // every replayed doc is a guaranteed duplicate
+    val replayed = docs.count(_._1 % 10 == 3)
+    assert(got.toSeq.map(_._3).sum >= replayed)
+  }
+
+  // ---- q_text_novelty ----------------------------------------------------
+
+  test("q_text_novelty: bounded, and the corpus-min doc is fully novel") {
+    val rows = ops.LlmOps.textNovelty(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2)
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+    }
+    // doc_id 0 is the corpus minimum and in the %7 slice: every one of
+    // its shingles first occurs there
+    rows.find(_._1 === 0L).foreach(r => assert(r._4 === 1.0))
+  }
+
+  // ---- q_classify_linear -------------------------------------------------
+
+  test("q_classify_linear matches an in-driver hash/weight replay") {
+    val got = ops.Quality.classifyLinear(spark, sfDir)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(got.length === docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.take(50).foreach { case (id, nTok, scoreInt, score, label) =>
+      val toks = docs(id).split(" ").filter(_.nonEmpty)
+      assert(nTok === toks.length)
+      val expect = toks.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).take(6)
+          .map(b => f"$b%02x").mkString
+        val bucket = java.lang.Long.parseLong(hex, 16) % 64
+        ((bucket * 2654435761L) % 201) - 100
+      }.sum
+      assert(scoreInt === expect, s"doc $id")
+      assert(score === scoreInt.toDouble / math.max(nTok, 1))
+      assert(label === (scoreInt > 0))
+    }
+  }
+
+  // ---- q_spatial_density -------------------------------------------------
+
+  test("q_spatial_density conserves objects on the 24x8 grid") {
+    val rows = ops.Spatial.spatialDensity(spark, sfDir)
+      .as[(Int, Int, Long, Long)].collect()
+    assert(rows.map(_._3).sum === Tables(spark, sfDir, "part").count())
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 <= 23)
+      assert(r._2 >= 0 && r._2 <= 7)
+    }
+  }
+
+  // ---- q_graph_clustering ------------------------------------------------
+
+  test("q_graph_clustering matches a naive neighbor-pair count") {
+    val rows = ops.LlmOps.graphClustering(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    // rebuild the undirected kNN edge set independently of the wedge
+    // machinery under test, then count closed neighbor pairs naively
+    val und = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id"), greatest($"vec_id", $"nbr_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.map(_._1).toSet === nbrs.keySet)
+    rows.foreach { case (node, deg, nTri, cc) =>
+      val ns = nbrs(node).toSeq.sorted
+      assert(deg === ns.length)
+      val closed = (for {
+        i <- ns.indices; j <- (i + 1) until ns.length
+        if und((math.min(ns(i), ns(j)), math.max(ns(i), ns(j))))
+      } yield 1).sum
+      assert(nTri === closed, s"node $node")
+      val expectCc =
+        if (deg < 2) 0.0 else (2.0 * closed) / (deg * (deg - 1))
+      assert(cc === expectCc)
+      assert(cc >= 0.0 && cc <= 1.0)
+    }
+  }
+
+  // ---- q_multimodal_phash ------------------------------------------------
+
+  test("q_multimodal_phash matches the generator-arithmetic replay") {
+    val got = ops.LlmOps.multimodalPhash(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars".cast("int"))
+      .as[(Long, Int)].collect()
+    def phash(id: Long, nChars: Int): String = {
+      val (w, h, g) = (8 + nChars % 24, 8 + (id % 24).toInt,
+        ((id * 37 + nChars) % 190).toInt)
+      val mx = math.max(w, h)
+      val (ow, oh) = if (mx <= 8) (w, h) else (w * 8 / mx, h * 8 / mx)
+      val n = ow * oh
+      val px = Array.tabulate(oh, ow)((j, i) =>
+        g + (i * w / ow) + (j * h / oh))
+      val sum = px.map(_.map(_.toLong).sum).sum
+      val bits = (for (j <- 0 until oh; i <- 0 until ow)
+        yield if (px(j)(i).toLong * n > sum) '1' else '0').mkString
+      s"${ow}x$oh:$bits"
+    }
+    val expect = docs.map(d => (phash(d._1, d._2), d._1))
+      .groupBy(_._1).map { case (p, g) =>
+        (p, g.map(_._2).min, g.length.toLong)
+      }.toSet
+    assert(got === expect)
+    // the hash genuinely buckets: fewer groups than images
+    assert(got.size < docs.length)
+  }
+}

@@ -46,7 +46,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // curation chain — each aggregates or joins on keys whose
     // grouping must not depend on initial layout
     "q_spatial_zones_join", "q_spatial_best_match", "q_agg_mode",
-    "q_customer_rfm", "q_pipeline_curation_v2")
+    "q_customer_rfm", "q_pipeline_curation_v2",
+    // round 7: full-outer snapshot diff, global running decimal sum,
+    // floor-cent attribution over a band join, interval-stabbing PIT
+    // lookup, wedge-join clustering coefficient, first-occurrence
+    // novelty, shared-basis PSI binning — each shuffles on keys whose
+    // grouping must not depend on the initial layout
+    "q_snapshot_diff", "q_abc_pareto", "q_attrib_linear",
+    "q_join_scd2_pit", "q_graph_clustering", "q_text_novelty",
+    "q_stats_drift_psi")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -28,7 +28,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_agg_histogram",   // 1-row broadcast min/max crossJoin
     "q_agg_hll_rollup",  // 1-row broadcast exact-total crossJoin
     "q_text_perplexity", // 1-row broadcast token-total crossJoin
-    "q_ts_gapfill"       // 31-row broadcast day-grid crossJoin
+    "q_ts_gapfill",      // 31-row broadcast day-grid crossJoin
+    "q_abc_pareto",      // 1-row broadcast grand-total crossJoin
+    "q_stats_drift_psi"  // 1-row broadcast min/max + totals crossJoins
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
