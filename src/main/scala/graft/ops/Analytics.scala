@@ -618,6 +618,58 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** TIME-OF-WEEK ACTIVITY HEATMAP — the day-of-week × hour-of-day
+    * grid every traffic dashboard leads with (and the load profile a
+    * capacity planner reads): per cell, event count and exact
+    * revenue. Day-of-week is computed ARITHMETICALLY from the epoch
+    * day ((d + 3) mod 7, 0 = Monday) rather than via engine dow()
+    * functions, whose week-start conventions differ — the
+    * cross-engine determinism stance applied to calendars. One
+    * partial-agged pass onto a ≤ 168-cell grid. */
+  def eventsHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "events")
+      .select(((unix_date(to_date($"ts")) + 3) % 7).cast("int").as("dow"),
+        hour($"ts").as("hod"), $"value")
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Det.dsum($"value").as("revenue"))
+      .orderBy($"dow", $"hod")
+  }
+
+  /** TIME-WEIGHTED AVERAGE (step interpolation) of each user's value
+    * series — the TSDB aggregate for irregularly-sampled series,
+    * where a plain mean over-weights bursts: each observation holds
+    * until the next one, so twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first).
+    * Single-event users have zero span and are excluded (documented).
+    *
+    * Determinism: the integrand is decimal(value) × Δµs (exact
+    * decimal arithmetic, any addition order), the denominator is an
+    * exact long span, and the final quotient divides identical
+    * operands. Scale posture: ONE user_id exchange — the lead
+    * lookahead and both aggs share the per-user partition; state is
+    * one row. */
+  def tsTwa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        $"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          .as("v"))
+      .withColumn("dt", lead($"tus", 1).over(w) - $"tus")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tus") - min($"tus")).as("span_us"),
+        sum($"v" * $"dt").as("area"))
+      .filter($"span_us" > 0)
+      // r4: the wide decimal area exceeds the range where both
+      // engines' decimal→double casts agree to the last ulp
+      .select($"user_id", $"n_events", $"span_us",
+        graft.Det.r4($"area".cast("double") / $"span_us").as("twa"))
+      .orderBy($"user_id")
+  }
+
   /** MULTI-TOUCH LINEAR attribution — the fair-share companion to
     * [[eventsAttribution]]'s last-touch rule: every touchpoint (view /
     * click / signup) in the hour BEFORE a purchase shares that
@@ -759,6 +811,8 @@ object Analytics {
     "q_abc_pareto" -> abcPareto,
     "q_attrib_linear" -> attribLinear,
     "q_join_scd2_pit" -> joinScd2Pit,
+    "q_events_heatmap" -> eventsHeatmap,
+    "q_ts_twa" -> tsTwa,
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,

@@ -2728,7 +2728,78 @@ object LlmOps {
       .orderBy($"keep_id")
   }
 
+  /** EPOCH-MIX PLANNING — the "how many epochs of each source fit the
+    * token budget" computation a pretraining run does before writing
+    * its data config: per-source exact token counts, temperature
+    * weights w ∝ n^0.5 (the [[mixTemperature]] rule), a 2×-total
+    * token budget allocated by weight, and the per-source epoch count
+    * capped at 4 (the data-repetition ceiling the scaling-law
+    * literature recommends before returns degrade). Head sources end
+    * up under-sampled (< 1 epoch), tail sources hit the cap — exactly
+    * the flattening the temperature rule exists to produce.
+    *
+    * Scale posture: one partial-agged token-count pass (corpus →
+    * source dimension), a 1-row broadcast normalizer, map-side
+    * arithmetic; identical-operand IEEE ops both engines, r4 display. */
+  def mixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "documents")
+      .select($"source",
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), Det.lsum($"nt").as("n_tokens"))
+    val norm = c.agg(sum(pow($"n_tokens", 0.5)).as("t"),
+      sum($"n_tokens").cast("long").as("total"))
+    c.crossJoin(broadcast(norm))
+      .select($"source", $"n_docs", $"n_tokens",
+        Det.r4(pow($"n_tokens", 0.5) / $"t").as("weight"),
+        Det.r4(least(lit(4.0),
+          pow($"n_tokens", 0.5) / $"t" * (lit(2) * $"total")
+            / $"n_tokens")).as("epochs"))
+      .orderBy($"source")
+  }
+
+  /** URL CANONICALIZATION dedup — the very first dedup a web corpus
+    * runs (before any content hashing): syntactic URL variants of the
+    * same logical page (case-shifted host, tracking params, trailing
+    * slash, fragments) normalize to one canonical form and collapse.
+    * The corpus has no URL column, so each doc derives one
+    * deterministically — four consecutive doc_ids share a logical
+    * page, each carrying a different variant class (the
+    * q_udf_despath synthesize-from-keys precedent), so the oracle
+    * replays the whole pipeline. Output: the canonical-group-size
+    * histogram with a sample URL per size.
+    *
+    * Scale posture: normalization is row-local regexp/lower at scan
+    * speed; the collapse is one canonical-keyed partial-agged
+    * shuffle; group width = variant multiplicity, never the corpus. */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = $"doc_id" % 4
+    val host = lit("www.example.com")
+    // variants 0..2 of each 4-id block are the same logical page
+    // (plain / case-shifted host / tracking param); variant 3 is a
+    // distinct page carrying the trailing-slash + fragment noise
+    val raw = concat(lit("https://"),
+      when(v === 1, upper(host)).otherwise(host),
+      when(v === 3, concat(lit("/docs/u"), $"doc_id"))
+        .otherwise(concat(lit("/docs/"), expr("doc_id div 4"))),
+      when(v === 2, lit("?utm_source=feed"))
+        .when(v === 3, lit("/#frag")).otherwise(lit("")))
+    Tables(spark, sfDir, "documents")
+      .select(lower(regexp_replace(regexp_replace(regexp_replace(
+        raw, "#.*$", ""), "[?&]utm_[^&#]*", ""), "/$", ""))
+        .as("canonical"))
+      .groupBy($"canonical").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        min($"canonical").as("sample_url"))
+      .orderBy($"group_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_epochs" -> mixEpochs,
+    "q_dedup_url" -> dedupUrl,
     "q_graph_clustering" -> graphClustering,
     "q_multimodal_phash" -> multimodalPhash,
     "q_dedup_bloom_screen" -> dedupBloomScreen,

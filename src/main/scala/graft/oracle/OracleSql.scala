@@ -2558,6 +2558,69 @@ object OracleSql {
         |  score_int > 0 AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // arithmetic day-of-week ((epoch_day + 3) % 7, 0 = Monday) — no
+    // engine dow() convention in play
+    "q_events_heatmap" ->
+      s"""SELECT
+         |  cast((date_diff('day', DATE '1970-01-01', cast(ts as date))
+         |    + 3) % 7 as int) AS dow,
+         |  cast(hour(ts) as int) AS hod,
+         |  count(*) AS n_events, ${dsum("value")} AS revenue
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+
+    "q_ts_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    cast(value as decimal(12,2)) AS v
+        |  FROM events),
+        |l AS (SELECT user_id, tus, v,
+        |    lead(tus) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) - tus AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, count(*) AS n_events,
+        |    max(tus) - min(tus) AS span_us,
+        |    sum(v * dt) AS area
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events, cast(span_us as bigint) AS span_us,
+        |  round(cast(area as double) / span_us, 4) AS twa
+        |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin,
+
+    "q_mix_epochs" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    cast(sum(len(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))) as bigint) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT sum(pow(n_tokens, 0.5)) AS t,
+        |      cast(sum(n_tokens) as bigint) AS total FROM c)
+        |SELECT source, n_docs, n_tokens,
+        |  round(pow(n_tokens, 0.5) / t, 4) AS weight,
+        |  round(least(4.0, pow(n_tokens, 0.5) / t * (2 * total)
+        |    / n_tokens), 4) AS epochs
+        |FROM c CROSS JOIN n ORDER BY source""".stripMargin,
+
+    // identical variant synthesis + normalization chain; single-match
+    // patterns so first-match (DuckDB) and all-match (Spark)
+    // regexp_replace coincide
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT lower(regexp_replace(regexp_replace(regexp_replace(
+        |    'https://' ||
+        |    CASE WHEN doc_id % 4 = 1 THEN 'WWW.EXAMPLE.COM'
+        |         ELSE 'www.example.com' END ||
+        |    CASE WHEN doc_id % 4 = 3 THEN '/docs/u' || doc_id
+        |         ELSE '/docs/' || (doc_id // 4) END ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed'
+        |         WHEN doc_id % 4 = 3 THEN '/#frag'
+        |         ELSE '' END,
+        |    '#.*$', ''), '[?&]utm_[^&#]*', ''), '/$', ''))
+        |    AS canonical
+        |  FROM documents),
+        |g AS (SELECT canonical, count(*) AS sz FROM u GROUP BY canonical)
+        |SELECT sz AS group_size, count(*) AS n_groups,
+        |  min(canonical) AS sample_url
+        |FROM g GROUP BY sz ORDER BY group_size""".stripMargin,
+
     "q_spatial_density" ->
       """WITH cat AS (
         |  SELECT p_partkey AS id,

@@ -260,6 +260,67 @@ class OpsRound7Spec extends SparkSpec {
     }
   }
 
+  // ---- q_events_heatmap --------------------------------------------------
+
+  test("q_events_heatmap conserves events on the week grid") {
+    val rows = ops.Analytics.eventsHeatmap(spark, sfDir)
+      .as[(Int, Int, Long, Double)].collect()
+    assert(rows.map(_._3).sum === Tables(spark, sfDir, "events").count())
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 <= 6)
+      assert(r._2 >= 0 && r._2 <= 23)
+    }
+  }
+
+  // ---- q_ts_twa ----------------------------------------------------------
+
+  test("q_ts_twa matches an in-driver step-integral replay") {
+    val got = ops.Analytics.tsTwa(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val evs = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1)
+    got.foreach { case (uid, n, span, twa) =>
+      val series = evs(uid).sortBy(e => (e._3, e._2))
+      assert(n === series.length)
+      assert(span === series.last._3 - series.head._3)
+      val area = series.sliding(2).collect { case Array(a, b) =>
+        BigDecimal(a._4).setScale(2) * BigDecimal(b._3 - a._3)
+      }.sum
+      assert(math.abs(twa - area.toDouble / span) < 1e-3, s"user $uid")
+    }
+    // single-event users (zero span) are excluded
+    assert(got.length === evs.count(_._2.length > 1))
+  }
+
+  // ---- q_mix_epochs ------------------------------------------------------
+
+  test("q_mix_epochs: capped allocation inside the 2x token budget") {
+    val rows = ops.LlmOps.mixEpochs(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
+    rows.foreach(r => assert(r._5 > 0.0 && r._5 <= 4.0))
+    val total = rows.map(_._3).sum
+    val planned = rows.map(r => r._5 * r._3).sum
+    assert(planned <= 2.0 * total + total * 1e-3)
+  }
+
+  // ---- q_dedup_url -------------------------------------------------------
+
+  test("q_dedup_url: variant triples collapse, unique pages survive") {
+    val rows = ops.LlmOps.dedupUrl(spark, sfDir)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val ids = Tables(spark, sfDir, "documents")
+      .select($"doc_id").as[Long].collect()
+    val nUnique = ids.count(_ % 4 == 3)
+    val nTriples = ids.filter(_ % 4 != 3).map(_ / 4).distinct.length
+    assert(rows(1L)._2 === nUnique)
+    // the %4∈{0,1,2} ids of each block collapse to one canonical URL
+    assert(rows.filterNot(_._1 == 1L).values.map(_._2).sum === nTriples)
+    assert(rows(1L)._3.startsWith("https://www.example.com/docs/u"))
+  }
+
   // ---- q_multimodal_phash ------------------------------------------------
 
   test("q_multimodal_phash matches the generator-arithmetic replay") {
