@@ -349,7 +349,49 @@ object Aggregates {
       .orderBy($"source")
   }
 
+  /** INCREMENTAL JOIN-VIEW maintenance — [[aggIncremental]] extended
+    * to a view DEFINED OVER A JOIN (revenue per nation from
+    * orders ⨝ customer ⨝ nation), the shape real materialized views
+    * take: yesterday's snapshot stores the view's mergeable per-group
+    * partials, today's order DELTA joins the (stable) dimensions
+    * alone and aggregates alone — ΔA ⨝ B, never a rescan of A — and
+    * the served view is the merge. The oracle computes the view from
+    * the FULL join, so the hash match proves merge ≡ recompute.
+    *
+    * Scale posture: the delta join broadcasts the dimensions (or
+    * co-partitions on the key); history costs only its stored
+    * group-level partials. Dimension CHANGES are the documented
+    * boundary: a changed dim row invalidates affected groups —
+    * that's the q_scd2_intervals + per-group recompute path, stated
+    * rather than hidden. */
+  def joinIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${Relational.scratchRoot}/snapshot_joinview"
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val n = Tables(spark, sfDir, "nation")
+      .select($"n_nationkey", $"n_name")
+    def partials(df: DataFrame): DataFrame =
+      df.join(c, df("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Det.dec($"o_totalprice").cast(DecimalType(27, 4)))
+            .as("rev"))
+    partials(o.filter($"o_orderkey" % 10 < 8))
+      .write.mode("overwrite").parquet(dir)
+    val snapshot = spark.read.schema(
+      "n_name STRING, n_orders BIGINT, rev DECIMAL(38,4)").parquet(dir)
+    snapshot.unionByName(partials(o.filter($"o_orderkey" % 10 >= 8)))
+      .groupBy($"n_name")
+      .agg(sum($"n_orders").cast("long").as("n_orders"),
+        sum($"rev").cast(DoubleType).as("revenue"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_incremental" -> joinIncremental,
     "q_agg_incremental" -> aggIncremental,
     "q_agg_countmin" -> aggCountmin,
     "q_agg_heavy_hitters" -> aggHeavyHitters,

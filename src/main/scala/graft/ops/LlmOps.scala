@@ -2797,7 +2797,65 @@ object LlmOps {
       .orderBy($"group_size")
   }
 
+  /** SLIDING-WINDOW CHUNKING with overlap — the RAG/retrieval corpus
+    * prep stage ([[packChunks]] is the pretraining cousin; retrieval
+    * chunks OVERLAP so answers spanning a boundary stay findable):
+    * 32-token windows at stride 24, each doc emitting its own chunk
+    * rows (doc_id, chunk_idx, start, length, first token). Chunk
+    * starts are pure arithmetic over the token array — row-local
+    * sequence + posexplode, fan-out ≈ n/stride per doc, ZERO
+    * shuffles beyond the output order; at 100 TB this is a map
+    * stage feeding the embedding batch directly. */
+  def chunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"toks",
+        posexplode(expr("sequence(0, size(toks) - 1, 24)"))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select($"doc_id", $"chunk_idx", $"start_tok",
+        size(expr("slice(toks, start_tok + 1, 32)"))
+          .as("n_chunk_tokens"),
+        expr("element_at(toks, start_tok + 1)").as("first_token"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** MATRYOSHKA-DIMENSION retrieval check — "how much ranking quality
+    * do truncated embeddings keep?", the evaluation behind
+    * dimension-truncation serving (MRL): the brute-force top-10 by
+    * FULL 64-dim cosine, each row flagged with whether the 16-dim
+    * PREFIX dot's top-10 also contains it. High overlap ⇒ the prefix
+    * index (4× cheaper RAM/IO) is safe to serve with a full-dim
+    * re-rank. Both scores computed in ONE corpus pass against the
+    * broadcast query row; two TakeOrdered reductions; the flag join
+    * is 10×10. */
+  def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val scored = v.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"),
+        Det.r4(expr(
+          """aggregate(sequence(1, 16), cast(0.0 as double),
+            |  (acc, i) -> acc + cast(element_at(embedding, i) as double)
+            |    * cast(element_at(qe, i) as double))""".stripMargin))
+          .as("sim16"))
+    val full = scored.orderBy($"sim".desc, $"vec_id").limit(10)
+    val pref = scored.orderBy($"sim16".desc, $"vec_id").limit(10)
+      .select($"vec_id", lit(true).as("in_prefix_top10"))
+    full.join(pref, Seq("vec_id"), "left")
+      .select($"vec_id", $"sim", $"sim16",
+        coalesce($"in_prefix_top10", lit(false)).as("in_prefix_top10"))
+      .orderBy($"sim".desc, $"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> chunkOverlap,
+    "q_sim_matryoshka" -> simMatryoshka,
     "q_mix_epochs" -> mixEpochs,
     "q_dedup_url" -> dedupUrl,
     "q_graph_clustering" -> graphClustering,

@@ -272,7 +272,36 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** Windowed TOP-K — the "trending now" panel: per 1-hour tumbling
+    * window, the top-3 event types by exact revenue. Composes
+    * [[tumbling]]'s incremental aggregate with a rank over the
+    * PRE-AGGREGATED (window × type) grid — the window's width is the
+    * type cardinality, never the event stream. Under `readStream`
+    * the aggregate half runs incrementally (update/complete modes,
+    * state keyed on window × type, bounded by the watermark) and the
+    * rank is the per-sink batch query — exactly how a production
+    * leaderboard materializes (exercised in StreamingSpec); ranking
+    * inside append-mode streaming SQL is unsupported by design.
+    * Ties break on event_type: revenue is the exact decimal sum, so
+    * the order is total in both engines. */
+  def windowTopk(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("sum_value").desc, col("event_type"))
+    tumbling(events)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("window_start"), col("rk"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  def streamTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    windowTopk(Tables(spark, sfDir, "events"))
+      .orderBy($"window_start", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk" -> streamTopk,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
     "q_stream_session" -> streamSession,

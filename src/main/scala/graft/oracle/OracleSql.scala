@@ -2558,6 +2558,61 @@ object OracleSql {
         |  score_int > 0 AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_stream_topk" ->
+      s"""WITH a AS (
+         |  SELECT cast(time_bucket(INTERVAL '1 hour', ts) as timestamp)
+         |    AS window_start, event_type,
+         |    count(*) AS n, ${dsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+         |        ORDER BY sum_value DESC, event_type) AS rk
+         |      FROM a)
+         |SELECT window_start, cast(rk as int) AS rk, event_type, n,
+         |  sum_value
+         |FROM r WHERE rk <= 3 ORDER BY window_start, rk""".stripMargin,
+
+    // full-join recompute — the hash match proves merge ≡ recompute
+    "q_join_incremental" ->
+      s"""SELECT n_name, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, cast(u.i as int) AS chunk_idx,
+        |    cast(u.i * 24 as int) AS start_tok,
+        |    toks[u.i*24+1 : u.i*24+32] AS chunk,
+        |    toks[u.i*24+1] AS first_token
+        |  FROM t, UNNEST(range(0, CASE WHEN len(toks) = 0 THEN 0
+        |    ELSE (len(toks) - 1) // 24 + 1 END)) AS u(i))
+        |SELECT doc_id, chunk_idx, start_tok,
+        |  cast(len(chunk) as int) AS n_chunk_tokens, first_token
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_sim_matryoshka" -> {
+      def d(n: Int) =
+        s"round(list_sum(list_transform(range(1, ${n + 1}), " +
+          "i -> cast(a.embedding[i] as double)" +
+          " * cast(q.embedding[i] as double))), 4)"
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT a.vec_id, ${d(64)} AS sim, ${d(16)} AS sim16
+         |      FROM embeddings a CROSS JOIN q WHERE a.vec_id <> 0),
+         |f AS (SELECT vec_id, sim, sim16 FROM s
+         |      ORDER BY sim DESC, vec_id LIMIT 10),
+         |p AS (SELECT vec_id FROM s ORDER BY sim16 DESC, vec_id LIMIT 10)
+         |SELECT f.vec_id, f.sim, f.sim16,
+         |  EXISTS (SELECT 1 FROM p WHERE p.vec_id = f.vec_id)
+         |    AS in_prefix_top10
+         |FROM f ORDER BY sim DESC, vec_id""".stripMargin
+    },
+
     // arithmetic day-of-week ((epoch_day + 3) % 7, 0 = Monday) — no
     // engine dow() convention in play
     "q_events_heatmap" ->

@@ -321,6 +321,87 @@ class OpsRound7Spec extends SparkSpec {
     assert(rows(1L)._3.startsWith("https://www.example.com/docs/u"))
   }
 
+  // ---- q_stream_topk -----------------------------------------------------
+
+  test("q_stream_topk: ranks within each window's pre-aggregate") {
+    val rows = ops.StreamingOps.streamTopk(spark, sfDir)
+      .as[(java.sql.Timestamp, Int, String, Long, Double)].collect()
+    rows.groupBy(_._1).values.foreach { w =>
+      val sorted = w.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.length <= 3)
+      // revenue non-increasing down the ranks
+      assert(sorted.map(_._5).toSeq ===
+        sorted.map(_._5).sortBy(x => -x).toSeq)
+    }
+  }
+
+  // ---- q_join_incremental ------------------------------------------------
+
+  test("q_join_incremental merge equals the full-join recompute") {
+    val got = ops.Aggregates.joinIncremental(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSet
+    val full = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .join(Tables(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum($"o_totalprice").as("revenue"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === full)
+  }
+
+  // ---- q_chunk_overlap ---------------------------------------------------
+
+  test("q_chunk_overlap: stride/window arithmetic and coverage hold") {
+    val rows = ops.LlmOps.chunkOverlap(spark, sfDir)
+      .as[(Long, Int, Int, Int, String)].collect()
+    val nToks = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("size(filter(split(text, ' '), t -> t <> ''))"))
+      .as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices)
+      assert(sorted.length === (n - 1) / 24 + 1)
+      sorted.foreach { case (_, idx, start, len, _) =>
+        assert(start === idx * 24)
+        assert(len === math.min(32, n - start))
+      }
+      // only the FINAL chunk can fall under stride+1 tokens: any
+      // earlier chunk has n - start >= 25 by the start formula
+      sorted.init.foreach(c => assert(c._4 >= 25))
+      assert(sorted.last._4 >= 1)
+    }
+    // every non-empty doc is covered
+    assert(rows.map(_._1).distinct.length ===
+      nToks.count(_._2 > 0))
+  }
+
+  // ---- q_sim_matryoshka --------------------------------------------------
+
+  test("q_sim_matryoshka: full ranking with sane prefix overlap") {
+    val rows = ops.LlmOps.simMatryoshka(spark, sfDir)
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(x => -x).toSeq)
+    // the prefix flag matches an independently computed prefix top-10
+    val v = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    val qe = v.find(_._1 == 0L).get._2
+    def dot16(a: Array[Float]) =
+      (0 until 16).map(i => a(i).toDouble * qe(i).toDouble).sum
+    val prefTop = v.filter(_._1 != 0L)
+      .map(t => (t._1, BigDecimal(dot16(t._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    rows.foreach(r => assert(r._4 === prefTop(r._1), s"vec ${r._1}"))
+  }
+
   // ---- q_multimodal_phash ------------------------------------------------
 
   test("q_multimodal_phash matches the generator-arithmetic replay") {

@@ -30,7 +30,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_text_perplexity", // 1-row broadcast token-total crossJoin
     "q_ts_gapfill",      // 31-row broadcast day-grid crossJoin
     "q_abc_pareto",      // 1-row broadcast grand-total crossJoin
-    "q_stats_drift_psi"  // 1-row broadcast min/max + totals crossJoins
+    "q_stats_drift_psi", // 1-row broadcast min/max + totals crossJoins
+    "q_sim_matryoshka",  // 1-row broadcast query-vector crossJoin
+    "q_mix_epochs"       // 1-row broadcast normalizer crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -35,6 +35,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("windowed top-k: incremental aggregate + sink-side rank matches batch") {
+    // the aggregate half runs incrementally (complete mode, state keyed
+    // on window x type); the rank is the per-sink batch query - the
+    // production leaderboard shape windowTopk's scaladoc declares
+    val events = Tables(spark, sfDir, "events")
+    val dir = Files.createTempDirectory("graft_stream_tk").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.readEventsStream(spark, dir)
+      .transform(StreamingOps.tumbling)
+      .writeStream.format("memory")
+      .queryName("topk_agg_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"sum_value".desc, $"event_type")
+    val got = spark.table("topk_agg_out")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"window_start", $"rk", $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"rk").collect()
+    val want = StreamingOps.windowTopk(events)
+      .orderBy($"window_start", $"rk").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("sliding window: stream over file source matches batch") {
     val events = Tables(spark, sfDir, "events")
     val dir = Files.createTempDirectory("graft_stream_sl").toString
