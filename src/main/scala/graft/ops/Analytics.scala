@@ -670,6 +670,60 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** DAU/MAU STICKINESS — the engagement ratio dashboards track
+    * daily: distinct users active that day over distinct users active
+    * in the trailing 28 days. Rolling COUNT DISTINCT again
+    * ([[eventsWau]]'s scale argument): dedup to (day, user) once,
+    * EXPLODE each activity day onto the ≤28 target days it keeps a
+    * user "monthly active" for, count distinct per target day, join
+    * the daily actives back. Fan-out bounded by the window (×28),
+    * both stages partial-agged key-hash aggs; the DuckDB twin is the
+    * succinct-but-range-join formulation. Stickiness divides exact
+    * longs. */
+  def eventsStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+    val dau = ud.groupBy($"d".as("day")).agg(countDistinct($"user_id")
+      .as("dau"))
+    val mau = ud
+      .select(explode(sequence($"d", date_add($"d", 27))).as("day"),
+        $"user_id")
+      .groupBy($"day").agg(countDistinct($"user_id").as("mau"))
+    dau.join(mau, "day")
+      .select($"day", $"dau", $"mau",
+        ($"dau".cast("double") / $"mau").as("stickiness"))
+      .orderBy($"day")
+  }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every demand
+    * forecast is judged against (predict day d = observed d−7), run
+    * as an engine query: per event type, score days whose lag-7
+    * exists, absolute percentage error per day, and the MAPE.
+    * Determinism: revenues are exact decimal sums (identical doubles
+    * ⇒ identical APE), the per-day APE is r4'd, and the MAPE sums
+    * the displayed terms through an exact decimal cast (day order
+    * cannot move it) before one division. Scale posture: the window
+    * input is the pre-aggregated type×day grid — dimension-sized. */
+  def eventsForecastNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(graft.Det.dsum($"value").as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("pred", lag($"revenue", 7).over(w))
+      .filter($"pred".isNotNull && $"revenue" > 0.0)
+      .withColumn("ape",
+        graft.Det.r4(abs($"revenue" - $"pred") / $"revenue"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        (sum($"ape".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mape"))
+      .orderBy($"event_type")
+  }
+
   /** MULTI-TOUCH LINEAR attribution — the fair-share companion to
     * [[eventsAttribution]]'s last-touch rule: every touchpoint (view /
     * click / signup) in the hour BEFORE a purchase shares that
@@ -813,6 +867,8 @@ object Analytics {
     "q_join_scd2_pit" -> joinScd2Pit,
     "q_events_heatmap" -> eventsHeatmap,
     "q_ts_twa" -> tsTwa,
+    "q_events_stickiness" -> eventsStickiness,
+    "q_events_forecast_naive" -> eventsForecastNaive,
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,

@@ -2853,7 +2853,44 @@ object LlmOps {
       .orderBy($"sim".desc, $"vec_id")
   }
 
+  /** NEGATIVE SAMPLING for contrastive training — every anchor doc
+    * draws k=3 reproducible pseudo-random negatives from the corpus
+    * (Knuth-hash over a contiguous id space — the
+    * [[sampleWeighted]]/[[shuffleDeterministic]] randomness stance,
+    * so the same corpus always yields the same pairs and the oracle
+    * replays them); self-collisions step to the next id. Each pair
+    * surfaces whether the negative shares the anchor's source — the
+    * in-batch-negative quality signal (same-source "negatives" are
+    * the false-negative risk a curriculum monitors).
+    *
+    * Scale posture: candidate ids are map-side arithmetic against a
+    * 1-row broadcast corpus count; resolving negatives is ONE equi
+    * join on doc_id (at 100 TB: co-partitioned on the id the corpus
+    * is already bucketed by); ×k fan-out, no pair space. */
+  def sampleNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    val cnt = docs.agg(count(lit(1)).as("nn"))
+    val cand = docs.filter($"doc_id" % 10 === 5)
+      .select($"doc_id".as("anchor_id"), $"source".as("a_src"))
+      .crossJoin(broadcast(cnt))
+      .select($"anchor_id", $"a_src", $"nn",
+        explode(sequence(lit(1), lit(3))).as("j"))
+      .withColumn("neg0",
+        ($"anchor_id" * 2654435761L + $"j" * 1000003L) % $"nn")
+      .select($"anchor_id", $"a_src", $"j",
+        when($"neg0" === $"anchor_id", ($"neg0" + 1) % $"nn")
+          .otherwise($"neg0").as("neg_id"))
+    cand.join(docs.select($"doc_id".as("neg_id"),
+        $"source".as("n_src")), "neg_id")
+      .select($"anchor_id", $"j", $"neg_id",
+        ($"n_src" === $"a_src").as("same_source"))
+      .orderBy($"anchor_id", $"j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_negatives" -> sampleNegatives,
     "q_chunk_overlap" -> chunkOverlap,
     "q_sim_matryoshka" -> simMatryoshka,
     "q_mix_epochs" -> mixEpochs,

@@ -353,10 +353,43 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** LEXICON SAFETY FILTER — the blocklist gate every curation
+    * pipeline runs alongside the statistical quality rules (here a
+    * stand-in term list drawn from the corpus vocabulary; a real
+    * deployment broadcasts its maintained blocklist — same plan):
+    * per document, total blocklisted occurrences, distinct matched
+    * terms, and the flag; reported per language with flag rates so
+    * the gate's bite is auditable before it drops anything.
+    *
+    * Scale posture: matching is row-local HOF set arithmetic against
+    * a literal (broadcast-sized) lexicon at scan speed; one
+    * lang-keyed partial-agged rollup. Rates divide exact longs. */
+  def qualityLexicon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lex = "array('dup', 'stream', 'hash')"
+    Tables(spark, sfDir, "documents")
+      .select($"lang",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select($"lang",
+        expr(s"size(filter(toks, t -> array_contains($lex, t)))")
+          .as("n_hits"),
+        expr(s"size(array_intersect(array_distinct(toks), $lex))")
+          .as("n_terms"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"n_hits" > 0, 1)).as("n_flagged"),
+        sum($"n_hits").cast("long").as("total_hits"),
+        max($"n_terms").cast("long").as("max_distinct_terms"))
+      .withColumn("flag_rate",
+        $"n_flagged".cast("double") / $"n_docs")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> profileColumns,
     "q_stats_drift_psi" -> statsDriftPsi,
     "q_classify_linear" -> classifyLinear,
+    "q_quality_lexicon" -> qualityLexicon,
     "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,
     "q_quality_gopher" -> qualityGopher,

@@ -2558,6 +2558,77 @@ object OracleSql {
         |  score_int > 0 AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // succinct range-join twin of the bounded-explode rolling distinct
+    "q_events_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT cast(ts as date) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+        |        FROM ud GROUP BY d),
+        |mau AS (SELECT days.day,
+        |          count(DISTINCT ud.user_id) AS mau
+        |        FROM days JOIN ud
+        |          ON ud.d BETWEEN days.day - 27 AND days.day
+        |        GROUP BY days.day)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  cast(dau.dau as double) / mau.mau AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY dau.day""".stripMargin,
+
+    "q_events_forecast_naive" ->
+      (("""WITH daily AS (
+        |  SELECT event_type, cast(ts as date) AS day,
+        |    """ + dsum("value") + """ AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, revenue,
+        |    lag(revenue, 7) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS pred
+        |  FROM daily),
+        |s AS (SELECT event_type,
+        |    round(abs(revenue - pred) / revenue, 4) AS ape
+        |  FROM l WHERE pred IS NOT NULL AND revenue > 0.0)
+        |SELECT event_type, count(*) AS n_scored,
+        |  cast(sum(cast(ape as decimal(18,6))) as double) / count(*)
+        |    AS mape
+        |FROM s GROUP BY event_type
+        |ORDER BY event_type""").stripMargin),
+
+    "q_quality_lexicon" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT lang,
+        |    len(list_filter(toks,
+        |      x -> x IN ('dup', 'stream', 'hash'))) AS n_hits,
+        |    len(list_filter(['dup', 'stream', 'hash'],
+        |      x -> list_contains(toks, x))) AS n_terms
+        |  FROM t)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN n_hits > 0 THEN 1 END) AS n_flagged,
+        |  cast(sum(n_hits) as bigint) AS total_hits,
+        |  cast(max(n_terms) as bigint) AS max_distinct_terms,
+        |  cast(count(CASE WHEN n_hits > 0 THEN 1 END) as double)
+        |    / count(*) AS flag_rate
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // identical Knuth-hash candidate arithmetic + id-resolve join
+    "q_sample_negatives" ->
+      """WITH n AS (SELECT count(*) AS nn FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, source AS a_src
+        |      FROM documents WHERE doc_id % 10 = 5),
+        |c AS (SELECT anchor_id, a_src, cast(u.j as int) AS j, nn,
+        |    (anchor_id * 2654435761 + u.j * 1000003) % nn AS neg0
+        |  FROM a CROSS JOIN n, UNNEST(range(1, 4)) AS u(j)),
+        |f AS (SELECT anchor_id, j, a_src,
+        |    CASE WHEN neg0 = anchor_id THEN (neg0 + 1) % nn
+        |         ELSE neg0 END AS neg_id
+        |  FROM c)
+        |SELECT f.anchor_id, f.j, f.neg_id,
+        |  d.source = f.a_src AS same_source
+        |FROM f JOIN documents d ON d.doc_id = f.neg_id
+        |ORDER BY anchor_id, j""".stripMargin,
+
     "q_stream_topk" ->
       s"""WITH a AS (
          |  SELECT cast(time_bucket(INTERVAL '1 hour', ts) as timestamp)

@@ -402,6 +402,80 @@ class OpsRound7Spec extends SparkSpec {
     rows.foreach(r => assert(r._4 === prefTop(r._1), s"vec ${r._1}"))
   }
 
+  // ---- q_events_stickiness -----------------------------------------------
+
+  test("q_events_stickiness matches a naive trailing-28-day count") {
+    val rows = ops.Analytics.eventsStickiness(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    val ud = Tables(spark, sfDir, "events")
+      .select(to_date($"ts"), $"user_id").distinct()
+      .as[(java.sql.Date, Long)].collect()
+    rows.foreach { case (day, dau, mau, st) =>
+      val d = day.toLocalDate
+      val naiveDau = ud.filter(_._1.toLocalDate == d).map(_._2).toSet.size
+      val naiveMau = ud.filter { u =>
+        val x = u._1.toLocalDate
+        !x.isAfter(d) && !x.isBefore(d.minusDays(27))
+      }.map(_._2).toSet.size
+      assert(dau === naiveDau && mau === naiveMau, s"day $day")
+      assert(st === dau.toDouble / mau)
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  // ---- q_events_forecast_naive -------------------------------------------
+
+  test("q_events_forecast_naive: scored days and MAPE are consistent") {
+    val rows = ops.Analytics.eventsForecastNaive(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._2 > 0)
+      assert(r._3 >= 0.0)
+    }
+  }
+
+  // ---- q_quality_lexicon -------------------------------------------------
+
+  test("q_quality_lexicon matches an in-driver term scan") {
+    val got = ops.Quality.qualityLexicon(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val lex = Set("dup", "stream", "hash")
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val expect = docs.groupBy(_._1).map { case (lang, g) =>
+      val stats = g.map { d =>
+        val toks = d._2.split(" ").filter(_.nonEmpty)
+        (toks.count(lex), lex.count(toks.toSet))
+      }
+      val flagged = stats.count(_._1 > 0)
+      (lang, g.length.toLong, flagged.toLong,
+        stats.map(_._1).sum.toLong, stats.map(_._2).max.toLong,
+        flagged.toDouble / g.length)
+    }.toSet
+    assert(got === expect)
+  }
+
+  // ---- q_sample_negatives ------------------------------------------------
+
+  test("q_sample_negatives: reproducible, resolvable, never self") {
+    val rows = ops.LlmOps.sampleNegatives(spark, sfDir)
+      .as[(Long, Int, Long, Boolean)].collect()
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val src = docs.toMap
+    val n = docs.length
+    val anchors = docs.map(_._1).filter(_ % 10 == 5)
+    assert(rows.length === anchors.length * 3)
+    rows.foreach { case (a, j, neg, same) =>
+      val raw = (a * 2654435761L + j * 1000003L) % n
+      val expect = if (raw == a) (raw + 1) % n else raw
+      assert(neg === expect)
+      assert(neg !== a)
+      assert(same === (src(neg) == src(a)))
+    }
+  }
+
   // ---- q_multimodal_phash ------------------------------------------------
 
   test("q_multimodal_phash matches the generator-arithmetic replay") {

@@ -32,7 +32,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_abc_pareto",      // 1-row broadcast grand-total crossJoin
     "q_stats_drift_psi", // 1-row broadcast min/max + totals crossJoins
     "q_sim_matryoshka",  // 1-row broadcast query-vector crossJoin
-    "q_mix_epochs"       // 1-row broadcast normalizer crossJoin
+    "q_mix_epochs",      // 1-row broadcast normalizer crossJoin
+    "q_sample_negatives" // 1-row broadcast corpus-count crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
