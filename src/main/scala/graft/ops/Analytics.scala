@@ -670,6 +670,52 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** A/B TEST EVALUATION — the two-proportion z-test an
+    * experimentation platform runs nightly: users split into variants
+    * by a deterministic key hash (user_id parity — the bucketing rule
+    * IS the assignment in production too), conversion = "made ≥ 1
+    * purchase", z = (p_A − p_B) / √(p̂(1−p̂)(1/n_A + 1/n_B)) with the
+    * pooled p̂, flagged at |z| > 1.96 (95%).
+    *
+    * Determinism: all counts are exact; every ratio/√ computes from
+    * identical operands in both engines (significance compares the
+    * UNROUNDED z so the verdict can't straddle a display rounding);
+    * r4 display on the floats. Scale posture: one user-keyed
+    * conversion agg (partial-agged) collapsing to a 2-row variant
+    * dimension, then a 1-row report. */
+  def abTestProportions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val conv = Tables(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .select(when($"user_id" % 2 === 0, "A").otherwise("B")
+        .as("variant"), $"converted")
+    conv.agg(
+        count(when($"variant" === "A", 1)).as("n_a"),
+        sum(when($"variant" === "A", $"converted").otherwise(0))
+          .cast("long").as("conv_a"),
+        count(when($"variant" === "B", 1)).as("n_b"),
+        sum(when($"variant" === "B", $"converted").otherwise(0))
+          .cast("long").as("conv_b"))
+      .withColumn("pa", $"conv_a".cast("double") / $"n_a")
+      .withColumn("pb", $"conv_b".cast("double") / $"n_b")
+      .withColumn("pp",
+        ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b"))
+      // zero-variance guard: if every (or no) user converts, p̂(1−p̂)=0
+      // and the z statistic is undefined — report 0 (no evidence)
+      // rather than dividing by zero under ANSI mode
+      .withColumn("se",
+        sqrt($"pp" * (lit(1.0) - $"pp") *
+          (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+      .withColumn("z",
+        when($"se" > 0.0, ($"pa" - $"pb") / $"se").otherwise(0.0))
+      .select($"n_a", $"conv_a", $"n_b", $"conv_b",
+        graft.Det.r4($"pa").as("p_a"), graft.Det.r4($"pb").as("p_b"),
+        graft.Det.r4($"z").as("z"),
+        (abs($"z") > 1.96).as("significant"))
+  }
+
   /** DAU/MAU STICKINESS — the engagement ratio dashboards track
     * daily: distinct users active that day over distinct users active
     * in the trailing 28 days. Rolling COUNT DISTINCT again
@@ -869,6 +915,7 @@ object Analytics {
     "q_ts_twa" -> tsTwa,
     "q_events_stickiness" -> eventsStickiness,
     "q_events_forecast_naive" -> eventsForecastNaive,
+    "q_ab_test" -> abTestProportions,
     "q_events_anomaly" -> eventsAnomaly,
     "q_events_transitions" -> eventsTransitions,
     "q_basket_pairs" -> basketPairs,

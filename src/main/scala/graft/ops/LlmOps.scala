@@ -2889,7 +2889,87 @@ object LlmOps {
       .orderBy($"anchor_id", $"j")
   }
 
+  /** FILTERED vector search with MULTI-PROBE — the metadata-filter +
+    * ANN combination every vector store exposes ("neighbors of q
+    * among label < 5"): the predicate applies BEFORE candidate
+    * generation (pre-filtering — vs post-filtering a top-k, which
+    * silently under-fills when the filter is selective), and because
+    * a filter thins every cell, the query probes its own sign-hash
+    * cell PLUS the 8 Hamming-1 neighbor cells (multi-probe LSH — the
+    * standard recall repair when buckets are sparse; probes are
+    * distinct cells, so no candidate is scored twice). At 100 TB the
+    * filter column is a partition/bucket key ALONGSIDE the cell, so
+    * the scan prunes to (label, cell) shards. Exact dot, top-5. */
+  def simAnnFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+      .withColumn("bucket", bucketExpr)
+    val q = v.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), explode(expr(
+        """array_union(array(bucket),
+          |  transform(sequence(0, 7),
+          |    i -> bucket ^ shiftleft(1L, i)))""".stripMargin))
+        .as("bucket"))
+    v.filter($"vec_id" =!= 0 && $"label" < 5)
+      .join(broadcast(q), "bucket")
+      .select($"vec_id", $"label",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(5)
+  }
+
+  /** BIGRAM language-model perplexity with add-one smoothing — the
+    * conditional upgrade of [[textPerplexity]]'s unigram scorer (the
+    * CCNet-style quality filter with context): P(w|prev) =
+    * (c(prev,w)+1) / (c(prev)+V) from exact corpus counts, per-doc
+    * average −ln P over positions ≥ 2. Smoothing keeps every observed
+    * bigram's probability defined under any split of train/score.
+    *
+    * Determinism: counts and V are exact; each nlp computes from
+    * identical operands; the per-doc sum folds POSITION-SORTED terms
+    * sequentially (bit-matches DuckDB's ordered list_sum — the
+    * perplexity precedent). Scale posture: bigram generation is
+    * row-local HOF arithmetic; the count tables are Heaps-bounded;
+    * the doc-stream × prob-table join is EQUI on (prev, cur) — at
+    * corpus scale both sides hash-partition on the bigram key (the
+    * unigram key's broadcast shortcut no longer assumed). */
+  def textBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toksDf = Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+    val bg = toksDf
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(2, size(toks)), i ->
+          |    named_struct('pos', i, 'prev', element_at(toks, i - 1),
+          |      'cur', element_at(toks, i)))
+          |  ELSE array() END""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.pos", $"b.prev", $"b.cur")
+    val uni = toksDf.select(explode($"toks").as("token"))
+    val cu = uni.groupBy($"token").agg(count(lit(1)).as("cu"))
+    val vv = uni.agg(countDistinct($"token").as("v"))
+    val prob = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("cbg"))
+      .join(cu.withColumnRenamed("token", "prev"), "prev")
+      .crossJoin(broadcast(vv))
+      .select($"prev", $"cur",
+        (-log(($"cbg" + 1).cast(org.apache.spark.sql.types.DoubleType)
+          / ($"cu" + $"v"))).as("nlp"))
+    bg.join(prob, Seq("prev", "cur"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct($"pos", $"nlp"))).as("pn"))
+      .withColumn("sum_nlp", expr(
+        "aggregate(pn, cast(0.0 as double), (acc, s) -> acc + s.nlp)"))
+      .select($"doc_id", $"n_bigrams",
+        Det.r4($"sum_nlp" / $"n_bigrams").as("avg_neg_logprob"),
+        Det.r4(exp($"sum_nlp" / $"n_bigrams")).as("perplexity"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_filtered" -> simAnnFiltered,
+    "q_text_bigram_lm" -> textBigramLm,
     "q_sample_negatives" -> sampleNegatives,
     "q_chunk_overlap" -> chunkOverlap,
     "q_sim_matryoshka" -> simMatryoshka,

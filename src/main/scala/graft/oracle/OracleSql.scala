@@ -2558,6 +2558,105 @@ object OracleSql {
         |  score_int > 0 AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // significance compares the UNROUNDED z on both engines
+    "q_ab_test" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+        |        AS variant, converted
+        |      FROM conv),
+        |s AS (
+        |  SELECT count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+        |    cast(sum(CASE WHEN variant = 'A' THEN converted
+        |      ELSE 0 END) as bigint) AS conv_a,
+        |    count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+        |    cast(sum(CASE WHEN variant = 'B' THEN converted
+        |      ELSE 0 END) as bigint) AS conv_b
+        |  FROM v),
+        |c AS (SELECT *, cast(conv_a as double) / n_a AS pa,
+        |    cast(conv_b as double) / n_b AS pb,
+        |    cast(conv_a + conv_b as double) / (n_a + n_b) AS pp
+        |  FROM s),
+        |e AS (SELECT *, sqrt(pp * (1.0 - pp)
+        |    * (1.0 / n_a + 1.0 / n_b)) AS se
+        |  FROM c),
+        |z AS (SELECT *, CASE WHEN se > 0.0 THEN (pa - pb) / se
+        |    ELSE 0.0 END AS zv
+        |  FROM e)
+        |SELECT n_a, conv_a, n_b, conv_b, round(pa, 4) AS p_a,
+        |  round(pb, 4) AS p_b, round(zv, 4) AS z,
+        |  abs(zv) > 1.96 AS significant
+        |FROM z""".stripMargin,
+
+    "q_sim_ann_filtered" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |q0 AS (SELECT embedding, bucket FROM b WHERE vec_id = 0),
+         |q AS (SELECT embedding, bucket FROM q0
+         |      UNION ALL
+         |      SELECT q0.embedding, xor(q0.bucket, 1 << u.i)
+         |      FROM q0, UNNEST(range(0, 8)) AS u(i))
+         |SELECT a.vec_id, a.label, $dotSql AS sim
+         |FROM b a JOIN q ON a.bucket = q.bucket
+         |WHERE a.vec_id <> 0 AND a.label < 5
+         |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin,
+
+    // identical add-one arithmetic; ordered list_sum fold (the
+    // q_text_perplexity precedent)
+    "q_text_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, cast(u.i as int) AS pos,
+        |    toks[u.i - 1] AS prev, toks[u.i] AS cur
+        |  FROM tk, UNNEST(range(2, len(toks) + 1)) AS u(i)),
+        |uni AS (SELECT unnest(toks) AS token FROM tk),
+        |cu AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+        |vv AS (SELECT count(DISTINCT token) AS v FROM uni),
+        |pr AS (
+        |  SELECT c.prev, c.cur,
+        |    -ln(cast(c.cbg + 1 as double) / (cu.cu + vv.v)) AS nlp
+        |  FROM (SELECT prev, cur, count(*) AS cbg FROM bg
+        |        GROUP BY prev, cur) c
+        |  JOIN cu ON c.prev = cu.token CROSS JOIN vv),
+        |d AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    list_sum(list(pr.nlp ORDER BY bg.pos)) AS sum_nlp
+        |  FROM bg JOIN pr ON bg.prev = pr.prev AND bg.cur = pr.cur
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(sum_nlp / n_bigrams, 4) AS avg_neg_logprob,
+        |  round(exp(sum_nlp / n_bigrams), 4) AS perplexity
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // pure arithmetic replay of the landed layout + compaction policy
+    "q_delete_compact" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 8 AS fg FROM orders),
+        |d AS (SELECT k, fg,
+        |    (k % 10 = 3 OR (fg = 2 AND (k // 8) % 3 = 0)) AS del
+        |  FROM o),
+        |g AS (SELECT fg, count(*) AS n_rows,
+        |    count(CASE WHEN del THEN 1 END) AS n_tombstones
+        |  FROM d GROUP BY fg)
+        |SELECT fg, n_rows, n_tombstones,
+        |  round(cast(n_tombstones as double) / n_rows, 4)
+        |    AS tombstone_frac,
+        |  CASE WHEN cast(n_tombstones as double) / n_rows > 0.2
+        |    THEN 'rewrite' ELSE 'keep' END AS action,
+        |  CASE WHEN cast(n_tombstones as double) / n_rows > 0.2
+        |    THEN n_rows - n_tombstones ELSE n_rows END
+        |    AS n_file_rows_after,
+        |  cast(CASE WHEN cast(n_tombstones as double) / n_rows > 0.2
+        |    THEN 0 ELSE n_tombstones END as bigint)
+        |    AS residual_tombstones
+        |FROM g ORDER BY fg""".stripMargin,
+
     // succinct range-join twin of the bounded-explode rolling distinct
     "q_events_stickiness" ->
       """WITH ud AS (

@@ -381,7 +381,69 @@ object Sources {
       .orderBy($"source".asc_nulls_first)
   }
 
+  /** DELETION-VECTOR COMPACTION — the third act of the delete
+    * lifecycle ([[deleteRewrite]] = pay at write, [[deleteVectors]] =
+    * pay at read, THIS = the maintenance job that decides when
+    * reading-around tombstones has become dearer than rewriting):
+    * per file group, if the tombstone fraction exceeds 20% the group
+    * is REWRITTEN without its victims (partition-pruned read, anti
+    * join, fresh files — measured from the compacted files, so a
+    * rewrite that didn't run can't hash-match) and its vector entries
+    * retire; under-threshold groups keep serving via the read-side
+    * merge. The tombstone set is deliberately skewed (a key stripe
+    * everywhere + a hot stripe in one group) so both actions carry
+    * traffic at every corpus size.
+    *
+    * Scale posture: stats are one partial-agged pass; the flagged-set
+    * driver artifact is file-group-dimension-sized (the IVF-centroid
+    * precedent); the rewrite reads ONLY flagged partitions. */
+  def deleteCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${graft.ops.Relational.scratchRoot}/delete_compact"
+    val o = graft.Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", ($"o_orderkey" % 8).as("fg"))
+    o.repartition($"fg")
+      .write.mode("overwrite").partitionBy("fg").parquet(s"$dir/table")
+    o.filter($"o_orderkey" % 10 === 3 ||
+        ($"fg" === 2 && expr("(o_orderkey div 8) % 3 = 0")))
+      .select($"o_orderkey".as("del_key"))
+      .write.mode("overwrite").parquet(s"$dir/tombstones")
+    val t = spark.read.schema("o_orderkey BIGINT, fg BIGINT")
+      .parquet(s"$dir/table")
+    val dv = spark.read.parquet(s"$dir/tombstones")
+    val stats = t
+      .join(broadcast(dv), $"o_orderkey" === $"del_key", "left")
+      .groupBy($"fg")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"del_key").as("n_tombstones"))
+      .withColumn("frac", $"n_tombstones".cast("double") / $"n_rows")
+    val flagged = stats.filter($"frac" > 0.2)
+      .select($"fg").as[Long].collect().toSeq
+    val compacted =
+      if (flagged.isEmpty)
+        Seq.empty[(Long, Long)].toDF("fg", "n_live")
+      else {
+        t.filter($"fg".isin(flagged: _*))
+          .join(broadcast(dv), $"o_orderkey" === $"del_key", "left_anti")
+          .repartition($"fg")
+          .write.mode("overwrite").partitionBy("fg")
+          .parquet(s"$dir/compacted")
+        spark.read.schema("o_orderkey BIGINT, fg BIGINT")
+          .parquet(s"$dir/compacted")
+          .groupBy($"fg").agg(count(lit(1)).as("n_live"))
+      }
+    stats.join(compacted, Seq("fg"), "left")
+      .select($"fg", $"n_rows", $"n_tombstones",
+        graft.Det.r4($"frac").as("tombstone_frac"),
+        when($"frac" > 0.2, "rewrite").otherwise("keep").as("action"),
+        coalesce($"n_live", $"n_rows").as("n_file_rows_after"),
+        when($"frac" > 0.2, 0L).otherwise($"n_tombstones")
+          .as("residual_tombstones"))
+      .orderBy($"fg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delete_compact" -> deleteCompact,
     "q_describe_schema" -> describeSchema,
     "q_source_badrecords" -> sourceBadRecords,
     "q_delete_rewrite" -> deleteRewrite,

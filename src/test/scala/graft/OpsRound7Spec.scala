@@ -476,6 +476,100 @@ class OpsRound7Spec extends SparkSpec {
     }
   }
 
+  // ---- q_ab_test ---------------------------------------------------------
+
+  test("q_ab_test matches an in-driver two-proportion replay") {
+    val r = ops.Analytics.abTestProportions(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head
+    val conv = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        u -> (if (es.exists(_._2 == "purchase")) 1L else 0L)
+      }
+    val (as, bs) = conv.partition(_._1 % 2 == 0)
+    assert((r._1, r._2, r._3, r._4) ===
+      ((as.size.toLong, as.values.sum, bs.size.toLong, bs.values.sum)))
+    val (pa, pb) = (r._2.toDouble / r._1, r._4.toDouble / r._3)
+    val pp = (r._2 + r._4).toDouble / (r._1 + r._3)
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / r._1 + 1.0 / r._3))
+    val z = if (se > 0) (pa - pb) / se else 0.0
+    assert(math.abs(r._7 - z) < 1e-3)
+    assert(r._8 === (math.abs(z) > 1.96))
+  }
+
+  // ---- q_sim_ann_filtered ------------------------------------------------
+
+  test("q_sim_ann_filtered: filtered, populated, correctly scored") {
+    val rows = ops.LlmOps.simAnnFiltered(spark, sfDir)
+      .as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach(r => assert(r._2 < 5))
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(x => -x).toSeq)
+    val v = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val qe = v(0L)
+    rows.foreach { case (id, _, sim) =>
+      val d = (0 until 64).map(i => v(id)(i).toDouble * qe(i).toDouble).sum
+      assert(math.abs(sim - d) < 1e-3, s"vec $id")
+    }
+  }
+
+  // ---- q_text_bigram_lm --------------------------------------------------
+
+  test("q_text_bigram_lm matches an in-driver add-one LM replay") {
+    val got = ops.LlmOps.textBigramLm(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map(d => d._1 -> d._2.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val uni = docs.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val vocab = uni.size.toLong
+    val bg = docs.values.flatMap(_.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1)))).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got.length === docs.count(_._2.length >= 2))
+    got.take(40).foreach { case (id, n, avg, ppl) =>
+      val toks = docs(id)
+      assert(n === toks.length - 1)
+      val nlps = toks.sliding(2).filter(_.length == 2).map { p =>
+        -math.log((bg((p(0), p(1))) + 1).toDouble /
+          (uni(p(0)) + vocab))
+      }.toSeq
+      val expect = nlps.sum / n
+      assert(math.abs(avg - expect) < 1e-3, s"doc $id")
+      assert(math.abs(ppl - math.exp(expect)) < 1e-2)
+    }
+  }
+
+  // ---- q_delete_compact --------------------------------------------------
+
+  test("q_delete_compact: policy and file-measured counts agree") {
+    val rows = graft.sources.Sources.deleteCompact(spark, sfDir)
+      .as[(Long, Long, Long, Double, String, Long, Long)].collect()
+    val keys = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey").as[Long].collect()
+    val byFg = keys.groupBy(_ % 8)
+    assert(rows.map(_._1).toSet === byFg.keySet)
+    var sawRewrite = false
+    var sawKeep = false
+    rows.foreach { case (fg, n, nt, _, action, after, resid) =>
+      val ks = byFg(fg)
+      val del = ks.count(k => k % 10 == 3 || (fg == 2 && (k / 8) % 3 == 0))
+      assert(n === ks.length && nt === del)
+      if (nt.toDouble / n > 0.2) {
+        sawRewrite = true
+        assert(action === "rewrite" && after === n - nt && resid === 0L)
+      } else {
+        sawKeep = true
+        assert(action === "keep" && after === n && resid === nt)
+      }
+    }
+    assert(sawRewrite && sawKeep)
+  }
+
   // ---- q_multimodal_phash ------------------------------------------------
 
   test("q_multimodal_phash matches the generator-arithmetic replay") {
