@@ -54,7 +54,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // grouping must not depend on the initial layout
     "q_snapshot_diff", "q_abc_pareto", "q_attrib_linear",
     "q_join_scd2_pit", "q_graph_clustering", "q_text_novelty",
-    "q_stats_drift_psi")
+    "q_stats_drift_psi",
+    // late round 7: position-sorted bigram folds over a bigram-keyed
+    // join; bounded-explode rolling distinct at window 28
+    "q_text_bigram_lm", "q_events_stickiness")
 
   private lazy val alt = {
     val s = spark.newSession()
