@@ -698,16 +698,21 @@ object Analytics {
         count(when($"variant" === "B", 1)).as("n_b"),
         sum(when($"variant" === "B", $"converted").otherwise(0))
           .cast("long").as("conv_b"))
-      .withColumn("pa", $"conv_a".cast("double") / $"n_a")
-      .withColumn("pb", $"conv_b".cast("double") / $"n_b")
-      .withColumn("pp",
+      // empty-arm guards (the aggregate ALWAYS emits one row, so a
+      // zero-row corpus reaches these divisions) + zero-variance
+      // guard: all-convert / none-convert corpora have p̂(1−p̂)=0 and
+      // an undefined z — report 0 (no evidence) rather than dividing
+      // by zero under ANSI mode
+      .withColumn("pa", when($"n_a" > 0,
+        $"conv_a".cast("double") / $"n_a").otherwise(0.0))
+      .withColumn("pb", when($"n_b" > 0,
+        $"conv_b".cast("double") / $"n_b").otherwise(0.0))
+      .withColumn("pp", when($"n_a" + $"n_b" > 0,
         ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b"))
-      // zero-variance guard: if every (or no) user converts, p̂(1−p̂)=0
-      // and the z statistic is undefined — report 0 (no evidence)
-      // rather than dividing by zero under ANSI mode
-      .withColumn("se",
+        .otherwise(0.0))
+      .withColumn("se", when($"n_a" > 0 && $"n_b" > 0,
         sqrt($"pp" * (lit(1.0) - $"pp") *
-          (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
+          (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))).otherwise(0.0))
       .withColumn("z",
         when($"se" > 0.0, ($"pa" - $"pb") / $"se").otherwise(0.0))
       .select($"n_a", $"conv_a", $"n_b", $"conv_b",
