@@ -15,7 +15,7 @@ object SparkEntry {
       Generators.queries ++ Scalars.queries ++ DesFiles.queries ++
       StreamingOps.queries ++ LlmOps.queries ++ Analytics.queries ++
       Skew.queries ++ Layout.queries ++ Ids.queries ++ Quality.queries ++
-      Spatial.queries ++
+      Spatial.queries ++ Eval.queries ++
       graft.sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

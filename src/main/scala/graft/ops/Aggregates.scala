@@ -390,7 +390,38 @@ object Aggregates {
       .orderBy($"n_name")
   }
 
+  /** Robust dispersion per group: exact median + median-absolute-
+    * deviation + a 3-sigma-equivalent robust outlier count (the
+    * MAD-z gate a curation pipeline uses where mean/stddev would be
+    * dragged by the very outliers it hunts). Three passes over the
+    * fact table, but each reduction is a partial-aggregated groupBy on
+    * the same 3-value key and the tiny per-group stats rebroadcast —
+    * at 100 TB this is 3 scans + 2 broadcast joins, no wide shuffle.
+    * Determinism: medians interpolate identically in both engines on
+    * identical double sets; 1.4826 is a shared literal; diffs are
+    * IEEE ops on identical operands (SURVEY §7.6). */
+  def aggMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+    val med = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", lit(0.5)).as("median"))
+    val withMed = li.join(broadcast(med), "l_returnflag")
+    val mad = withMed.groupBy($"l_returnflag")
+      .agg(percentile(abs($"l_extendedprice" - $"median"), lit(0.5))
+        .as("mad"))
+    withMed.join(broadcast(mad), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        max($"median").as("median"),
+        max($"mad").as("mad"),
+        count(when(abs($"l_extendedprice" - $"median") >
+          lit(3) * lit(1.4826) * $"mad", 1)).as("n_outliers"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_mad" -> aggMad,
     "q_join_incremental" -> joinIncremental,
     "q_agg_incremental" -> aggIncremental,
     "q_agg_countmin" -> aggCountmin,

@@ -911,7 +911,42 @@ object Analytics {
       .orderBy($"abc_class")
   }
 
+  /** 2-D skyline (Pareto frontier) over part: maximize p_size, minimize
+    * p_retailprice — "no other part is at least as big AND at least as
+    * cheap, with one strict". The naive formulation is an O(n²)
+    * dominance self-join; this one never builds a pair space: dominance
+    * in 2-D only depends on (size → min price), so we (1) aggregate to
+    * the SIZE DOMAIN (≤ ~50 rows however big the table is), (2) take
+    * suffix-minima over that domain with a window — single-partition,
+    * but over the domain aggregate, not the data — and (3) broadcast
+    * the surviving (size, price) frontier back against the table to
+    * recover the member parts. At 100 TB: one partial-agged groupBy +
+    * one broadcast semi-equi join, O(n) total. */
+  def skylinePareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val part = Tables(spark, sfDir, "part")
+    val bySize = part.groupBy($"p_size")
+      .agg(min($"p_retailprice").as("min_price"))
+    // suffix minima over sizes DESC: sufMin includes the own size;
+    // sufStrict only strictly-larger sizes (null at the largest)
+    val desc = Window.orderBy($"p_size".desc)
+    val frontier = bySize
+      .withColumn("suf_min", min($"min_price").over(
+        desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("suf_strict", min($"min_price").over(
+        desc.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"min_price" === $"suf_min" &&
+        ($"suf_strict".isNull || $"min_price" < $"suf_strict"))
+      .select($"p_size".as("sk_size"), $"min_price")
+    part.join(broadcast(frontier),
+        $"p_size" === $"sk_size" && $"p_retailprice" === $"min_price")
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+      .orderBy($"p_size".desc, $"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline_pareto" -> skylinePareto,
     "q_intervals_open" -> intervalsOpen,
     "q_abc_pareto" -> abcPareto,
     "q_attrib_linear" -> attribLinear,

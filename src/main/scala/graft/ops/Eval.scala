@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation — the measurement half of the similarity
+  * stack (SURVEY §2.12): before an ANN index is trusted on a 100 TB
+  * corpus you (a) score a sampled query batch with an order-aware metric
+  * (NDCG@k) and (b) measure the index's recall against exact search on
+  * the same sample. Both are expressed as ONE declarative plan over a
+  * broadcast query batch — the corpus is scanned once per eval, the
+  * query side is always the small side, and every per-query reduction is
+  * a partial-aggregated window/groupBy on `qid`, so the eval costs
+  * O(|corpus| × |sample|) dot kernels and two narrow shuffles regardless
+  * of corpus size. Reference surface: the reference exposes no vector
+  * ops (it is an Oracle SQL client `[pub]`); this extends the mandated
+  * LLM-pipeline family.
+  *
+  * Determinism (SURVEY §7.6): similarities are `Det.r4`-rounded before
+  * any ranking; ranks tiebreak on `vec_id`; the NDCG discount weights
+  * `1/log2(rank+1)` are HARD-CODED 6-decimal constants (identical
+  * literals in both engines — cross-engine `log2` is libm-dependent and
+  * never evaluated); gains × weights accumulate in exact decimal and
+  * surface as double only at the end.
+  */
+object Eval {
+
+  private def dot(spark: SparkSession)(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(spark)(a, b)
+
+  /** Graded relevance of a corpus vector w.r.t. a query vector, derived
+    * deterministically from the generator's cluster labels: same label
+    * ⇒ 2 (near-duplicate cluster), same label mod 5 ⇒ 1 (related
+    * family), else 0. A real pipeline would join human judgments here —
+    * the labels stand in as the judgment table. */
+  private def rel(qlabel: Column, label: Column): Column =
+    when(label === qlabel, 2)
+      .when(label % 5 === qlabel % 5, 1)
+      .otherwise(0)
+
+  /** 1/log2(rank+1) for rank 1..10, as fixed decimal(8,6) literals. */
+  private def discount(rank: Column): Column = {
+    val w = Seq("1.000000", "0.630930", "0.500000", "0.430677",
+      "0.386853", "0.356207", "0.333333", "0.315465", "0.301030",
+      "0.289065")
+    val cases = w.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (v, i)) => acc.when(rank === (i + 1),
+        lit(new java.math.BigDecimal(v)))
+    }
+    cases.cast(org.apache.spark.sql.types.DecimalType(8, 6))
+  }
+
+  /** Exact top-10 per sampled query (vec_id % 50 = 0), ranked by
+    * rounded cosine. The query batch is broadcast; the corpus side is
+    * scanned once; the per-qid rank is a keyed window (parallel across
+    * queries). Shared by NDCG and the recall eval's exact arm. */
+  private def exactTop10(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"label".as("qlabel"))
+    Tables.spread(v.select($"vec_id", $"embedding", $"label"))
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"qlabel", $"vec_id", $"label",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= 10)
+  }
+
+  /** NDCG@10 of exact cosine retrieval against the label-derived
+    * judgments, one row per sampled query. DCG and IDCG are exact
+    * decimal sums of (2^rel − 1) × hard-coded discount; IDCG re-ranks
+    * the SAME retrieved 10 by relevance (ties broken by retrieval rank,
+    * which cannot change the sum — equal gains commute). */
+  def evalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val top = exactTop10(spark, sfDir)
+      .withColumn("rel", rel($"qlabel", $"label"))
+      .withColumn("irank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rel".desc, $"rank")))
+    // (2^rel − 1) spelled as a CASE over the 3-value grade domain (the
+    // exponent form would drag doubles in); exact decimal gain
+    val gain = when($"rel" === 2, lit(3)).when($"rel" === 1, lit(1))
+      .otherwise(lit(0))
+      .cast(org.apache.spark.sql.types.DecimalType(8, 0))
+    top.groupBy($"qid")
+      .agg(
+        Det.dsumDec(gain * discount($"rank")).as("dcg"),
+        Det.dsumDec(gain * discount($"irank")).as("idcg"))
+      .select($"qid", $"dcg", $"idcg",
+        when($"idcg" > 0, $"dcg" / $"idcg").as("ndcg"))
+      .orderBy($"qid")
+  }
+
+  /** Recall@10 of the 256-cell sign-hash ANN index vs exact search on
+    * the same query sample: the production pre-flight check that tells
+    * you whether the cheap index is good enough before you point it at
+    * the full corpus. The ANN arm probes the query's cell plus its 8
+    * Hamming-1 neighbors (the same multi-probe repair
+    * `q_sim_ann_filtered` shipped with — a single cell holds ~n/256
+    * vectors and returns nothing at small corpus sizes); multi-probe
+    * multiplies the query side ×9 BEFORE the broadcast, so the corpus
+    * join stays one equi join on the bucket key. Both arms are the
+    * one-scan broadcast-batch shape; the intersection is a per-qid
+    * equi join of two 10-row-per-query rank slices. */
+  def evalRecallAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, sfDir, "embeddings")
+      .withColumn("bucket", LlmOps.bucketExpr)
+    val q = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket".as("qb"))
+    val probes = q.select($"qid", $"qe", explode(array(
+        $"qb" +: (0 until 8).map(i => $"qb".bitwiseXOR(lit(1L << i))): _*))
+      .as("probe"))
+    val exact = exactTop10(spark, sfDir).select($"qid", $"vec_id")
+    val ann = Tables.spread(v.select($"vec_id", $"embedding", $"bucket"))
+      .join(broadcast(probes), $"bucket" === $"probe" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rank" <= 10)
+      .select($"qid", $"vec_id".as("ann_id"))
+    exact
+      .join(ann, exact("qid") === ann("qid") &&
+        exact("vec_id") === ann("ann_id"), "left")
+      .groupBy(exact("qid").as("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        count($"ann_id").as("n_hit"))
+      .select($"qid", $"n_exact", $"n_hit",
+        ($"n_hit".cast("double") / $"n_exact").as("recall"))
+      .orderBy($"qid")
+  }
+
+  /** Maximal-Marginal-Relevance rerank: fetch top-20 candidates for
+    * query vec 0 by exact cosine (distributed), then greedily select 5
+    * maximizing λ·rel − (1−λ)·max-sim-to-selected (λ = 0.7). The greedy
+    * loop runs driver-side over the COLLECTED candidate slice — a
+    * bounded artifact (20 ids + 20×64 floats, independent of corpus
+    * size; same contract as the IVF centroid pull). All scores are
+    * r4-rounded before each argmax, ties broken by vec_id, so the
+    * selection is total-order deterministic. No SQL oracle (iterative
+    * greedy argmax); OpsRound8Spec replays the selection independently
+    * from the raw parquet. */
+  def simRerankMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lambda = 0.7
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"))
+    val cands = Tables.spread(v.filter($"vec_id" =!= 0))
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"embedding",
+        Det.r4(dot(spark)($"embedding", $"qe")).as("relevance"))
+      .orderBy($"relevance".desc, $"vec_id")
+      .limit(20)
+      .collect()
+    final case class Cand(id: Long, e: Array[Float], rel: Double)
+    val pool = cands.map(r => Cand(r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.round(s * 1e4) / 1e4 // the same r4 the engine applied
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    for (step <- 1 to math.min(5, pool.length)) {
+      val best = pool.filterNot(c => chosen.exists(_.id == c.id))
+        .map { c =>
+          val pen = if (chosen.isEmpty) 0.0
+            else chosen.map(s => cos(c.e, s.e)).max
+          val score = math.round(
+            (lambda * c.rel - (1 - lambda) * pen) * 1e4) / 1e4
+          (c, pen, score)
+        }
+        .minBy { case (c, _, score) => (-score, c.id) }
+      chosen += best._1
+      selected += ((step, best._1.id, best._1.rel, best._2, best._3))
+    }
+    selected.toSeq
+      .toDF("step", "vec_id", "relevance", "max_sim_selected", "mmr_score")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_ndcg" -> evalNdcg,
+    "q_eval_recall_ann" -> evalRecallAnn,
+    "q_sim_rerank_mmr" -> simRerankMmr)
+}

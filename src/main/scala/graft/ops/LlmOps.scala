@@ -709,7 +709,7 @@ object LlmOps {
   def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
     cosineTopk(spark, sfDir, 10)
 
-  private val bucketExpr = expr(
+  private[graft] val bucketExpr = expr(
     """aggregate(sequence(1, 8), 0L,
       |  (acc, i) -> acc + IF(element_at(embedding, i) > 0,
       |                       shiftleft(1L, i - 1), 0L))""".stripMargin)
@@ -1946,16 +1946,59 @@ object LlmOps {
   def textSegmentClean(spark: SparkSession, sfDir: String): DataFrame =
     segmentCleanOn(spread(Tables(spark, sfDir, "documents")))
 
-  /** The segment-dedup-rewrite core over any (doc_id, text) relation —
-    * shared by the standalone key and the curation-v2 composition. */
-  private[graft] def segmentCleanOn(docs: DataFrame): DataFrame = {
+  /** CCNet-style boilerplate screen: a 10-token segment that recurs in
+    * ≥ 3 DISTINCT documents is boilerplate (headers, footers, template
+    * text), and each doc reports how much of it is boilerplate. Where
+    * [[segmentCleanOn]] keeps the FIRST owner of a duplicated segment,
+    * this keeps NO owner of a frequent one — the two screens compose
+    * (dedup removes the copies, boilerplate removes the original too).
+    * Scale: the segment→doc-frequency map is the same inverted-index
+    * shape as the shingle index (one groupBy, Σdf-bounded), probed back
+    * with one equi join; nothing pairwise. At 100 TB the df map is
+    * further shrinkable to frequent segments only (df ≥ k) before the
+    * probe join — the filter is already pushed below the join here. */
+  def textBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = segmentsOf(spread(Tables(spark, sfDir, "documents")))
+      .withColumn("n_toks", size(split($"seg", " ")))
+    val frequent = segs.groupBy($"seg")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 3)
+      .select($"seg")
+    segs.join(frequent, Seq("seg"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_boiler"),
+        Det.lsum($"n_toks").as("boiler_toks"))
+      .join(segs.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          Det.lsum($"n_toks").as("n_toks")), Seq("doc_id"), "right")
+      .select($"doc_id", $"n_segs",
+        coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+        $"n_toks",
+        coalesce($"boiler_toks", lit(0L)).as("boiler_toks"),
+        (coalesce($"boiler_toks", lit(0L)).cast("double") / $"n_toks")
+          .as("boiler_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Non-overlapping 10-token segments of each doc: (doc_id, seg_idx,
+    * seg) — the unit of both the first-owner segment dedup and the
+    * frequency-based boilerplate screen. */
+  private def segmentsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val segs = docs
+    docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", posexplode(expr(
         """transform(sequence(0, cast((size(toks) - 1) / 10 as int)),
           |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"""
           .stripMargin)).as(Seq("seg_idx", "seg")))
+  }
+
+  /** The segment-dedup-rewrite core over any (doc_id, text) relation —
+    * shared by the standalone key and the curation-v2 composition. */
+  private[graft] def segmentCleanOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = segmentsOf(docs)
     val firstOwner = segs.groupBy($"seg")
       .agg(min(struct($"doc_id", $"seg_idx")).as("first"))
     val kept = segs.join(firstOwner, "seg")
@@ -3008,6 +3051,7 @@ object LlmOps {
     "q_dedup_semantic_keep" -> dedupSemanticKeep,
     "q_embed_outliers" -> embedOutliers,
     "q_text_segment_clean" -> textSegmentClean,
+    "q_text_boilerplate" -> textBoilerplate,
     "q_pipeline_curation_v2" -> pipelineCurationV2,
     "q_sim_hybrid_rrf" -> simHybridRrf,
     "q_text_pmi" -> textPmi,

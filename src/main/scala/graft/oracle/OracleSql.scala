@@ -2332,6 +2332,138 @@ object OracleSql {
          |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
   )
 
+  /** NDCG discount 1/log2(rank+1) as the SAME hard-coded 6-decimal
+    * literals the Spark side uses — cross-engine log2 is libm-dependent
+    * and never evaluated in either engine. */
+  private def ndcgW(rank: String): String =
+    s"""CASE $rank WHEN 1 THEN 1.000000 WHEN 2 THEN 0.630930
+       | WHEN 3 THEN 0.500000 WHEN 4 THEN 0.430677 WHEN 5 THEN 0.386853
+       | WHEN 6 THEN 0.356207 WHEN 7 THEN 0.333333 WHEN 8 THEN 0.315465
+       | WHEN 9 THEN 0.301030 ELSE 0.289065 END""".stripMargin
+      .replace("\n", "")
+
+  private val round8: Map[String, String] = Map(
+    // three-pass robust stats: identical interpolated medians, shared
+    // 1.4826 literal, IEEE comparisons on identical operands
+    "q_agg_mad" ->
+      """WITH m AS (SELECT l_returnflag, median(l_extendedprice) AS median
+        |           FROM lineitem GROUP BY 1),
+        |j AS (SELECT l.l_returnflag, l.l_extendedprice, m.median
+        |      FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
+        |d AS (SELECT l_returnflag,
+        |        median(abs(l_extendedprice - median)) AS mad
+        |      FROM j GROUP BY 1)
+        |SELECT j.l_returnflag, count(*) AS n, max(j.median) AS median,
+        |  max(d.mad) AS mad,
+        |  count(CASE WHEN abs(j.l_extendedprice - j.median)
+        |               > 3 * 1.4826 * d.mad THEN 1 END) AS n_outliers
+        |FROM j JOIN d ON j.l_returnflag = d.l_returnflag
+        |GROUP BY j.l_returnflag ORDER BY j.l_returnflag""".stripMargin,
+
+    // direct O(n²) dominance semantics the engine's O(n) domain-
+    // aggregate formulation must reproduce
+    "q_skyline_pareto" ->
+      """SELECT x.p_partkey, x.p_size, x.p_retailprice FROM part x
+        |WHERE NOT EXISTS (SELECT 1 FROM part y
+        |  WHERE y.p_size >= x.p_size
+        |    AND y.p_retailprice <= x.p_retailprice
+        |    AND (y.p_size > x.p_size
+        |      OR y.p_retailprice < x.p_retailprice))
+        |ORDER BY x.p_size DESC, x.p_partkey""".stripMargin,
+
+    // same 10-token segmentation as q_text_segment_clean; df ≥ 3
+    // distinct docs ⇒ boilerplate
+    "q_text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[u.i*10+1 : u.i*10+10], ' ') AS seg
+        |  FROM t, UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
+        |sg AS (SELECT doc_id, seg,
+        |         len(string_split(seg, ' ')) AS n_toks FROM segs),
+        |freq AS (SELECT seg FROM sg GROUP BY seg
+        |         HAVING count(DISTINCT doc_id) >= 3),
+        |boiler AS (SELECT doc_id, count(*) AS n_boiler,
+        |    cast(sum(n_toks) as bigint) AS boiler_toks
+        |  FROM sg WHERE seg IN (SELECT seg FROM freq) GROUP BY doc_id),
+        |perdoc AS (SELECT doc_id, count(*) AS n_segs,
+        |    cast(sum(n_toks) as bigint) AS n_toks
+        |  FROM sg GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_segs,
+        |  coalesce(b.n_boiler, 0) AS n_boiler, p.n_toks,
+        |  coalesce(b.boiler_toks, 0) AS boiler_toks,
+        |  cast(coalesce(b.boiler_toks, 0) as double) / p.n_toks
+        |    AS boiler_frac
+        |FROM perdoc p LEFT JOIN boiler b ON p.doc_id = b.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // NDCG@10: same rounded sims, same rank tiebreaks, same label-
+    // derived judgments, exact decimal gain×discount sums
+    "q_eval_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |top AS (SELECT q.qid, q.qlabel, a.vec_id, a.label,
+         |    $dotSql AS sim
+         |  FROM embeddings a, q WHERE a.vec_id <> q.qid),
+         |rk AS (SELECT qid, qlabel, vec_id, label, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM top),
+         |g AS (SELECT qid, rnk,
+         |    CASE WHEN label = qlabel THEN 2
+         |         WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END AS rel
+         |  FROM rk WHERE rnk <= 10),
+         |gi AS (SELECT qid, rnk, rel,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, rnk) AS irank
+         |  FROM g),
+         |s AS (SELECT qid,
+         |    cast(sum(cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
+         |                  ELSE 0 END as decimal(8,0))
+         |             * cast(${ndcgW("rnk")} as decimal(8,6)))
+         |      as double) AS dcg,
+         |    cast(sum(cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
+         |                  ELSE 0 END as decimal(8,0))
+         |             * cast(${ndcgW("irank")} as decimal(8,6)))
+         |      as double) AS idcg
+         |  FROM gi GROUP BY qid)
+         |SELECT qid, dcg, idcg,
+         |  CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+         |FROM s ORDER BY qid""".stripMargin,
+
+    // recall@10 of the sign-hash index (9-cell multi-probe: own cell +
+    // 8 Hamming-1 neighbors) vs exact search, same sample
+    "q_eval_recall_ann" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |q0 AS (SELECT vec_id AS qid, embedding, bucket AS qb
+         |       FROM b WHERE vec_id % 50 = 0),
+         |qp AS (SELECT qid, embedding, u.p AS probe
+         |       FROM q0, UNNEST([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+         |         xor(qb, 8), xor(qb, 16), xor(qb, 32), xor(qb, 64),
+         |         xor(qb, 128)]) AS u(p)),
+         |ex AS (SELECT q.qid, a.vec_id, $dotSql AS sim
+         |       FROM b a, q0 q WHERE a.vec_id <> q.qid),
+         |exr AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, vec_id) AS rnk FROM ex)
+         |  WHERE rnk <= 10),
+         |an AS (SELECT q.qid, a.vec_id, $dotSql AS sim
+         |       FROM b a JOIN qp q ON a.bucket = q.probe
+         |       WHERE a.vec_id <> q.qid),
+         |anr AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, vec_id) AS rnk FROM an)
+         |  WHERE rnk <= 10)
+         |SELECT e.qid, count(*) AS n_exact,
+         |  count(a.vec_id) AS n_hit,
+         |  cast(count(a.vec_id) as double) / count(*) AS recall
+         |FROM exr e LEFT JOIN anr a
+         |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  )
+
   private val round7: Map[String, String] = Map(
     // replay of the deterministic snapshot edits + full-outer diff
     "q_snapshot_diff" ->
@@ -2932,7 +3064,7 @@ object OracleSql {
   )
 
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    analytics ++ layout ++ round7 ++
+    analytics ++ layout ++ round7 ++ round8 ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)

@@ -57,7 +57,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_stats_drift_psi",
     // late round 7: position-sorted bigram folds over a bigram-keyed
     // join; bounded-explode rolling distinct at window 28
-    "q_text_bigram_lm", "q_events_stickiness")
+    "q_text_bigram_lm", "q_events_stickiness",
+    // round 8: three-pass median/MAD (broadcast per-group stats),
+    // segment-frequency boilerplate screen (inverted-index semi join),
+    // size-domain skyline (domain agg + suffix window + broadcast
+    // member recovery), NDCG rank windows over the broadcast query
+    // batch — each reduces on keys whose grouping must not depend on
+    // the initial layout
+    "q_agg_mad", "q_text_boilerplate", "q_skyline_pareto",
+    "q_eval_ndcg")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -33,7 +33,11 @@ class PlanSweepSpec extends SparkSpec {
     "q_stats_drift_psi", // 1-row broadcast min/max + totals crossJoins
     "q_sim_matryoshka",  // 1-row broadcast query-vector crossJoin
     "q_mix_epochs",      // 1-row broadcast normalizer crossJoin
-    "q_sample_negatives" // 1-row broadcast corpus-count crossJoin
+    "q_sample_negatives", // 1-row broadcast corpus-count crossJoin
+    "q_text_bigram_lm",  // 1-row broadcast vocab-size crossJoin
+    "q_eval_ndcg",       // k-row broadcast judgment-sample crossJoin
+    "q_eval_recall_ann", // exact arm shares the k-row sample crossJoin
+    "q_sim_rerank_mmr"   // 1-row broadcast query vector (candidate fetch)
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
