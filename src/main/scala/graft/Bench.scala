@@ -72,6 +72,17 @@ object Bench {
     val qs = slow.map { case (k, v) => f""""$k":${v}%.3f""" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // FULL per-key map to a file (the stdout JSON stays tail-sized —
+    // see above): round-over-round per-key regression diagnosis needs
+    // all entries, not just the slow-20 (VERDICT r6 #2)
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }
+      .mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(_) => () } // bench result still prints
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     // trailing signal block: comes last so any tail capture shows the
     // total, failures, and the heavy tail even if the JSON line ever

@@ -72,25 +72,42 @@ object Eval {
   }
 
   /** NDCG@10 of exact cosine retrieval against the label-derived
-    * judgments, one row per sampled query. DCG and IDCG are exact
-    * decimal sums of (2^rel − 1) × hard-coded discount; IDCG re-ranks
-    * the SAME retrieved 10 by relevance (ties broken by retrieval rank,
-    * which cannot change the sum — equal gains commute). */
+    * judgments, one row per sampled query. DCG is the exact decimal sum
+    * of (2^rel − 1) × hard-coded discount over the retrieved top-10;
+    * IDCG is the SAME sum over the ideal top-10 BY RELEVANCE across the
+    * ENTIRE judged corpus (a second rel-ranked window over the same
+    * broadcast-batch join), so a retrieval that misses high-relevance
+    * documents entirely scores < 1 — the metric measures set quality,
+    * not merely reordering. Tiebreak within equal rel is by vec_id,
+    * which cannot change the sum (equal gains commute across the
+    * discount positions they occupy). */
   def evalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val top = exactTop10(spark, sfDir)
-      .withColumn("rel", rel($"qlabel", $"label"))
+    val v = Tables(spark, sfDir, "embeddings")
+    val q = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val scored = Tables.spread(v.select($"vec_id", $"embedding", $"label"))
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", rel($"qlabel", $"label").as("rel"),
+        Det.r4(dot(spark)($"embedding", $"qe")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
       .withColumn("irank", row_number().over(
-        Window.partitionBy($"qid").orderBy($"rel".desc, $"rank")))
+        Window.partitionBy($"qid").orderBy($"rel".desc, $"vec_id")))
+      .filter($"rank" <= 10 || $"irank" <= 10)
     // (2^rel − 1) spelled as a CASE over the 3-value grade domain (the
     // exponent form would drag doubles in); exact decimal gain
     val gain = when($"rel" === 2, lit(3)).when($"rel" === 1, lit(1))
       .otherwise(lit(0))
       .cast(org.apache.spark.sql.types.DecimalType(8, 0))
-    top.groupBy($"qid")
+    scored.groupBy($"qid")
       .agg(
-        Det.dsumDec(gain * discount($"rank")).as("dcg"),
-        Det.dsumDec(gain * discount($"irank")).as("idcg"))
+        Det.dsumDec(when($"rank" <= 10, gain * discount($"rank")))
+          .as("dcg"),
+        Det.dsumDec(when($"irank" <= 10, gain * discount($"irank")))
+          .as("idcg"))
       .select($"qid", $"dcg", $"idcg",
         when($"idcg" > 0, $"dcg" / $"idcg").as("ndcg"))
       .orderBy($"qid")
@@ -162,10 +179,15 @@ object Eval {
     final case class Cand(id: Long, e: Array[Float], rel: Double)
     val pool = cands.map(r => Cand(r.getLong(0),
       r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // Spark's round(x, 4) is BigDecimal HALF_UP on the double's
+    // shortest decimal representation — replicate EXACTLY (math.round
+    // differs near 5th-decimal half-way points and on negatives)
+    def r4d(s: Double): Double = java.math.BigDecimal.valueOf(s)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      math.round(s * 1e4) / 1e4 // the same r4 the engine applied
+      r4d(s)
     }
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Double, Double, Double)]
@@ -175,8 +197,7 @@ object Eval {
         .map { c =>
           val pen = if (chosen.isEmpty) 0.0
             else chosen.map(s => cos(c.e, s.e)).max
-          val score = math.round(
-            (lambda * c.rel - (1 - lambda) * pen) * 1e4) / 1e4
+          val score = r4d(lambda * c.rel - (1 - lambda) * pen)
           (c, pen, score)
         }
         .minBy { case (c, _, score) => (-score, c.id) }

@@ -155,14 +155,29 @@ object Quality {
     * [[tableFingerprint]] and [[fingerprintIncremental]] (ONE
     * definition, so the merge-equals-recompute guarantee can't drift
     * from the direct fingerprint). */
+  /** Modulus for the additive fingerprint component: 2^62. The raw
+    * Σ md5-slice sum exceeds int64 once the table passes ~2^15 rows
+    * (each slice averages 2^47), and a DECIMAL(38,0) above 2^63 is
+    * exactly the value class that downstream comparators normalizing
+    * through int64/float64 silently mangle. Folding mod 2^62 keeps
+    * the fingerprint (a) commutative/mergeable — (a+b) mod m ≡
+    * ((a mod m)+(b mod m)) mod m — and (b) always a plain BIGINT on
+    * both engines, so the output is comparator-proof by construction.
+    * Collision odds are unchanged in practice: 62 bits of additive
+    * state alongside the 48-bit XOR channel. */
+  private val FpMod = 4611686018427387904L // 2^62
+
   private def md5Parts(canon: DataFrame): DataFrame =
     canon
       .select(expr("cast(conv(substr(md5(s), 1, 12), 16, 10) as bigint)")
         .as("h"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_sum"),
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("fp_wide"),
         expr("bit_xor(h)").as("fp_xor"))
+      .select(col("n_rows"),
+        expr(s"cast(fp_wide % ${FpMod}L as bigint)").as("fp_sum"),
+        col("fp_xor"))
 
   /** The pinned orders canonical string (doubles excluded, 6-digit
     * timestamp format) — shared for the same no-drift reason. */
@@ -212,11 +227,14 @@ object Quality {
     parts(o.filter($"o_orderkey" % 10 < 8))
       .write.mode("overwrite").parquet(dir)
     val snapshot = spark.read.schema(
-      "n_rows BIGINT, fp_sum DECIMAL(38,0), fp_xor BIGINT").parquet(dir)
+      "n_rows BIGINT, fp_sum BIGINT, fp_xor BIGINT").parquet(dir)
+    // partials are already folded mod 2^62; the merge re-folds after a
+    // DECIMAL-widened sum so ANY number of daily partials (365 × <2^62
+    // would overflow a bare int64 sum) merges exactly
     snapshot.unionByName(parts(o.filter($"o_orderkey" % 10 >= 8)))
       .agg(sum($"n_rows").cast("long").as("n_rows"),
-        sum($"fp_sum").cast(
-          org.apache.spark.sql.types.DecimalType(38, 0)).as("fp_sum"),
+        expr(s"cast(sum(cast(fp_sum as decimal(38,0))) % ${FpMod}L" +
+          " as bigint)").as("fp_sum"),
         expr("bit_xor(fp_xor)").as("fp_xor"))
       .select(lit("orders").as("table_name"), $"n_rows", $"fp_sum",
         $"fp_xor")

@@ -2399,35 +2399,36 @@ object OracleSql {
         |ORDER BY p.doc_id""".stripMargin,
 
     // NDCG@10: same rounded sims, same rank tiebreaks, same label-
-    // derived judgments, exact decimal gain×discount sums
+    // derived judgments, exact decimal gain×discount sums; IDCG is the
+    // ideal top-10 BY RELEVANCE over the WHOLE judged corpus (second
+    // rel-ranked window), not a re-sort of the retrieved 10
     "q_eval_ndcg" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding, label AS qlabel
          |           FROM embeddings WHERE vec_id % 50 = 0),
-         |top AS (SELECT q.qid, q.qlabel, a.vec_id, a.label,
+         |top AS (SELECT q.qid, a.vec_id,
+         |    CASE WHEN a.label = q.qlabel THEN 2
+         |         WHEN a.label % 5 = q.qlabel % 5 THEN 1 ELSE 0 END
+         |      AS rel,
          |    $dotSql AS sim
          |  FROM embeddings a, q WHERE a.vec_id <> q.qid),
-         |rk AS (SELECT qid, qlabel, vec_id, label, sim,
+         |rk AS (SELECT qid, vec_id, rel,
          |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY sim DESC, vec_id) AS rnk
+         |      ORDER BY sim DESC, vec_id) AS rnk,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, vec_id) AS irank
          |  FROM top),
-         |g AS (SELECT qid, rnk,
-         |    CASE WHEN label = qlabel THEN 2
-         |         WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END AS rel
-         |  FROM rk WHERE rnk <= 10),
-         |gi AS (SELECT qid, rnk, rel,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY rel DESC, rnk) AS irank
-         |  FROM g),
          |s AS (SELECT qid,
-         |    cast(sum(cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
-         |                  ELSE 0 END as decimal(8,0))
-         |             * cast(${ndcgW("rnk")} as decimal(8,6)))
+         |    cast(sum(CASE WHEN rnk <= 10 THEN
+         |        cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
+         |             ELSE 0 END as decimal(8,0))
+         |        * cast(${ndcgW("rnk")} as decimal(8,6)) END)
          |      as double) AS dcg,
-         |    cast(sum(cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
-         |                  ELSE 0 END as decimal(8,0))
-         |             * cast(${ndcgW("irank")} as decimal(8,6)))
+         |    cast(sum(CASE WHEN irank <= 10 THEN
+         |        cast(CASE rel WHEN 2 THEN 3 WHEN 1 THEN 1
+         |             ELSE 0 END as decimal(8,0))
+         |        * cast(${ndcgW("irank")} as decimal(8,6)) END)
          |      as double) AS idcg
-         |  FROM gi GROUP BY qid)
+         |  FROM rk WHERE rnk <= 10 OR irank <= 10 GROUP BY qid)
          |SELECT qid, dcg, idcg,
          |  CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
          |FROM s ORDER BY qid""".stripMargin,
@@ -3243,9 +3244,11 @@ object OracleSql {
 
     // the oracle fingerprints the FULL table directly — the hash match
     // proves the snapshot+delta merge ≡ recompute
+    // fp_sum folded mod 2^62 (matches graft.ops.Quality.FpMod) so the
+    // output is a plain BIGINT on both engines — comparator-proof
     "q_fingerprint_incremental" ->
       """SELECT 'orders' AS table_name, count(*) AS n_rows,
-        |  cast(sum(h) as decimal(38,0)) AS fp_sum,
+        |  cast(sum(h) % 4611686018427387904 as bigint) AS fp_sum,
         |  bit_xor(h) AS fp_xor
         |FROM (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey,
         |        o_custkey, o_orderstatus,
@@ -3355,7 +3358,7 @@ object OracleSql {
     "q_table_fingerprint" -> {
       def one(name: String, canon: String, table: String) =
         s"""SELECT '$name' AS table_name, count(*) AS n_rows,
-           |  cast(sum(h) as decimal(38,0)) AS fp_sum,
+           |  cast(sum(h) % 4611686018427387904 as bigint) AS fp_sum,
            |  bit_xor(h) AS fp_xor
            |FROM (SELECT ('0x' || substr(md5($canon), 1, 12))::BIGINT AS h
            |      FROM $table)""".stripMargin

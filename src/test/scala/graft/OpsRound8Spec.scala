@@ -18,10 +18,15 @@ class OpsRound8Spec extends SparkSpec {
       .as[(Long, Array[Float], Int)].collect()
       .map { case (id, e, l) => id -> ((e, l)) }.toMap
 
+  // Same rounding as the engine's Det.r4 (Spark round = BigDecimal
+  // HALF_UP over the double's shortest decimal representation)
+  private def r4d(s: Double): Double = java.math.BigDecimal.valueOf(s)
+    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   private def cos(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    math.round(s * 1e4) / 1e4
+    r4d(s)
   }
 
   // ---- q_sim_rerank_mmr --------------------------------------------------
@@ -42,7 +47,7 @@ class OpsRound8Spec extends SparkSpec {
         .map { case (id, e, rel) =>
           val pen =
             if (chosen.isEmpty) 0.0 else chosen.map(c => cos(e, c._2)).max
-          val score = math.round((0.7 * rel - 0.3 * pen) * 1e4) / 1e4
+          val score = r4d(0.7 * rel - 0.3 * pen)
           (id, e, rel, pen, score)
         }
         .minBy { case (id, _, _, _, score) => (-score, id) }
@@ -65,14 +70,18 @@ class OpsRound8Spec extends SparkSpec {
     assert(got.keySet === qids.toSet)
     qids.foreach { qid =>
       val (qe, ql) = v(qid)
-      val top = v.toSeq.filter(_._1 != qid)
+      def rel(l: Int) = if (l == ql) 2 else if (l % 5 == ql % 5) 1 else 0
+      val corpus = v.toSeq.filter(_._1 != qid)
+      val top = corpus
         .map { case (id, (e, l)) => (id, l, cos(e, qe)) }
         .sortBy { case (id, _, s) => (-s, id) }.take(10)
-      val rels = top.map { case (_, l, _) =>
-        if (l == ql) 2 else if (l % 5 == ql % 5) 1 else 0 }
+      val rels = top.map { case (_, l, _) => rel(l) }
+      // ideal top-10 over the WHOLE judged corpus, not the retrieved 10
+      val idealRels = corpus.map { case (id, (_, l)) => (rel(l), id) }
+        .sortBy { case (r, id) => (-r, id) }.take(10).map(_._1)
       def gain(r: Int) = if (r == 2) 3.0 else if (r == 1) 1.0 else 0.0
       val dcg = rels.zipWithIndex.map { case (r, i) => gain(r) * w(i) }.sum
-      val idcg = rels.sortBy(-_).zipWithIndex
+      val idcg = idealRels.zipWithIndex
         .map { case (r, i) => gain(r) * w(i) }.sum
       val expect = if (idcg > 0) Some(dcg / idcg) else None
       (got(qid), expect) match {

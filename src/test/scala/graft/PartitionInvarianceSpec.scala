@@ -65,7 +65,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // batch — each reduces on keys whose grouping must not depend on
     // the initial layout
     "q_agg_mad", "q_text_boilerplate", "q_skyline_pareto",
-    "q_eval_ndcg")
+    "q_eval_ndcg",
+    // the ANN arm's per-qid rank windows over the probed bucket join
+    // and the MMR candidate fetch (rank-20 slice off a broadcast-batch
+    // join) are exactly as layout-sensitive as the NDCG windows
+    "q_eval_recall_ann", "q_sim_rerank_mmr",
+    // round 9: incremental fingerprint (mod-folded partial merge)
+    "q_fingerprint_incremental")
 
   private lazy val alt = {
     val s = spark.newSession()
