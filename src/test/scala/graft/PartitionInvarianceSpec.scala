@@ -70,7 +70,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // and the MMR candidate fetch (rank-20 slice off a broadcast-batch
     // join) are exactly as layout-sensitive as the NDCG windows
     "q_eval_recall_ann", "q_sim_rerank_mmr",
-    // round 9: incremental fingerprint (mod-folded partial merge)
+    // round 8: incremental fingerprint (mod-folded partial merge)
     "q_fingerprint_incremental")
 
   private lazy val alt = {

@@ -337,6 +337,35 @@ class PlanSpec extends SparkSpec {
       s"expected both children sorted on (key, time):\n${plan.take(1500)}")
   }
 
+  test("zones crossmatch joins on the zone equi key, never a nested loop") {
+    val plan = finalSection(finalPlan(
+      Spatial.spatialZonesJoin(spark, sfDir)))
+    // the entire point of the zones decomposition: the radius predicate
+    // must ride an EQUI join on zone (pair space = Σ band occupancy
+    // products), not a BNL/cartesian over |A|×|B|
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan.take(1000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on zone:\n${plan.take(1000)}")
+  }
+
+  test("best-match argmin is ONE partial+final min_by agg, no rank window") {
+    val plan = finalSection(finalPlan(
+      Spatial.spatialBestMatch(spark, sfDir)))
+    // per-a_id nearest neighbor must reduce via min_by partials (per-key
+    // shuffle state = one (d2, id) pair) — a Window/rank formulation
+    // would buffer whole match groups per key
+    assert(!plan.contains("Window"), s"expected no window:\n${plan.take(1000)}")
+    val aggs = "HashAggregate\\(keys=\\[a_id".r.findAllIn(plan).size +
+      "SortAggregate\\(key=\\[a_id".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final argmin aggregate:\n" +
+      plan.take(1500))
+    // and exactly one data exchange feeds the final agg (zone join's
+    // exchanges aside, the argmin itself must not re-shuffle twice)
+    assert("Exchange hashpartitioning\\(a_id".r.findAllIn(plan).size === 1,
+      s"expected one a_id exchange:\n${plan.take(1500)}")
+  }
+
   test("bucketed join is exchange-free (co-located sort-merge)") {
     val plan = finalSection(finalPlan(Relational.bucketedJoin(spark, sfDir)))
     assert(plan.contains("SortMergeJoin"),
