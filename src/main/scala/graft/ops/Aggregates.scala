@@ -420,7 +420,38 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** EXACT distinct count via a two-level BITMAP rollup (the
+    * roaring-bitmap shape): each id maps to (chunk = id >> 16,
+    * word = (id >> 6) & 1023, bit = id & 63); a first aggregation ORs
+    * the single-bit masks into 64-bit words, a second sums popcounts.
+    * The oracle is plain COUNT(DISTINCT) — the hash match proves the
+    * bitmap rollup exact.
+    *
+    * Why this beats count(distinct) at 100 TB: Spark expands
+    * count(DISTINCT id) into a pre-deduplication on (group, id) —
+    * the shuffle carries every distinct id once. Here the map-side
+    * partial agg ORs ids into words BEFORE the exchange, so the
+    * shuffle carries at most one 64-bit word per (group, chunk, word)
+    * per map task — a ~64× payload reduction on dense id spaces, and
+    * the OR is associative so partials merge losslessly (the same
+    * reason warehouses keep bitmap indexes for distinct rollups). */
+  def aggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag",
+        shiftright($"l_partkey", 16).as("chunk"),
+        (shiftright($"l_partkey", 6) % 1024).as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(l_partkey % 64 as int))")
+          .as("m"))
+      .groupBy($"l_returnflag", $"chunk", $"word")
+      .agg(expr("bit_or(m)").as("mask"))
+      .groupBy($"l_returnflag")
+      .agg(Det.lsum(expr("bit_count(mask)")).as("n_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap_distinct" -> aggBitmapDistinct,
     "q_agg_mad" -> aggMad,
     "q_join_incremental" -> joinIncremental,
     "q_agg_incremental" -> aggIncremental,

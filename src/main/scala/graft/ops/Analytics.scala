@@ -945,7 +945,149 @@ object Analytics {
       .orderBy($"p_size".desc, $"p_partkey")
   }
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE activity days
+    * (streaks), reported as an island-length census. The classic
+    * formulation: dedup to (user, day), rank days per user, and note
+    * that within a consecutive run `day - row_number` is constant — so
+    * one groupBy on that derived constant recovers every island with
+    * no self-join and no iteration.
+    *
+    * Scale posture: ONE user_id exchange (the rank window), then the
+    * island groupBy reuses the same hash partitioning (user_id is a
+    * prefix of the island key — no second exchange), and the final
+    * length census aggregates a per-user-bounded relation. Per-key
+    * window state is one row — no buffering. */
+  def winGapIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days
+      .withColumn("rn", row_number().over(w))
+      // anchor day-number minus rank: constant within a consecutive run
+      .withColumn("grp", datediff($"d", lit("1970-01-01").cast("date"))
+        - $"rn")
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("island_len"))
+      .groupBy($"island_len")
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"island_len")
+  }
+
+  /** Daily OHLC bars per event type — the resample/candlestick shape:
+    * open/close are the first/last `value` by (ts, event_id) within
+    * the (day, type) bar; high/low are min/max; volume is the row
+    * count; sum_value the exact decimal sum. First/last are picked by
+    * rank windows (row_number over (ts, event_id) asc / desc) rather
+    * than min_by-on-struct so the DuckDB twin is expressible with the
+    * same total order — the tiebreak makes both engines agree on ties.
+    *
+    * Scale posture: the two windows and the groupBy all hash on the
+    * SAME (day, event_type) key, so the whole bar computation is ONE
+    * exchange; window state per key is one counter (row_number).
+    * open/high/low/close are raw stored doubles (no accumulation), so
+    * they hash-match without rounding; only sum_value needs the
+    * decimal-sum discipline. */
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sfDir, "events")
+      .select(to_date($"ts").as("d"), $"event_type", $"ts", $"event_id",
+        $"value")
+    val asc = Window.partitionBy($"d", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val desc = Window.partitionBy($"d", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc)
+    e.withColumn("rno", row_number().over(asc))
+      .withColumn("rnc", row_number().over(desc))
+      .groupBy($"d", $"event_type")
+      .agg(
+        max(when($"rno" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rnc" === 1, $"value")).as("close"),
+        count(lit(1)).as("volume"),
+        graft.Det.dsum($"value").as("sum_value"))
+      .orderBy($"d", $"event_type")
+  }
+
+  /** Directional association rules a→b over the order/part baskets —
+    * the confidence/lift layer on top of [[basketPairs]]'s support
+    * mining (same Σdf²-bounded pair space: per-order distinct items,
+    * pair join, support ≥ 3). Each unordered pair emits BOTH
+    * directions; confidence(a→b) = support / count(a). Confidence and
+    * lift are single IEEE divisions of exact longs — identical in both
+    * engines, no rounding needed.
+    *
+    * Scale posture: identical to basketPairs (the one pair-space
+    * shuffle dominates); the direction fan-out is 2× on the ALREADY
+    * support-filtered rule set, not on the pair space. */
+  def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("item")).distinct()
+    val n = Tables(spark, sfDir, "orders")
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = li.groupBy($"item").agg(count(lit(1)).as("c"))
+    val pairs = li.select($"okey", $"item".as("item_a"))
+      .join(li.select($"okey", $"item".as("item_b")), "okey")
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("support"))
+      .filter($"support" >= 3)
+    val both = pairs.select($"item_a".as("ante"), $"item_b".as("cons"),
+        $"support")
+      .unionAll(pairs.select($"item_b".as("ante"), $"item_a".as("cons"),
+        $"support"))
+    both
+      .join(itemN.select($"item".as("ante"), $"c".as("ca")), "ante")
+      .join(itemN.select($"item".as("cons"), $"c".as("cb")), "cons")
+      .crossJoin(broadcast(n))
+      .select($"ante", $"cons", $"support",
+        ($"support".cast("double") / $"ca").as("confidence"),
+        (($"support" * $"n_orders").cast("double") / ($"ca" * $"cb"))
+          .as("lift"))
+      .orderBy($"confidence".desc, $"support".desc, $"ante", $"cons")
+      .limit(20)
+  }
+
+  /** Inter-arrival-time distribution: per event type, exact p50/p90/p99
+    * of the gap (in seconds) between a user's consecutive events —
+    * the latency/engagement-cadence percentile panel. The gap is
+    * attributed to the LATER event's type. Gaps are exact integer
+    * microsecond differences scaled to seconds; the percentiles
+    * interpolate over those exact values (r4 absorbs the one
+    * interpolation division, the same regime as q_agg_percentile).
+    *
+    * Scale posture: one user_id exchange for the lag window (per-key
+    * state = one row), then one event_type aggregation; the exact
+    * percentile sorts per-type gap sets — at 100 TB swap in
+    * percentile_approx partials, same plan shape (declared trade,
+    * mirrored by the approx twin's contract). */
+  def eventsGapPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .filter($"prev_us".isNotNull)
+      .withColumn("gap_s",
+        (unix_micros($"ts") - $"prev_us").cast("double") / 1e6)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        graft.Det.r4(expr("percentile(gap_s, 0.5)")).as("p50_s"),
+        graft.Det.r4(expr("percentile(gap_s, 0.9)")).as("p90_s"),
+        graft.Det.r4(expr("percentile(gap_s, 0.99)")).as("p99_s"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_gap_islands" -> winGapIslands,
+    "q_ts_ohlc" -> tsOhlc,
+    "q_basket_rules" -> basketRules,
+    "q_events_gap_percentiles" -> eventsGapPercentiles,
     "q_skyline_pareto" -> skylinePareto,
     "q_intervals_open" -> intervalsOpen,
     "q_abc_pareto" -> abcPareto,

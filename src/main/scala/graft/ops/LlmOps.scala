@@ -3010,7 +3010,107 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** CLASS-BALANCED downsampling — every language keeps exactly
+    * cap = min(class size) documents, the undersampling step that
+    * equalizes a skewed training mixture. WHICH docs survive is
+    * deterministic and value-free: each class keeps its first `cap`
+    * docs in [[knuthHash]] order (hash order ≈ uniform over the class,
+    * reproducible, partition-count independent).
+    *
+    * Scale posture: one lang-keyed census (partial-agged) reduced to a
+    * ONE-ROW broadcast cap; the per-class rank is a window over the
+    * lang partitioning — row_number scans each class once with O(1)
+    * state. The checksum column proves the exact member set, not just
+    * the count, across engines. */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val cap = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+      .agg(min($"c").as("cap"))
+    val w = Window.partitionBy($"lang")
+      .orderBy(knuthHash($"doc_id"), $"doc_id")
+    docs
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter($"rk" <= $"cap")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_selected"),
+        Det.lsum($"doc_id").as("id_checksum"),
+        Det.lsum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  /** Embedding-table HEALTH report — the pre-index sanity gate: per
+    * label, vector count, zero-vector count, and the distribution
+    * (avg/min/max) of the QUANTIZED squared norm. Lanes are quantized
+    * to 1e-4 longs first (Det.arrStr's lattice), so the 64-term Σq²
+    * is exact integer arithmetic — no float accumulation anywhere,
+    * hash-identical at any partitioning in both engines.
+    *
+    * Scale posture: row-local HOF fold at scan speed, then one
+    * label-keyed partial agg; nothing grows with corpus size but the
+    * scan. */
+  def embedHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select($"label",
+        expr("""aggregate(
+          |  transform(embedding, x ->
+          |    cast(floor(cast(x as double) * 10000) as bigint)),
+          |  cast(0 as bigint), (a, q) -> a + q * q)""".stripMargin)
+          .as("normq"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when($"normq" === 0, 1)).as("n_zero"),
+        (sum($"normq").cast("double") / count(lit(1))).as("avg_normq"),
+        min($"normq").as("min_normq"),
+        max($"normq").as("max_normq"))
+      .orderBy($"label")
+  }
+
+  /** CURRICULUM staging — order the corpus easy→hard by a difficulty
+    * proxy (document length) and cut it into four stages at the exact
+    * length quartiles; report each stage's size and token budget. The
+    * quartile thresholds are computed ONCE and broadcast, so the
+    * stage assignment is a row-local CASE — no global sort, no
+    * row-number-over-everything (the trap a naive ntile(4) over the
+    * whole corpus falls into: a single-partition window).
+    *
+    * Determinism: quartile interpolation on integer lengths uses
+    * fractions ∈ {0,¼,½,¾} — exactly representable, so the
+    * interpolated thresholds are bit-identical across engines and the
+    * band comparisons can never sit on a rounding tie.
+    *
+    * Scale posture: percentile agg (swap in approx at 100 TB, same
+    * shape) + ONE-ROW broadcast + partial-agged stage rollup. */
+  def mixCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+    val cuts = docs.agg(
+      percentile($"n_chars", lit(0.25)).as("t1"),
+      percentile($"n_chars", lit(0.5)).as("t2"),
+      percentile($"n_chars", lit(0.75)).as("t3"))
+    docs.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        when($"n_chars" <= $"t1", 1)
+          .when($"n_chars" <= $"t2", 2)
+          .when($"n_chars" <= $"t3", 3)
+          .otherwise(4))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.lsum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_balanced" -> sampleBalanced,
+    "q_embed_health" -> embedHealth,
+    "q_mix_curriculum" -> mixCurriculum,
     "q_sim_ann_filtered" -> simAnnFiltered,
     "q_text_bigram_lm" -> textBigramLm,
     "q_sample_negatives" -> sampleNegatives,

@@ -403,7 +403,40 @@ object Quality {
       .orderBy($"lang")
   }
 
+  /** k-ANONYMITY audit (k = 5) over the quasi-identifier tuple
+    * (nation, market segment, account-balance band of 1000): how many
+    * equivalence classes are smaller than k, how many ROWS those
+    * classes expose, and the dataset's actual k (the smallest class).
+    * The release gate a privacy-conscious pipeline runs before
+    * publishing user-derived aggregates.
+    *
+    * Determinism: the band divides an exact-2-decimal double by a
+    * power-of-ten literal and floors — both engines perform the same
+    * IEEE division on the same operand, so the band is bit-identical
+    * (Det.scala rules); everything else is integer counting.
+    *
+    * Scale posture: one partial-agged groupBy on the QI tuple, then a
+    * single-row rollup over the class census (bounded by the QI
+    * domain, not the table). */
+  def anonymizeKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val classes = Tables(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+      .agg(count(lit(1)).as("cls_n"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      count(when($"cls_n" < k, 1)).as("n_small_classes"),
+      coalesce(sum(when($"cls_n" < k, $"cls_n")), lit(0L)).cast("long")
+        .as("n_rows_at_risk"),
+      min($"cls_n").as("min_k"),
+      sum($"cls_n").cast("long").as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anonymize_kanon" -> anonymizeKanon,
     "q_profile_columns" -> profileColumns,
     "q_stats_drift_psi" -> statsDriftPsi,
     "q_classify_linear" -> classifyLinear,

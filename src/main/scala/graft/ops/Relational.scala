@@ -826,7 +826,70 @@ object Relational {
       .orderBy($"diff_status")
   }
 
+  /** NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): the join key
+    * is nullable by construction (priority '1-URGENT' nullified) and
+    * the null group must MATCH across sides — the semantics a plain
+    * equi join silently drops. Right side is the per-key census of the
+    * same relation, so every output row's n_orders × 1 match is
+    * self-checking against dim_n.
+    *
+    * Scale posture: EqualNullSafe is a first-class hash-join key in
+    * Spark (null hashes to a bucket like any value), so this plans as
+    * a broadcast hash join on the tiny key census — NOT a
+    * BroadcastNestedLoop, which is what naive `k = k OR (both null)`
+    * predicates degrade to. The plan shape is pinned in PlanSpec. */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+      .select(nullif($"o_orderpriority", lit("1-URGENT")).as("prio"),
+        $"o_totalprice")
+    val dim = o.groupBy($"prio".as("dprio"))
+      .agg(count(lit(1)).as("dim_n"))
+    o.join(broadcast(dim), $"prio" <=> $"dprio")
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n_orders"), max($"dim_n").as("dim_n"),
+        Det.dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"prio".asc_nulls_first)
+  }
+
+  /** TPC-H Q3 "shipping priority" shape — the canonical 3-way
+    * fact-to-fact join + group-by + top-k that every warehouse engine
+    * is benchmarked on: building-segment customers, orders placed
+    * before the cutoff, lineitems shipped after it, top 10 open orders
+    * by exact revenue.
+    *
+    * Scale posture: customer filters FIRST (segment predicate reaches
+    * the scan), joins orders on the shuffled custkey, then lineitem on
+    * orderkey — both sort-merge on their natural keys with partial
+    * aggregation above; the top-10 is a TakeOrderedAndProject (no
+    * global sort materialization). Revenue multiplies the EXACT base
+    * decimals (Det rules: cast base columns, multiply in decimal,
+    * exact sum, one cast to double at the end). */
+  def joinShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast(DateType)
+    val c = Tables(spark, sfDir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderpriority")
+    val l = Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(Det.dsumDec(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_null_safe" -> joinNullSafe,
+    "q_join_shipping_priority" -> joinShippingPriority,
     "q_snapshot_diff" -> snapshotDiff,
     "q_scan_project" -> scanProject,
     "q_source_range" -> sourceRange,

@@ -300,7 +300,38 @@ object StreamingOps {
       .orderBy($"window_start", $"rk")
   }
 
+  /** LATEST-WINS materialization through `transformWithState` — the
+    * CDC-view batch twin of StreamingSpec's changelog test: per user,
+    * the newest event by the TOTAL order (ts, event_id), held as one
+    * ValueState row. The fold is a max over that order —
+    * order-insensitive, so batch (each group fed once) and incremental
+    * (one group per microbatch) converge to the same view, and the
+    * result is deterministic under any partitioning and
+    * SQL-comparable (the oracle is the row_number()-desc pick).
+    *
+    * Scale posture: ONE user_id exchange, O(1) state per key — the
+    * upsert-view shape Delta/Hudi call "latest by sequence". */
+  def stateCdcLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    org.apache.spark.sql.execution.streaming.state.GraftStateCoordinator
+      .ensureRegistered(spark)
+    Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tsus"), $"event_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new CdcLatestV2,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
+        "last_value")
+      .withColumn("last_ts", timestamp_micros($"last_ts_us"))
+      .drop("last_ts_us")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_state_cdc_latest" -> stateCdcLatest,
     "q_stream_topk" -> streamTopk,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding" -> streamSliding,
@@ -346,5 +377,43 @@ private[ops] class RunningStateV2
     }
     acc.update(next)
     Iterator((user, next._1, next._2.toDouble, next._3))
+  }
+}
+
+/** Latest-wins state for [[StreamingOps.stateCdcLatest]]: one
+  * ValueState row per user holding (ts_us, event_id, type, value) of
+  * the newest event under the total order (ts_us, event_id). The
+  * update is a pure max — associative and commutative — so replaying
+  * any partitioning of the input (batch) or any microbatch slicing
+  * (incremental; exercised in StreamingSpec) reaches the same state.
+  * Top-level class: serializes without capturing an enclosing scope. */
+private[graft] class CdcLatestV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String, Double),
+      (Long, Long, Long, String, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  @transient private var last: ValueState[(Long, Long, String, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState("last",
+      org.apache.spark.sql.Encoders.product[(Long, Long, String, Double)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Long, Long, String, Double)],
+      tv: TimerValues): Iterator[(Long, Long, Long, String, Double)] = {
+    var cur = if (last.exists()) Some(last.get()) else None
+    rows.foreach { case (_, tsus, eid, tp, v) =>
+      if (cur.forall(c => tsus > c._1 || (tsus == c._1 && eid > c._2)))
+        cur = Some((tsus, eid, tp, v))
+    }
+    cur match {
+      case Some((tsus, eid, tp, v)) =>
+        last.update((tsus, eid, tp, v))
+        Iterator((user, tsus, eid, tp, v))
+      case None => Iterator.empty
+    }
   }
 }

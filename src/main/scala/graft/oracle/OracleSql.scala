@@ -3064,8 +3064,179 @@ object OracleSql {
     }
   )
 
+  private val round9: Map[String, String] = Map(
+    // gaps-and-islands: same day-number-minus-rank constant per run
+    "q_win_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, cast(ts as date) AS d
+        |              FROM events),
+        |r AS (SELECT user_id, d, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY d) AS rn
+        |      FROM days),
+        |isl AS (SELECT user_id,
+        |          datediff('day', DATE '1970-01-01', d) - rn AS grp,
+        |          count(*) AS island_len
+        |        FROM r GROUP BY 1, 2)
+        |SELECT island_len, count(*) AS n_islands,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM isl GROUP BY island_len ORDER BY island_len""".stripMargin,
+
+    // OHLC bars: identical (ts, event_id) total order picks open/close
+    "q_ts_ohlc" ->
+      s"""WITH e AS (SELECT cast(ts as date) AS d, event_type, ts,
+         |             event_id, value FROM events),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY d, event_type
+         |          ORDER BY ts, event_id) AS rno,
+         |        row_number() OVER (PARTITION BY d, event_type
+         |          ORDER BY ts DESC, event_id DESC) AS rnc
+         |      FROM e)
+         |SELECT d, event_type,
+         |  max(CASE WHEN rno = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  max(CASE WHEN rnc = 1 THEN value END) AS close,
+         |  count(*) AS volume, ${dsum("value")} AS sum_value
+         |FROM r GROUP BY d, event_type ORDER BY d, event_type""".stripMargin,
+
+    // directional rules on the same support-mined pair space
+    "q_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        |            FROM lineitem),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |itemn AS (SELECT item, count(*) AS c FROM li GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        count(*) AS support
+        |      FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bidir AS (SELECT item_a AS ante, item_b AS cons, support FROM p
+        |          UNION ALL
+        |          SELECT item_b AS ante, item_a AS cons, support FROM p)
+        |SELECT ante, cons, support,
+        |  cast(support as double) / ca.c AS confidence,
+        |  cast(support * n_orders as double) / (ca.c * cb.c) AS lift
+        |FROM bidir
+        |JOIN itemn ca ON bidir.ante = ca.item
+        |JOIN itemn cb ON bidir.cons = cb.item
+        |CROSS JOIN n
+        |ORDER BY confidence DESC, support DESC, ante, cons
+        |LIMIT 20""".stripMargin,
+
+    // inter-arrival gaps: exact integer micros scaled by one IEEE div
+    "q_events_gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+        |    cast(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) as double)
+        |      / 1e6 AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+        |  round(quantile_cont(gap_s, 0.99), 4) AS p99_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the null group must match across sides: IS NOT DISTINCT FROM
+    "q_join_null_safe" ->
+      s"""WITH o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+         |             o_totalprice FROM orders),
+         |d AS (SELECT prio AS dprio, count(*) AS dim_n FROM o GROUP BY 1)
+         |SELECT prio, count(*) AS n_orders, max(dim_n) AS dim_n,
+         |  ${dsum("o_totalprice")} AS sum_price
+         |FROM o JOIN d ON o.prio IS NOT DISTINCT FROM d.dprio
+         |GROUP BY prio ORDER BY prio ASC NULLS FIRST""".stripMargin,
+
+    // TPC-H Q3 shape; same exact-decimal revenue pipeline as the joins
+    "q_join_shipping_priority" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         |  ${dsumDec(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < DATE '1998-01-01'
+         |  AND l.l_shipdate > DATE '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    // the bitmap rollup must equal plain COUNT(DISTINCT)
+    "q_agg_bitmap_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // k-anonymity census over the same QI tuple
+    "q_anonymize_kanon" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    cast(floor(c_acctbal / 1000.0) as bigint) AS bal_band,
+        |    count(*) AS cls_n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_classes,
+        |  count(CASE WHEN cls_n < 5 THEN 1 END) AS n_small_classes,
+        |  cast(coalesce(sum(CASE WHEN cls_n < 5 THEN cls_n END), 0)
+        |    as bigint) AS n_rows_at_risk,
+        |  min(cls_n) AS min_k,
+        |  cast(sum(cls_n) as bigint) AS n_rows
+        |FROM cls""".stripMargin,
+
+    // same exact knuth-hash order and min-class cap
+    "q_sample_balanced" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    cast((cast(doc_id as hugeint) * 2654435761) % 4294967296
+        |      as bigint) AS hk
+        |  FROM documents),
+        |cap AS (SELECT min(c) AS cap
+        |        FROM (SELECT count(*) AS c FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang, n_chars, row_number() OVER (
+        |        PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |      FROM d)
+        |SELECT lang, count(*) AS n_selected,
+        |  cast(sum(doc_id) as bigint) AS id_checksum,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM r, cap WHERE rk <= cap.cap
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // quantized squared norms: exact integer arithmetic on both sides
+    "q_embed_health" ->
+      """WITH q AS (SELECT label,
+        |    cast(list_sum(list_transform(embedding, x ->
+        |      cast(floor(cast(x as double) * 10000) as bigint)
+        |      * cast(floor(cast(x as double) * 10000) as bigint)))
+        |      as bigint) AS normq
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN normq = 0 THEN 1 END) AS n_zero,
+        |  cast(sum(normq) as double) / count(*) AS avg_normq,
+        |  min(normq) AS min_normq, max(normq) AS max_normq
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+    // quartile cuts interpolate on fractions in {0,.25,.5,.75} — exact
+    "q_mix_curriculum" ->
+      """WITH cuts AS (SELECT quantile_cont(n_chars, 0.25) AS t1,
+        |    quantile_cont(n_chars, 0.5) AS t2,
+        |    quantile_cont(n_chars, 0.75) AS t3
+        |  FROM documents)
+        |SELECT stage, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT CASE WHEN n_chars <= t1 THEN 1
+        |               WHEN n_chars <= t2 THEN 2
+        |               WHEN n_chars <= t3 THEN 3
+        |               ELSE 4 END AS stage, n_chars
+        |      FROM documents, cuts)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // latest-wins view = row_number desc pick under the same order
+    "q_state_cdc_latest" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value, ts AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    analytics ++ layout ++ round7 ++ round8 ++
+    analytics ++ layout ++ round7 ++ round8 ++ round9 ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)

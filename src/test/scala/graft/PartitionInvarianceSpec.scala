@@ -71,7 +71,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // join) are exactly as layout-sensitive as the NDCG windows
     "q_eval_recall_ann", "q_sim_rerank_mmr",
     // round 8: incremental fingerprint (mod-folded partial merge)
-    "q_fingerprint_incremental")
+    "q_fingerprint_incremental",
+    // round 9: islands rank window, OHLC first/last rank picks,
+    // knuth-order balanced cap, latest-wins transformWithState fold,
+    // lag-window gap percentiles, bitmap OR rollup, directional rule
+    // join — each ranks/folds/ORs on keys whose grouping must not
+    // depend on the initial layout
+    "q_win_gap_islands", "q_ts_ohlc", "q_sample_balanced",
+    "q_state_cdc_latest", "q_events_gap_percentiles",
+    "q_agg_bitmap_distinct", "q_basket_rules")
 
   private lazy val alt = {
     val s = spark.newSession()

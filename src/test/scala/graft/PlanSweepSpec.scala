@@ -23,6 +23,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_text_bm25",       // 1-row broadcast corpus stats crossJoin
     "q_sim_hybrid_rrf",  // 1-row broadcast query vector + corpus stats
     "q_basket_pairs",    // 1-row broadcast order-count crossJoin
+    "q_basket_rules",    // 1-row broadcast order-count crossJoin
+    "q_sample_balanced", // 1-row broadcast min-class-cap crossJoin
+    "q_mix_curriculum",  // 1-row broadcast quartile-cuts crossJoin
     "q_customer_rfm",    // 1-row broadcast median-thresholds crossJoin
     "q_text_pmi",        // 1-row broadcast totals crossJoin
     "q_agg_histogram",   // 1-row broadcast min/max crossJoin
