@@ -1083,7 +1083,36 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** AUDIENCE OVERLAP between two periods (first vs second half of the
+    * month) — the exact set-op census (A∖B, B∖A, A∩B, Jaccard) that
+    * sketch engines approximate with theta sketches; here exact via
+    * membership FLAGS: one user-keyed aggregation computes both
+    * memberships per user, a second (single-row) rollup counts the
+    * four combinations — set semantics with no distinct-union /
+    * intersect / except plans and no double scan.
+    *
+    * Scale posture: ONE user_id partial-agged aggregation over the
+    * scan + a one-row rollup; the Jaccard is one IEEE division of
+    * exact longs. At 100 TB swap the exact flags for per-period theta
+    * sketches — the plan shape (per-key partial → tiny rollup) is
+    * unchanged. */
+  def eventsOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val flags = Tables(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(max(when(dayofmonth($"ts") <= 15, 1).otherwise(0)).as("in_a"),
+        max(when(dayofmonth($"ts") > 15, 1).otherwise(0)).as("in_b"))
+    flags.agg(
+      count(when($"in_a" === 1 && $"in_b" === 0, 1)).as("n_a_only"),
+      count(when($"in_a" === 0 && $"in_b" === 1, 1)).as("n_b_only"),
+      count(when($"in_a" === 1 && $"in_b" === 1, 1)).as("n_both"),
+      count(lit(1)).as("n_users"))
+      .withColumn("jaccard", $"n_both".cast("double")
+        / ($"n_a_only" + $"n_b_only" + $"n_both"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_overlap" -> eventsOverlap,
     "q_win_gap_islands" -> winGapIslands,
     "q_ts_ohlc" -> tsOhlc,
     "q_basket_rules" -> basketRules,

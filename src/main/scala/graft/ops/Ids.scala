@@ -60,7 +60,37 @@ object Ids {
       .orderBy($"doc_id")
   }
 
+  /** HASH SURROGATE keys — the other id-assignment strategy at scale:
+    * instead of a total order (coordination), each natural key derives
+    * its id content-locally as a 48-bit md5 slice, so two clusters
+    * assign identical ids with zero shuffles — at the price of a
+    * collision probability this query AUDITS (the birthday bound at
+    * 48 bits: ~50 % only past 2^24 ≈ 16.7 M keys; a production run at
+    * larger cardinality widens the slice). Output: key/id cardinality,
+    * colliding-id count, and rows trapped in collisions — plus the
+    * checksum over ids so the oracle proves the exact assignment.
+    *
+    * Scale posture: one projection (row-local md5) + one partial-agged
+    * census on the id; no total order anywhere — this is why hash
+    * surrogates beat sequence surrogates on a 1000-executor ingest. */
+  def idsHashSurrogate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sk = Tables(spark, sfDir, "customer")
+      .select($"c_name".as("nk"),
+        expr("cast(conv(substr(md5(c_name), 1, 12), 16, 10) as bigint)")
+          .as("sk"))
+    val census = sk.groupBy($"sk").agg(count(lit(1)).as("n"))
+    census.agg(
+      sum($"n").cast("long").as("n_keys"),
+      count(lit(1)).as("n_ids"),
+      count(when($"n" > 1, 1)).as("n_colliding_ids"),
+      coalesce(sum(when($"n" > 1, $"n")), lit(0L)).cast("long")
+        .as("n_rows_in_collisions"),
+      expr("bit_xor(sk)").as("id_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ids_contiguous" -> idsContiguous
+    "q_ids_contiguous" -> idsContiguous,
+    "q_ids_hash_surrogate" -> idsHashSurrogate
   )
 }

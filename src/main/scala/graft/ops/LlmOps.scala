@@ -3107,7 +3107,73 @@ object LlmOps {
       .orderBy($"stage")
   }
 
+  /** CROSS-FIELD entity resolution — docs are the same entity if they
+    * share EITHER alternate key: the 4-token title prefix OR the
+    * (lang, source, n_chars) metadata signature (the classic
+    * email-OR-phone record-linkage shape). Each key contributes STAR
+    * edges (every member → its key group's min doc) — |group| edges
+    * instead of |group|² pair edges — and one connected-components
+    * pass over the union merges entities ACROSS keys (A~B by title,
+    * B~C by signature ⇒ {A,B,C} one entity). Output: multi-doc
+    * entities with size and member checksum.
+    *
+    * Scale posture: two key-hash groupBys (window min per key) emit
+    * linear edge sets; CC is the shared O(log diameter) shortcutting
+    * loop ([[Graph.connectedComponents]]); no pair space anywhere. */
+  def dedupCrossfield(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    def starEdges(keyed: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("k"))
+      keyed.withColumn("root", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("doc_id").as("src"), col("root").as("dst"))
+    }
+    val titleKey = docs.select($"doc_id",
+      array_join(slice(split($"text", " "), 1, 4), " ").as("k"))
+    val sigKey = docs.select($"doc_id",
+      concat_ws("|", $"lang", $"source", $"n_chars").as("k"))
+    val labels = Graph.connectedComponents(
+      docs.select($"doc_id".as("id")),
+      starEdges(titleKey).unionAll(starEdges(sigKey)))
+    labels.groupBy($"component".as("entity_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        Det.lsum($"id").as("id_checksum"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"entity_id")
+  }
+
+  /** Per-DIMENSION embedding drift between the label halves (0–4 vs
+    * 5–9) — the feature-drift monitor an embedding pipeline runs
+    * between corpus versions: every lane's mean in each half on the
+    * exact 1e-4 quantized lattice (same integer arithmetic as
+    * [[embedHealth]] — sums are exact longs, means one IEEE division,
+    * drift one subtraction: bit-identical cross-engine, no rounding).
+    *
+    * Scale posture: posexplode is a narrow 64× fan-out into a
+    * partial-agged (dim, half) aggregation — the shuffle carries
+    * 128 partial rows per map task, independent of corpus size. */
+  def embedDimDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "embeddings")
+      .select(when($"label" < 5, "lo").otherwise("hi").as("half"),
+        posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"half", ($"pos" + 1).as("dim"),
+        floor($"x".cast("double") * 10000).cast("long").as("q"))
+      .groupBy($"dim")
+      .agg(
+        (sum(when($"half" === "lo", $"q")).cast("double")
+          / count(when($"half" === "lo", 1))).as("mean_lo"),
+        (sum(when($"half" === "hi", $"q")).cast("double")
+          / count(when($"half" === "hi", 1))).as("mean_hi"))
+      .withColumn("drift", abs($"mean_lo" - $"mean_hi"))
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_crossfield" -> dedupCrossfield,
+    "q_embed_dim_drift" -> embedDimDrift,
     "q_sample_balanced" -> sampleBalanced,
     "q_embed_health" -> embedHealth,
     "q_mix_curriculum" -> mixCurriculum,

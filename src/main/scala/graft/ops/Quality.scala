@@ -435,7 +435,42 @@ object Quality {
       sum($"cls_n").cast("long").as("n_rows"))
   }
 
+  /** Chi-square INDEPENDENCE test over the order-priority × status
+    * contingency table — the categorical-drift / association monitor
+    * (is priority distributed independently of status?). Observed
+    * counts are exact longs; expected = row_total × col_total / N is
+    * one IEEE division of exact longs (bit-identical cross-engine);
+    * the χ² total sums the ~15 cell contributions — the one
+    * order-dependent accumulation — under r4 (the Det stddev/corr
+    * regime).
+    *
+    * Scale posture: one partial-agged cell census (bounded by the
+    * category domain product, not the table), margins via two tiny
+    * re-aggregations of the CELL table, single-row rollup. */
+  def statsChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority".as("r"), $"o_orderstatus".as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy($"r").agg(sum($"obs").cast("long").as("rt"))
+    val colTot = cells.groupBy($"c").agg(sum($"obs").cast("long").as("ct"))
+    val n = cells.agg(sum($"obs").cast("long").as("n"))
+    // full margin grid (|rows|×|cols| — domain-bounded, not
+    // table-bounded): absent combinations still contribute their
+    // expected count with obs = 0, the textbook χ² definition
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("r", "c"), "left")
+      .crossJoin(broadcast(n))
+      .select(coalesce($"obs", lit(0L)).as("obs"), $"n", $"rt", $"ct",
+        (($"rt" * $"ct").cast("double") / $"n").as("exp"))
+      .agg(max($"n").as("n"),
+        count(lit(1)).as("n_cells"),
+        graft.Det.r4(sum(($"obs" - $"exp") * ($"obs" - $"exp") / $"exp"))
+          .as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_chi2" -> statsChi2,
     "q_anonymize_kanon" -> anonymizeKanon,
     "q_profile_columns" -> profileColumns,
     "q_stats_drift_psi" -> statsDriftPsi,

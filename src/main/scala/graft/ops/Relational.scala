@@ -887,7 +887,53 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 "local supplier volume" shape — the 6-way join with a
+    * CROSS-DIMENSION equality (customer's nation must equal the
+    * supplier's nation) that exercises join ORDER: revenue per ASIA
+    * nation for 1996 orders, served by suppliers in the customer's own
+    * nation.
+    *
+    * Scale posture: nation⨝region prunes to the 5-ish ASIA nation keys
+    * and BROADCASTS into both the customer and supplier sides, so the
+    * region filter reaches the fact joins as a semi-filter instead of
+    * a post-join predicate; the three fact joins shuffle on their
+    * natural keys (custkey, orderkey, suppkey) and the c↔s nation
+    * equality rides the last join as a residual — never a standalone
+    * theta join. Exact-decimal revenue, domain-bounded output. */
+  def joinLocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region")
+        .filter($"r_name" === "ASIA").select($"r_regionkey"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val c = Tables(spark, sfDir, "customer")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast(DateType)
+        && $"o_orderdate" < lit("1997-01-01").cast(DateType))
+      .select($"o_orderkey", $"o_custkey")
+    val s = Tables(spark, sfDir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val l = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+        $"l_discount")
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .join(s, $"l_suppkey" === $"s_suppkey"
+        && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations.select($"n_nationkey".as("nk"),
+        $"n_name")), $"s_nationkey" === $"nk")
+      .groupBy($"n_name")
+      .agg(Det.dsumDec(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_local_volume" -> joinLocalVolume,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_shipping_priority" -> joinShippingPriority,
     "q_snapshot_diff" -> snapshotDiff,

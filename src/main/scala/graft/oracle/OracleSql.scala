@@ -3225,6 +3225,116 @@ object OracleSql {
         |      FROM documents, cuts)
         |GROUP BY stage ORDER BY stage""".stripMargin,
 
+    // star edges per alternate key + the same reach-closure CC
+    "q_dedup_crossfield" ->
+      """WITH RECURSIVE
+        |ka AS (SELECT doc_id,
+        |         array_to_string((string_split(text, ' '))[1:4], ' ') AS k
+        |       FROM documents),
+        |kb AS (SELECT doc_id, concat_ws('|', lang, source, n_chars) AS k
+        |       FROM documents),
+        |ea AS (SELECT doc_id AS src,
+        |         min(doc_id) OVER (PARTITION BY k) AS dst FROM ka),
+        |eb AS (SELECT doc_id AS src,
+        |         min(doc_id) OVER (PARTITION BY k) AS dst FROM kb),
+        |e AS (SELECT src, dst FROM ea WHERE src <> dst
+        |      UNION ALL SELECT src, dst FROM eb WHERE src <> dst),
+        |und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT component AS entity_id, count(*) AS n_docs,
+        |  cast(sum(id) as bigint) AS id_checksum
+        |FROM comp GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY entity_id""".stripMargin,
+
+    // membership flags, then one rollup over the four combinations
+    "q_events_overlap" ->
+      """WITH f AS (SELECT user_id,
+        |    max(CASE WHEN datepart('day', ts) <= 15 THEN 1 ELSE 0 END)
+        |      AS in_a,
+        |    max(CASE WHEN datepart('day', ts) > 15 THEN 1 ELSE 0 END)
+        |      AS in_b
+        |  FROM events GROUP BY user_id)
+        |SELECT count(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 END)
+        |    AS n_a_only,
+        |  count(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 END) AS n_b_only,
+        |  count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) AS n_both,
+        |  count(*) AS n_users,
+        |  cast(count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END)
+        |    as double)
+        |    / (count(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 END)
+        |       + count(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 END)
+        |       + count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END))
+        |    AS jaccard
+        |FROM f""".stripMargin,
+
+    // TPC-H Q5 shape, same predicates and exact-decimal revenue
+    "q_join_local_volume" ->
+      s"""SELECT n.n_name,
+         |  ${dsumDec(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= DATE '1996-01-01'
+         |  AND o.o_orderdate < DATE '1997-01-01'
+         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+
+    // same quantized lattice; means are one IEEE division of exact longs
+    "q_embed_dim_drift" ->
+      """WITH q AS (SELECT cast(t.i as integer) AS dim,
+        |    CASE WHEN label < 5 THEN 'lo' ELSE 'hi' END AS half,
+        |    cast(floor(cast(embedding[t.i] as double) * 10000) as bigint)
+        |      AS q
+        |  FROM embeddings, range(1, 65) t(i))
+        |SELECT dim,
+        |  cast(sum(CASE WHEN half = 'lo' THEN q END) as double)
+        |    / count(CASE WHEN half = 'lo' THEN 1 END) AS mean_lo,
+        |  cast(sum(CASE WHEN half = 'hi' THEN q END) as double)
+        |    / count(CASE WHEN half = 'hi' THEN 1 END) AS mean_hi,
+        |  abs(cast(sum(CASE WHEN half = 'lo' THEN q END) as double)
+        |        / count(CASE WHEN half = 'lo' THEN 1 END)
+        |      - cast(sum(CASE WHEN half = 'hi' THEN q END) as double)
+        |        / count(CASE WHEN half = 'hi' THEN 1 END)) AS drift
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // same 48-bit md5 slice; the checksum proves the exact assignment
+    "q_ids_hash_surrogate" ->
+      """WITH sk AS (SELECT ('0x' || substr(md5(c_name), 1, 12))::BIGINT
+        |              AS sk FROM customer),
+        |census AS (SELECT sk, count(*) AS n FROM sk GROUP BY sk)
+        |SELECT cast(sum(n) as bigint) AS n_keys, count(*) AS n_ids,
+        |  count(CASE WHEN n > 1 THEN 1 END) AS n_colliding_ids,
+        |  cast(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) as bigint)
+        |    AS n_rows_in_collisions,
+        |  bit_xor(sk) AS id_checksum
+        |FROM census""".stripMargin,
+
+    // full margin grid: absent combinations still contribute expected
+    "q_stats_chi2" ->
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |    count(*) AS obs FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, cast(sum(obs) as bigint) AS rt FROM cells
+        |       GROUP BY r),
+        |ct AS (SELECT c, cast(sum(obs) as bigint) AS ct FROM cells
+        |       GROUP BY c),
+        |n AS (SELECT cast(sum(obs) as bigint) AS n FROM cells),
+        |g AS (SELECT coalesce(cells.obs, 0) AS obs, n.n,
+        |        cast(rt.rt * ct.ct as double) / n.n AS exp
+        |      FROM rt CROSS JOIN ct
+        |      LEFT JOIN cells ON rt.r = cells.r AND ct.c = cells.c
+        |      CROSS JOIN n)
+        |SELECT max(n) AS n, count(*) AS n_cells,
+        |  round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2
+        |FROM g""".stripMargin,
+
     // latest-wins view = row_number desc pick under the same order
     "q_state_cdc_latest" ->
       """SELECT user_id, event_id AS last_event_id,

@@ -174,6 +174,106 @@ class OpsRound9Spec extends SparkSpec {
     }
   }
 
+  // ---- q_dedup_crossfield ------------------------------------------------
+
+  test("crossfield entities match a driver union-find over both keys") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    // independent union-find on (title-prefix, signature) alternate keys
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    docs.groupBy(d => d._2.split(" ", -1).take(4).mkString(" "))
+      .values.foreach(g => g.map(_._1).sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => union(a, b); case _ => () })
+    docs.groupBy(d => (d._3, d._4, d._5))
+      .values.foreach(g => g.map(_._1).sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => union(a, b); case _ => () })
+    val want = docs.map(_._1).groupBy(find).values
+      .filter(_.length >= 2)
+      .map(g => (g.min, g.length.toLong, g.sum)).toSeq.sortBy(_._1)
+    val got = ops.LlmOps.dedupCrossfield(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // ---- q_stats_chi2 ------------------------------------------------------
+
+  test("chi-square statistic matches a driver replay over the full grid") {
+    val Array((n, nCells, chi2)) = ops.Quality.statsChi2(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val cells = Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n")).as[(String, String, Long)].collect()
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = cells.map(_._3).sum
+    val obs = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val contribs = for { r <- rt.keys.toSeq; c <- ct.keys.toSeq } yield {
+      val e = (rt(r) * ct(c)).toDouble / total
+      val o = obs.getOrElse((r, c), 0L)
+      (o - e) * (o - e) / e
+    }
+    val want = java.math.BigDecimal.valueOf(contribs.sum)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(n === total)
+    assert(nCells === rt.size.toLong * ct.size)
+    assert(math.abs(chi2 - want) < 2e-4, s"chi2 $chi2 vs replay $want")
+  }
+
+  // ---- q_events_overlap --------------------------------------------------
+
+  test("period overlap counts reconcile with the user census") {
+    val Array((aOnly, bOnly, both, nUsers, jac)) =
+      ops.Analytics.eventsOverlap(spark, sfDir)
+        .as[(Long, Long, Long, Long, Double)].collect()
+    assert(nUsers ===
+      Tables(spark, sfDir, "events").select($"user_id").distinct().count())
+    assert(aOnly + bOnly + both <= nUsers)
+    assert(jac === both.toDouble / (aOnly + bOnly + both))
+  }
+
+  // ---- q_embed_dim_drift -------------------------------------------------
+
+  test("dim drift covers all 64 lanes and drift = |mean_lo - mean_hi|") {
+    val rows = ops.LlmOps.embedDimDrift(spark, sfDir)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq === (1 to 64))
+    rows.foreach { case (d, lo, hi, drift) =>
+      assert(drift === math.abs(lo - hi), s"dim $d") }
+  }
+
+  // ---- q_ids_hash_surrogate ----------------------------------------------
+
+  test("hash surrogate audit: key count covers the table, ids unique " +
+    "unless collisions reported") {
+    val Array((nKeys, nIds, nColl, nRowsColl, _)) =
+      ops.Ids.idsHashSurrogate(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nKeys === Tables(spark, sfDir, "customer").count())
+    assert(nIds + nRowsColl - nColl === nKeys)
+  }
+
+  // ---- q_join_local_volume -----------------------------------------------
+
+  test("local-volume plan broadcasts the pruned nation dim and stays " +
+    "equi-joined") {
+    val df = ops.Relational.joinLocalVolume(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"non-equi fallback in:\n$plan")
+    assert(df.count() >= 1)
+  }
+
   // ---- q_join_shipping_priority ------------------------------------------
 
   test("shipping-priority plan pushes both date filters into the scans") {

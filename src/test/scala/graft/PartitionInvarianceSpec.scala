@@ -79,7 +79,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // depend on the initial layout
     "q_win_gap_islands", "q_ts_ohlc", "q_sample_balanced",
     "q_state_cdc_latest", "q_events_gap_percentiles",
-    "q_agg_bitmap_distinct", "q_basket_rules")
+    "q_agg_bitmap_distinct", "q_basket_rules",
+    // round 9 wave 2: star-edge CC entities, margin-grid chi2, 6-way
+    // residual-equality join, membership-flag overlap, lattice dim
+    // means, hash-surrogate census
+    "q_dedup_crossfield", "q_stats_chi2", "q_join_local_volume",
+    "q_events_overlap", "q_embed_dim_drift", "q_ids_hash_surrogate")
 
   private lazy val alt = {
     val s = spark.newSession()
