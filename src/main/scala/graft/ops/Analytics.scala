@@ -541,12 +541,7 @@ object Analytics {
     val n = Tables(spark, sfDir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val itemN = li.groupBy($"item").agg(count(lit(1)).as("c"))
-    val pairs = li.select($"okey", $"item".as("item_a"))
-      .join(li.select($"okey", $"item".as("item_b")), "okey")
-      .filter($"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("support"))
-      .filter($"support" >= 3)
-    pairs
+    basketSupport(spark, sfDir)
       .join(itemN.select($"item".as("item_a"), $"c".as("ca")), "item_a")
       .join(itemN.select($"item".as("item_b"), $"c".as("cb")), "item_b")
       .crossJoin(broadcast(n))
@@ -1024,6 +1019,25 @@ object Analytics {
     * Scale posture: identical to basketPairs (the one pair-space
     * shuffle dominates); the direction fan-out is 2× on the ALREADY
     * support-filtered rule set, not on the pair space. */
+  /** The support-filtered basket pair space (item_a < item_b,
+    * support ≥ 3) — the expensive mining stage shared by
+    * [[basketPairs]] and [[basketRules]], materialized ONCE per
+    * (session, corpus) through [[Memo]]: at 100 TB you mine the pair
+    * table once and every rule/report consumer scans it, exactly the
+    * cluster-labels dataflow. */
+  private def basketSupport(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "basket-support") {
+      import spark.implicits._
+      val li = Tables(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("okey"), $"l_partkey".as("item"))
+        .distinct()
+      li.select($"okey", $"item".as("item_a"))
+        .join(li.select($"okey", $"item".as("item_b")), "okey")
+        .filter($"item_a" < $"item_b")
+        .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 3)
+    }
+
   def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val li = Tables(spark, sfDir, "lineitem")
@@ -1031,11 +1045,7 @@ object Analytics {
     val n = Tables(spark, sfDir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val itemN = li.groupBy($"item").agg(count(lit(1)).as("c"))
-    val pairs = li.select($"okey", $"item".as("item_a"))
-      .join(li.select($"okey", $"item".as("item_b")), "okey")
-      .filter($"item_a" < $"item_b")
-      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("support"))
-      .filter($"support" >= 3)
+    val pairs = basketSupport(spark, sfDir)
     val both = pairs.select($"item_a".as("ante"), $"item_b".as("cons"),
         $"support")
       .unionAll(pairs.select($"item_b".as("ante"), $"item_a".as("cons"),
@@ -1111,7 +1121,29 @@ object Analytics {
         / ($"n_a_only" + $"n_b_only" + $"n_both"))
   }
 
+  /** Cohort LIFETIME-VALUE matrix — the revenue companion to
+    * [[retentionCohort]]: users grouped by first-activity day, each
+    * (cohort, age-in-days) cell reporting active users and exact
+    * revenue — the triangle a growth team reads LTV curves off.
+    *
+    * Scale posture: the cohort assignment (min day per user) and the
+    * events⨝cohort join hash on the SAME user_id key (no second
+    * exchange under AQE); the cell rollup partial-aggs onto the
+    * (day × age) grid, bounded by the calendar, not the stream. */
+  def cohortRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d"), $"value")
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("c0"))
+    ev.join(cohort, "user_id")
+      .groupBy($"c0".as("cohort_day"), datediff($"d", $"c0").as("age"))
+      .agg(countDistinct($"user_id").as("n_active"),
+        graft.Det.dsum($"value").as("revenue"))
+      .orderBy($"cohort_day", $"age")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_revenue" -> cohortRevenue,
     "q_events_overlap" -> eventsOverlap,
     "q_win_gap_islands" -> winGapIslands,
     "q_ts_ohlc" -> tsOhlc,

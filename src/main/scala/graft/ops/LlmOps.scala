@@ -3171,7 +3171,105 @@ object LlmOps {
       .orderBy($"dim")
   }
 
+  /** kNN LABEL PREDICTION + accuracy — the embedding-quality eval a
+    * pipeline runs before trusting vectors for curation: every vector
+    * is classified by majority vote of its 3 in-cell nearest
+    * neighbors ([[knnGraphBucketed]]'s exact edge derivation), and the
+    * per-label accuracy census reports how well the embedding space
+    * separates labels. Vote ties break to the smallest label (the
+    * same total order both engines rank by); singleton-cell vectors
+    * have no neighbors and are excluded from the eval on both sides.
+    *
+    * Scale posture: the kNN join is the Σ(cell)²-bounded bucket join;
+    * votes are a (vec, label) partial agg whose width is ≤ k per vec;
+    * the accuracy census is label-domain-bounded. */
+  def simKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, sfDir, "embeddings")
+    val votes = knnGraphBucketed(spark, sfDir)
+      .join(emb.select($"vec_id".as("nbr_id"), $"label".as("nl")),
+        "nbr_id")
+      .groupBy($"vec_id", $"nl").agg(count(lit(1)).as("nv"))
+    val pred = votes
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"nv".desc, $"nl")))
+      .filter($"pr" === 1)
+      .select($"vec_id", $"nl".as("pred"))
+    pred.join(emb.select($"vec_id", $"label"), "vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_eval"),
+        count(when($"pred" === $"label", 1)).as("n_correct"))
+      .withColumn("accuracy",
+        $"n_correct".cast("double") / $"n_eval")
+      .orderBy($"label")
+  }
+
+  /** UNDIRECTED degree census of the kNN graph — the structural
+    * health check on the same edges CC/PageRank/triangles consume
+    * (a heavy-tailed degree histogram flags hub vectors that will
+    * dominate any graph-based sampling). Directed top-3 edges are
+    * symmetrized and deduped, so degree = |distinct neighbors in
+    * either direction|.
+    *
+    * Scale posture: edge symmetrize + distinct is one hash exchange
+    * on the edge pair; degrees partial-agg on vec_id; the histogram
+    * aggregates a degree-domain-bounded relation (degree ≤ 2k + cell
+    * spill, never corpus-sized). */
+  def graphDegreeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = knnGraphBucketed(spark, sfDir).select($"vec_id", $"nbr_id")
+    val und = e.unionAll(
+      e.select($"nbr_id".as("vec_id"), $"vec_id".as("nbr_id"))).distinct()
+    und.groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"degree")
+  }
+
+  /** Vocabulary PRUNE + OOV audit — the tokenizer-budget decision
+    * [[vocabCoverage]]'s Zipf checkpoints inform: keep the smallest
+    * head (by the (count desc, token) total order, capped at the
+    * top-1000 slice — exact whenever the corpus vocabulary fits the
+    * slice, the declared bound) whose cumulative coverage reaches
+    * 90 %, then report the PER-LANGUAGE out-of-vocabulary token rate
+    * under that pruned vocab — the fairness number a multilingual
+    * pipeline needs before committing to a head-heavy vocab.
+    *
+    * Scale posture: the rank/cumsum window runs over the bounded
+    * top-k slice (metadata scale); the kept vocab broadcasts into a
+    * row-local membership probe (hash-set semi join shape) feeding a
+    * lang-keyed partial agg. */
+  def vocabPruneOov(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(Tables(spark, sfDir, "documents"))
+      .select($"lang", explode(split($"text", " ")).as("token"))
+    val counts = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").cast("double").as("total"))
+    val ord = Window.orderBy($"c".desc, $"token")
+    val kept = counts.orderBy($"c".desc, $"token").limit(1000)
+      .withColumn("cum", sum($"c").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", coalesce(sum($"c").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // keep every token whose PREDECESSOR cumulative is < 90%: the
+      // first token crossing the line is included, nothing after
+      .filter($"prev" < $"total" * 0.9)
+      .select($"token")
+    toks.join(broadcast(kept).withColumn("in_vocab", lit(1)),
+        Seq("token"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", $"n_oov".cast("double") / $"n_tokens")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_knn_classify" -> simKnnClassify,
+    "q_graph_degree_stats" -> graphDegreeStats,
+    "q_vocab_prune_oov" -> vocabPruneOov,
     "q_dedup_crossfield" -> dedupCrossfield,
     "q_embed_dim_drift" -> embedDimDrift,
     "q_sample_balanced" -> sampleBalanced,

@@ -3225,6 +3225,87 @@ object OracleSql {
         |      FROM documents, cuts)
         |GROUP BY stage ORDER BY stage""".stripMargin,
 
+    // same kNN edges; majority vote with the identical (nv desc, label)
+    // total order; singleton-cell vectors excluded on both sides
+    "q_sim_knn_classify" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT vec_id, nbr_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |v AS (SELECT r.vec_id, e.label AS nl, count(*) AS nv
+         |      FROM r JOIN embeddings e ON r.nbr_id = e.vec_id
+         |      WHERE rk <= 3 GROUP BY 1, 2),
+         |p AS (SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY nv DESC, nl) AS pr FROM v),
+         |pred AS (SELECT vec_id, nl AS pred FROM p WHERE pr = 1)
+         |SELECT e.label, count(*) AS n_eval,
+         |  count(CASE WHEN pred.pred = e.label THEN 1 END) AS n_correct,
+         |  cast(count(CASE WHEN pred.pred = e.label THEN 1 END) as double)
+         |    / count(*) AS accuracy
+         |FROM pred JOIN embeddings e ON pred.vec_id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
+
+    // same kNN edges symmetrized + deduped; degree histogram
+    "q_graph_degree_stats" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT vec_id, nbr_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |e0 AS (SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+         |und AS (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT vec_id, nbr_id FROM e0
+         |  UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM e0)),
+         |deg AS (SELECT vec_id, count(*) AS degree FROM und GROUP BY 1)
+         |SELECT degree, count(*) AS n_nodes FROM deg
+         |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // same predecessor-cumulative 90% cut over the (c desc, token)
+    // total order; left-join membership probe
+    "q_vocab_prune_oov" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' '))
+        |                AS token FROM documents),
+        |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |tot AS (SELECT cast(sum(c) as double) AS total FROM counts),
+        |sl AS (SELECT token, c FROM counts
+        |       ORDER BY c DESC, token LIMIT 1000),
+        |cum AS (SELECT token, coalesce(sum(c) OVER (
+        |          ORDER BY c DESC, token
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS prev
+        |        FROM sl),
+        |kept AS (SELECT cum.token FROM cum CROSS JOIN tot
+        |         WHERE cum.prev < tot.total * 0.9)
+        |SELECT lang, count(*) AS n_tokens,
+        |  count(CASE WHEN kept.token IS NULL THEN 1 END) AS n_oov,
+        |  cast(count(CASE WHEN kept.token IS NULL THEN 1 END) as double)
+        |    / count(*) AS oov_rate
+        |FROM toks LEFT JOIN kept ON toks.token = kept.token
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // cohort LTV triangle: min-day cohort, day-diff age, exact revenue
+    "q_cohort_revenue" ->
+      s"""WITH ev AS (SELECT user_id, cast(ts as date) AS d, value
+         |            FROM events),
+         |cohort AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY 1)
+         |SELECT cohort.c0 AS cohort_day,
+         |  cast(datediff('day', cohort.c0, ev.d) as integer) AS age,
+         |  count(DISTINCT ev.user_id) AS n_active,
+         |  ${dsum("value")} AS revenue
+         |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+         |GROUP BY 1, 2 ORDER BY cohort_day, age""".stripMargin,
+
     // star edges per alternate key + the same reach-closure CC
     "q_dedup_crossfield" ->
       """WITH RECURSIVE

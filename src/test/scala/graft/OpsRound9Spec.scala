@@ -274,6 +274,64 @@ class OpsRound9Spec extends SparkSpec {
     assert(df.count() >= 1)
   }
 
+  // ---- q_sim_knn_classify ------------------------------------------------
+
+  test("kNN classify evaluates exactly the vectors that have neighbors") {
+    val rows = ops.LlmOps.simKnnClassify(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect()
+    val withNbrs = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select($"vec_id").distinct().count()
+    assert(rows.map(_._2).sum === withNbrs)
+    rows.foreach { case (l, n, c, acc) =>
+      assert(c <= n && acc === c.toDouble / n, s"label $l") }
+  }
+
+  // ---- q_graph_degree_stats ----------------------------------------------
+
+  test("degree histogram mass equals the symmetrized edge count") {
+    val hist = ops.LlmOps.graphDegreeStats(spark, sfDir)
+      .as[(Long, Long)].collect()
+    val e = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select($"vec_id", $"nbr_id")
+    val undCount = e.unionAll(e.select($"nbr_id", $"vec_id"))
+      .distinct().count()
+    assert(hist.map(r => r._1 * r._2).sum === undCount)
+  }
+
+  // ---- q_vocab_prune_oov -------------------------------------------------
+
+  test("pruned vocab reaches 90% coverage and OOV rates reconcile") {
+    val rows = ops.LlmOps.vocabPruneOov(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val toks = Tables(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("t"))
+      .as[String].collect()
+    val total = toks.length.toLong
+    assert(rows.map(_._2).sum === total)
+    // global OOV mass is at most 10% + the boundary token's width
+    val oov = rows.map(_._3).sum
+    val topFreq = toks.groupBy(identity).values.map(_.length).max
+    assert(oov <= total / 10 + topFreq,
+      s"oov $oov exceeds the 10% + boundary bound")
+    rows.foreach { case (l, n, o, r) =>
+      assert(r === o.toDouble / n, s"lang $l") }
+  }
+
+  // ---- q_cohort_revenue --------------------------------------------------
+
+  test("cohort LTV triangle: age-0 actives cover every user, revenue " +
+    "mass is conserved") {
+    val cells = ops.Analytics.cohortRevenue(spark, sfDir)
+      .as[(java.sql.Date, Int, Long, Double)].collect()
+    val nUsers = Tables(spark, sfDir, "events")
+      .select($"user_id").distinct().count()
+    assert(cells.filter(_._2 == 0).map(_._3).sum === nUsers)
+    assert(cells.forall(_._2 >= 0))
+    val totalRev = Tables(spark, sfDir, "events")
+      .agg(graft.Det.dsum($"value")).as[Double].head()
+    assert(math.abs(cells.map(_._4).sum - totalRev) < 1e-6)
+  }
+
   // ---- q_join_shipping_priority ------------------------------------------
 
   test("shipping-priority plan pushes both date filters into the scans") {

@@ -84,7 +84,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // residual-equality join, membership-flag overlap, lattice dim
     // means, hash-surrogate census
     "q_dedup_crossfield", "q_stats_chi2", "q_join_local_volume",
-    "q_events_overlap", "q_embed_dim_drift", "q_ids_hash_surrogate")
+    "q_events_overlap", "q_embed_dim_drift", "q_ids_hash_surrogate",
+    // round 9 wave 3: kNN vote windows, symmetrized degree census,
+    // bounded-slice vocab cut + membership probe, cohort min-day join
+    "q_sim_knn_classify", "q_graph_degree_stats", "q_vocab_prune_oov",
+    "q_cohort_revenue")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -27,6 +27,7 @@ class PlanSweepSpec extends SparkSpec {
     "q_sample_balanced", // 1-row broadcast min-class-cap crossJoin
     "q_mix_curriculum",  // 1-row broadcast quartile-cuts crossJoin
     "q_stats_chi2",      // domain-bounded margin grid + 1-row N crossJoin
+    "q_vocab_prune_oov", // 1-row broadcast token-total crossJoin
     "q_customer_rfm",    // 1-row broadcast median-thresholds crossJoin
     "q_text_pmi",        // 1-row broadcast totals crossJoin
     "q_agg_histogram",   // 1-row broadcast min/max crossJoin
