@@ -3266,7 +3266,100 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** BORDA-COUNT rank fusion of the sparse (BM25) and dense (cosine)
+    * retrieval channels — the integer-arithmetic sibling of
+    * [[simHybridRrf]]: each channel's top-20 contributes (21 − rank)
+    * points, channels a document misses contribute 0, fused score is
+    * one integer addition — EXACT end to end (no reciprocal floats),
+    * which is why evaluation harnesses often prefer Borda for
+    * reproducible offline comparisons. Top-10 by (points desc, id).
+    *
+    * Scale posture: identical to RRF — both channels reduce to ≤ 20
+    * rows corpus-side (TakeOrdered / partial-agged token stats), the
+    * rank windows span those bounded lists, and the fusion is a
+    * full-outer join of two 20-row relations. */
+  def rankFusionBorda(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.orderBy($"score".desc, $"id")
+    val sparse = textBm25(spark, sfDir)
+      .select($"doc_id".as("id"), $"bm25".as("score"))
+      .withColumn("rk", row_number().over(wAll))
+      .select($"id", $"rk".as("rk_sparse"))
+    val dense = cosineTopk(spark, sfDir, 20)
+      .select($"vec_id".as("id"), $"sim".as("score"))
+      .withColumn("rk", row_number().over(wAll))
+      .select($"id", $"rk".as("rk_dense"))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .select($"id", $"rk_sparse", $"rk_dense",
+        (coalesce(lit(21) - $"rk_sparse", lit(0))
+          + coalesce(lit(21) - $"rk_dense", lit(0))).as("borda"))
+      .orderBy($"borda".desc, $"id")
+      .limit(10)
+  }
+
+  /** MULTI-SOURCE BFS hop distance over the kNN graph — "how many
+    * hops is every vector from the nearest SEED?" (seeds = every
+    * 100th vec_id, standing in for a labeled/contaminated set): the
+    * contamination-radius / influence-propagation primitive that
+    * complements [[Graph.connectedComponents]] (reachability) with
+    * DISTANCE. Min-hop BFS is deterministic regardless of expansion
+    * order; unreached vectors are excluded on both sides.
+    *
+    * Scale posture: level-synchronous frontier expansion — each round
+    * is ONE frontier⨝edges equi join + an anti-join against the
+    * visited set (all hash-partitioned on the node key), so a round
+    * moves O(frontier) rows, never the graph; rounds are bounded by
+    * the graph diameter (cap 20) and lineage is truncated every
+    * round (the CC discipline). The per-round driver scalar is one
+    * count — the emptiness test. */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = knnGraphBucketed(spark, sfDir)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    val edges = Tables.truncate(
+      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))).distinct())
+    var visited = Tables(spark, sfDir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("id"), lit(0).as("hop"))
+    var frontier = visited
+    var hop = 0
+    while (hop < 20 && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(edges, $"id" === $"src")
+        .select($"dst".as("id")).distinct()
+        .join(visited.select($"id".as("vid")), $"id" === $"vid",
+          "left_anti")
+        .select($"id", lit(hop).as("hop"))
+      frontier = Tables.truncate(next)
+      visited = Tables.truncate(visited.unionAll(frontier))
+    }
+    visited.orderBy($"id")
+  }
+
+  /** Cluster-SIZE census of the near-dup graph — the dedup REPORT a
+    * curation run logs next to its keep-list: how many clusters of
+    * each size, how many docs they hold, and (the headline number)
+    * the dup fraction those sizes imply. Reuses the memoized
+    * [[clusterLabels]]; two domain-bounded partial aggs on top.
+    *
+    * Scale posture: labels → (component, n) partial agg → size
+    * histogram partial agg; the relation shrinks at every step
+    * (corpus → clusters → distinct sizes), nothing re-scans text. */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(spark, sfDir)
+      .groupBy($"component").agg(count(lit(1)).as("n_members"))
+      .groupBy($"n_members".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+      .orderBy($"cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion_borda" -> rankFusionBorda,
+    "q_graph_bfs" -> graphBfs,
+    "q_dedup_cluster_stats" -> dedupClusterStats,
     "q_sim_knn_classify" -> simKnnClassify,
     "q_graph_degree_stats" -> graphDegreeStats,
     "q_vocab_prune_oov" -> vocabPruneOov,

@@ -469,7 +469,82 @@ object Quality {
           .as("chi2"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic over order totals
+    * (even vs odd orderkeys — the holdout-vs-production split shape):
+    * D = max |F_A(x) − F_B(x)| over the pooled support, the
+    * distribution-shape companion to [[statsDriftPsi]] (PSI needs a
+    * binning choice; KS is binning-free and catches shifts PSI's 10
+    * equi-width buckets smear out).
+    *
+    * Exactness: prices quantize to integer CENTS (2-decimal money is
+    * exact), per-value counts and cumulatives are longs, and the max
+    * gap is found on |cumA·nB − cumB·nA| — INTEGER cross-
+    * multiplication, so the argmax value is exact; only the reported
+    * D divides once (IEEE on identical operands). The value at the
+    * max gap (min such value on ties) is reported — the "where did
+    * the distributions split" answer a drift triage wants.
+    *
+    * Scale posture: the naive cumsum is `sum() OVER (ORDER BY v)` —
+    * a corpus-wide single-partition window. This plan uses the
+    * two-pass zipWithIndex shape instead ([[Ids.idsContiguous]]'s
+    * discipline on the VALUE census): range-partition the per-value
+    * census, partition-local running sums via one imperative fold,
+    * P-row offset table (metadata scale) broadcast back. The census
+    * is ≤ |distinct values| rows — already a reduction — and every
+    * stage partial-aggs before shuffling. */
+  def statsKs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables(spark, sfDir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderkey" % 2 === 0).as("is_a"))
+      .groupBy($"cents")
+      .agg(count(when($"is_a", 1)).as("da"),
+        count(when(!$"is_a", 1)).as("db"))
+    val nParts = 8
+    val local = census
+      .repartitionByRange(nParts, $"cents")
+      .sortWithinPartitions($"cents")
+      .select($"cents", $"da", $"db", spark_partition_id().as("pid"))
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        var ca = 0L; var cb = 0L
+        it.map { case (v, da, db, pid) =>
+          ca += da; cb += db; (v, ca, cb, pid)
+        }
+      }
+      .toDF("cents", "la", "lb", "pid")
+    // P rows → exclusive prefix offsets; the unpartitioned window is
+    // over partition-count-many rows, not data
+    val offs = local.groupBy($"pid")
+      .agg(max($"la").as("ta"), max($"lb").as("tb"))
+      .withColumn("offa", coalesce(sum($"ta").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offb", coalesce(sum($"tb").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"offa", $"offb")
+    val cum = local.join(broadcast(offs), "pid")
+      .select($"cents", ($"la" + $"offa").as("ca"),
+        ($"lb" + $"offb").as("cb"))
+    val tot = cum.agg(max($"ca").as("na"), max($"cb").as("nb"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .select($"cents", $"na", $"nb",
+        abs($"ca" * $"nb" - $"cb" * $"na").as("gap"))
+    val mx = gaps.agg(max($"gap").as("max_gap"))
+    gaps.join(broadcast(mx), $"gap" === $"max_gap")
+      .groupBy($"na", $"nb", $"max_gap")
+      .agg(min($"cents").as("at_cents"))
+      .select($"na".as("n_a"), $"nb".as("n_b"),
+        ($"max_gap".cast("double")
+          / ($"na" * $"nb").cast("double")).as("ks_d"),
+        ($"at_cents".cast("double") / 100.0).as("at_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ks" -> statsKs,
     "q_stats_chi2" -> statsChi2,
     "q_anonymize_kanon" -> anonymizeKanon,
     "q_profile_columns" -> profileColumns,

@@ -932,7 +932,74 @@ object Relational {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q10 "returned item reporting" shape — revenue lost to
+    * returns per customer over one quarter, top 20: the
+    * fact→fact→dim reporting join every warehouse runs weekly.
+    *
+    * Scale posture: the quarter cut reaches the orders scan and the
+    * returnflag cut reaches the lineitem scan (both pushed); the two
+    * fact joins shuffle on their natural keys (orderkey, custkey)
+    * with partial aggregation above; nation broadcasts into the
+    * final projection; the top-20 is a TakeOrderedAndProject over
+    * the customer-bounded aggregate. Revenue follows the Det rules
+    * (base decimals multiplied in decimal, exact sum, one cast) so
+    * the top-20 ORDER is exact, not float-luck. */
+  def joinReturnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("1996-10-01").cast(DateType)
+        && $"o_orderdate" < lit("1997-01-01").cast(DateType))
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables(spark, sfDir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val n = Tables(spark, sfDir, "nation")
+      .select($"n_nationkey", $"n_name")
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .join(Tables(spark, sfDir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      .agg(sum(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("rev_dec"))
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal",
+        $"rev_dec".cast(DoubleType).as("revenue"), $"rev_dec")
+      .orderBy($"rev_dec".desc, $"c_custkey")
+      .limit(20)
+      .drop("rev_dec")
+  }
+
+  /** TPC-H Q17 "small-quantity-order revenue" shape — the CORRELATED
+    * scalar-aggregate subquery (`l_quantity < 0.2 * avg per part`)
+    * decorrelated by hand into a per-part aggregate + join, with the
+    * fractional threshold cleared to INTEGER cross-multiplication
+    * (5·qty·cnt < sum_qty) so the cut is exact in both engines — no
+    * 0.2 float literal anywhere near the comparison.
+    *
+    * Scale posture: brand filter reaches the part scan and semi-
+    * bounds both lineitem passes; the per-part stats relation is
+    * part-bounded and broadcast; the probe is one map-side filter —
+    * the whole decorrelation costs one partkey shuffle (the stats
+    * agg), not the per-row subquery a naive plan re-executes. */
+  def subqueryAvgCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, sfDir, "part")
+      .filter($"p_brand" === "Brand#12").select($"p_partkey")
+    val l = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+        $"l_extendedprice")
+    val stats = l.groupBy($"l_partkey".as("sk"))
+      .agg(sum($"qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    l.join(broadcast(stats), $"l_partkey" === $"sk")
+      .filter($"qty" * 5 * $"cnt" < $"sum_qty")
+      .agg(count(lit(1)).as("n_lines"),
+        (Det.dsum($"l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_returned_revenue" -> joinReturnedRevenue,
+    "q_subquery_avg_correlated" -> subqueryAvgCorrelated,
     "q_join_local_volume" -> joinLocalVolume,
     "q_join_null_safe" -> joinNullSafe,
     "q_join_shipping_priority" -> joinShippingPriority,

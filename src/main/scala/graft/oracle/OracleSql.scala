@@ -3426,8 +3426,162 @@ object OracleSql {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
+  private val round10: Map[String, String] = Map(
+    // TPC-H Q10 shape: decimal-exact revenue ordering, then cast
+    "q_join_returned_revenue" ->
+      s"""WITH agg AS (
+         |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+         |    sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}))
+         |      AS rev_dec
+         |  FROM orders o
+         |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE o.o_orderdate >= DATE '1996-10-01'
+         |    AND o.o_orderdate < DATE '1997-01-01'
+         |    AND l.l_returnflag = 'R'
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a.c_custkey, a.c_name, n.n_name, a.c_acctbal,
+         |  cast(rev_dec as double) AS revenue
+         |FROM agg a JOIN nation n ON a.c_nationkey = n.n_nationkey
+         |ORDER BY rev_dec DESC, a.c_custkey LIMIT 20""".stripMargin,
+
+    // TPC-H Q17 shape: the 0.2·avg cut cleared to integer
+    // cross-multiplication (5·qty·cnt < sum_qty) on both engines
+    "q_subquery_avg_correlated" ->
+      s"""WITH l AS (
+         |  SELECT l_partkey, cast(l_quantity as bigint) AS qty,
+         |    l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#12'),
+         |s AS (SELECT l_partkey AS sk, cast(sum(qty) as bigint)
+         |        AS sum_qty, count(*) AS cnt
+         |      FROM l GROUP BY 1)
+         |SELECT count(*) AS n_lines,
+         |  ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM l JOIN s ON l.l_partkey = s.sk
+         |WHERE qty * 5 * cnt < sum_qty""".stripMargin,
+
+    // KS: same cents quantization, integer cross-multiplied gap
+    "q_stats_ks" ->
+      """WITH v AS (SELECT cast(round(o_totalprice * 100) as bigint)
+        |             AS cents, o_orderkey % 2 = 0 AS is_a FROM orders),
+        |census AS (SELECT cents,
+        |    count(CASE WHEN is_a THEN 1 END) AS da,
+        |    count(CASE WHEN NOT is_a THEN 1 END) AS db
+        |  FROM v GROUP BY cents),
+        |cum AS (SELECT cents,
+        |    cast(sum(da) OVER (ORDER BY cents) as bigint) AS ca,
+        |    cast(sum(db) OVER (ORDER BY cents) as bigint) AS cb
+        |  FROM census),
+        |tot AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum),
+        |gaps AS (SELECT cents, na, nb, abs(ca * nb - cb * na) AS gap
+        |         FROM cum CROSS JOIN tot),
+        |mx AS (SELECT max(gap) AS max_gap FROM gaps)
+        |SELECT na AS n_a, nb AS n_b,
+        |  cast(max_gap as double) / cast(na * nb as double) AS ks_d,
+        |  cast(min(cents) as double) / 100.0 AS at_value
+        |FROM gaps JOIN mx ON gap = max_gap
+        |GROUP BY na, nb, max_gap""".stripMargin,
+
+    // Borda fusion: integer (21 − rank) points, same channel top-20s
+    "q_rank_fusion_borda" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT cast(sum(dl) as bigint) AS total_dl,
+         |              count(*) AS n_docs FROM dl),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+         |       WHERE token IN ('hash', 'join') GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk
+         |        WHERE token IN ('hash', 'join') GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, dl.dl,
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * (1.0 - 0.75
+         |          + 0.75 * dl / (cast(total_dl as double) / n_docs)))
+         |      AS contrib
+         |  FROM tf JOIN dfq USING (token)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |bm AS (
+         |  SELECT doc_id, round(sum(contrib), 4) AS bm25
+         |  FROM sc GROUP BY 1
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |sparse AS (
+         |  SELECT doc_id AS id, cast(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) as int) AS rk_sparse
+         |  FROM bm),
+         |dn AS (
+         |  SELECT a.vec_id AS id, $dotSql AS sim
+         |  FROM embeddings a,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY sim DESC, a.vec_id LIMIT 20),
+         |dense AS (
+         |  SELECT id, cast(row_number() OVER (
+         |    ORDER BY sim DESC, id) as int) AS rk_dense
+         |  FROM dn)
+         |SELECT coalesce(s.id, d.id) AS id, s.rk_sparse, d.rk_dense,
+         |  cast(coalesce(21 - s.rk_sparse, 0)
+         |     + coalesce(21 - d.rk_dense, 0) as int) AS borda
+         |FROM sparse s FULL OUTER JOIN dense d ON s.id = d.id
+         |ORDER BY borda DESC, coalesce(s.id, d.id) LIMIT 10""".stripMargin,
+
+    // multi-source BFS: same kNN edges symmetrized; min hop per node
+    // under the same 20-hop cap; (id, hop) state dedup via UNION
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, $bucketSql
+         |             AS bucket FROM embeddings),
+         |j AS (
+         |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT vec_id, nbr_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |e0 AS (SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+         |und AS (SELECT vec_id AS src, nbr_id AS dst FROM e0
+         |        UNION SELECT nbr_id, vec_id FROM e0),
+         |walk(id, hop) AS (
+         |  SELECT vec_id, 0 FROM embeddings WHERE vec_id % 100 = 0
+         |  UNION
+         |  SELECT und.dst, walk.hop + 1 FROM walk
+         |  JOIN und ON walk.id = und.src WHERE walk.hop < 20)
+         |SELECT id, cast(min(hop) as int) AS hop FROM walk
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // same reach-closure labels; two shrinking rollups on top
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a AS src, doc_b AS dst
+         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
+         |  JOIN sz y ON p.doc_b = y.doc_id
+         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |und AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst, src FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT und.dst, reach.r FROM reach JOIN und ON reach.id = und.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |csz AS (SELECT component, count(*) AS n_members
+         |        FROM comp GROUP BY component)
+         |SELECT n_members AS cluster_size, count(*) AS n_clusters,
+         |  n_members * count(*) AS n_docs
+         |FROM csz GROUP BY n_members ORDER BY cluster_size""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
-    analytics ++ layout ++ round7 ++ round8 ++ round9 ++
+    analytics ++ layout ++ round7 ++ round8 ++ round9 ++ round10 ++
     generators ++ scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)

@@ -88,7 +88,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 9 wave 3: kNN vote windows, symmetrized degree census,
     // bounded-slice vocab cut + membership probe, cohort min-day join
     "q_sim_knn_classify", "q_graph_degree_stats", "q_vocab_prune_oov",
-    "q_cohort_revenue")
+    "q_cohort_revenue",
+    // round 10: two-pass KS cumsum, BFS frontier loop, decorrelated
+    // Q17 cut, decimal-ordered Q10 top-20, integer Borda fusion,
+    // memoized-label histogram
+    "q_stats_ks", "q_graph_bfs", "q_subquery_avg_correlated",
+    "q_join_returned_revenue", "q_rank_fusion_borda",
+    "q_dedup_cluster_stats")
 
   private lazy val alt = {
     val s = spark.newSession()

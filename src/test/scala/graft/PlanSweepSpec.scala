@@ -42,7 +42,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_text_bigram_lm",  // 1-row broadcast vocab-size crossJoin
     "q_eval_ndcg",       // k-row broadcast judgment-sample crossJoin
     "q_eval_recall_ann", // exact arm shares the k-row sample crossJoin
-    "q_sim_rerank_mmr"   // 1-row broadcast query vector (candidate fetch)
+    "q_sim_rerank_mmr",  // 1-row broadcast query vector (candidate fetch)
+    "q_stats_ks",        // 1-row broadcast sample-totals crossJoin
+    "q_rank_fusion_borda" // 1-row broadcast query vector + corpus stats
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
