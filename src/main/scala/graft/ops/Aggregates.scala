@@ -450,7 +450,64 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q18 "large-volume customer" shape — the HAVING-on-aggregate
+    * pattern (orders whose line quantities sum past 300), joined back
+    * to customers for reporting, top-100 by order value.
+    *
+    * Scale posture: the qty rollup partial-aggs on orderkey BEFORE
+    * any join (the reduction runs at scan parallelism and the
+    * having filter drops ~99 % of orders pre-join, exactly where a
+    * 100 TB plan needs it); the surviving ≤1 % joins orders then
+    * customer on natural keys; the top-100 is a
+    * TakeOrderedAndProject. o_totalprice is an exact 2-decimal
+    * double, so the ordering is exact without a decimal detour. */
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+      .filter($"sum_qty" > 300)
+    big.join(Tables(spark, sfDir, "orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        to_date($"o_orderdate").as("o_orderdate"), $"o_totalprice",
+        $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** max_by / min_by — the "row for the extreme" aggregate (per
+    * nation: which customer holds the largest / smallest balance):
+    * ONE pass, no rank window, no self-join. Determinism: the
+    * ordering key is the (acctbal, custkey) STRUCT — lexicographic,
+    * unique — so ties on balance alone cannot flip the answer.
+    *
+    * Scale posture: a single partial-agged groupBy (max_by/min_by
+    * combine map-side like any other agg) on the nation key; the
+    * window/self-join alternatives shuffle the full customer set
+    * sorted — this moves one row per (nation, agg). */
+  def aggMinmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+    c.groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        max_by($"c_custkey", struct($"c_acctbal", $"c_custkey"))
+          .as("top_cust"),
+        max($"c_acctbal").as("top_bal"),
+        min_by($"c_custkey", struct($"c_acctbal", $"c_custkey"))
+          .as("low_cust"),
+        min($"c_acctbal").as("low_bal"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_having" -> aggHaving,
+    "q_agg_minmax_by" -> aggMinmaxBy,
     "q_agg_bitmap_distinct" -> aggBitmapDistinct,
     "q_agg_mad" -> aggMad,
     "q_join_incremental" -> joinIncremental,

@@ -1142,7 +1142,32 @@ object Analytics {
       .orderBy($"cohort_day", $"age")
   }
 
+  /** RESURRECTION analysis — the churn companion every growth team
+    * pairs with retention: users who went dormant (no activity for
+    * ≥ 3 consecutive days) and then RETURNED, counted by dormancy
+    * length. Gap = day-difference between consecutive active days
+    * per user (exact integer date arithmetic).
+    *
+    * Scale posture: ONE user_id exchange serves both the distinct
+    * (user, day) reduction and the lag window (same partitioning);
+    * the census partial-aggs onto the gap-length domain — bounded by
+    * the calendar, not the event stream. */
+  def eventsResurrected(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days.withColumn("gap", datediff($"d", lag($"d", 1).over(w)))
+      .filter($"gap" >= 3)
+      .groupBy($"gap".as("gap_days"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"gap_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_resurrected" -> eventsResurrected,
     "q_cohort_revenue" -> cohortRevenue,
     "q_events_overlap" -> eventsOverlap,
     "q_win_gap_islands" -> winGapIslands,

@@ -132,7 +132,31 @@ object Generators {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** TPC-H Q4 "order priority checking" shape — the EXISTS correlated
+    * subquery (orders having at least one lineitem shipped > 60 days
+    * after the order date), counted by priority. Expressed through
+    * the SQL entry point so Catalyst's RewritePredicateSubquery turns
+    * the EXISTS into a LEFT SEMI join — the decorrelation a user's
+    * hand-written SQL relies on.
+    *
+    * Scale posture: the semi join hashes on orderkey with the date
+    * inequality riding as a residual (never a standalone theta
+    * join); the priority census is a domain-bounded partial agg. */
+  def subqueryExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subquery_exists" -> subqueryExists,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivot,
     "q_explode_tokens" -> explodeTokens,

@@ -3356,7 +3356,56 @@ object LlmOps {
       .orderBy($"cluster_size")
   }
 
+  /** Language-ID CONFUSION MATRIX — [[textLangid]]'s per-doc
+    * predictions rolled up against the declared `lang` column: the
+    * census a multilingual pipeline reads before trusting the cheap
+    * classifier for routing (which declared languages leak into
+    * which predicted buckets, and the per-declared-lang accuracy).
+    *
+    * Scale posture: the classifier is row-local codegen'd string
+    * arithmetic at scan speed; the matrix partial-aggs onto the
+    * lang × pred domain (|langs|² rows, metadata scale). */
+  def langidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    textLangid(spark, sfDir)
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred")
+  }
+
+  /** COMPRESSIBILITY proxy — the gzip-ratio quality filter's
+    * deterministic stand-in: distinct character 4-grams over total
+    * 4-grams per document. Highly repetitive (template/spam) text
+    * compresses well ⇒ low ratio; natural prose sits high. Entirely
+    * row-local higher-order-function arithmetic — the engine-portable
+    * version of the codec-dependent gzip signal (a real DEFLATE
+    * ratio would pin the output to one zlib build; this proxy is
+    * bit-identical everywhere).
+    *
+    * Scale posture: row-local HOFs at scan speed, no UDF, no join;
+    * the quartile summary partial-aggs per language. */
+  def textCompressProxy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      // the length guard must come FIRST: Spark's sequence(1, stop)
+      // steps DOWNWARD for stop < 1 (it would fabricate grams for a
+      // 3-char doc), while DuckDB's range() yields empty — filtering
+      // short docs keeps the generator strictly ascending on both
+      .filter(length($"text") >= 4)
+      .select($"doc_id", $"lang",
+        expr("size(transform(sequence(1, length(text) - 3), " +
+          "i -> substring(text, i, 4)))").as("n_grams"),
+        expr("size(array_distinct(transform(" +
+          "sequence(1, length(text) - 3), " +
+          "i -> substring(text, i, 4))))").as("n_distinct"))
+      .select($"doc_id", $"lang", $"n_grams", $"n_distinct",
+        ($"n_distinct".cast("double") / $"n_grams").as("ratio"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_langid_confusion" -> langidConfusion,
+    "q_text_compress_proxy" -> textCompressProxy,
     "q_rank_fusion_borda" -> rankFusionBorda,
     "q_graph_bfs" -> graphBfs,
     "q_dedup_cluster_stats" -> dedupClusterStats,

@@ -3553,6 +3553,92 @@ object OracleSql {
          |SELECT id, cast(min(hop) as int) AS hop FROM walk
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // TPC-H Q18 shape: same >300 having cut, top-100 by order value
+    "q_agg_having" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, cast(sum(cast(l_quantity as bigint))
+        |    as bigint) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(cast(l_quantity as bigint)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  cast(o_orderdate as date) AS o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // max_by/min_by twin: the (acctbal, custkey) struct order replayed
+    // as rank windows — unique tuples, so both agree
+    "q_agg_minmax_by" ->
+      """WITH c AS (
+        |  SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY c_acctbal DESC, c_custkey DESC) AS rt,
+        |  row_number() OVER (PARTITION BY n_name
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS rb
+        |  FROM c)
+        |SELECT n_name,
+        |  (SELECT count(*) FROM c c2 WHERE c2.n_name = r.n_name)
+        |    AS n_customers,
+        |  max(CASE WHEN rt = 1 THEN c_custkey END) AS top_cust,
+        |  max(CASE WHEN rt = 1 THEN c_acctbal END) AS top_bal,
+        |  max(CASE WHEN rb = 1 THEN c_custkey END) AS low_cust,
+        |  max(CASE WHEN rb = 1 THEN c_acctbal END) AS low_bal
+        |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // TPC-H Q4 shape: the same EXISTS, DuckDB decorrelates identically
+    "q_subquery_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // resurrection census: same distinct-day lag gaps, ≥3-day cut
+    "q_events_resurrected" ->
+      """WITH days AS (SELECT DISTINCT user_id, cast(ts as date) AS d
+        |              FROM events),
+        |g AS (SELECT user_id,
+        |        datediff('day', lag(d) OVER (
+        |          PARTITION BY user_id ORDER BY d), d) AS gap
+        |      FROM days)
+        |SELECT cast(gap as int) AS gap_days, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM g WHERE gap >= 3
+        |GROUP BY gap ORDER BY gap_days""".stripMargin,
+
+    // same classifier rule rolled into the (lang, pred) census
+    "q_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    length(text) - length(replace(text, 'th', '')) AS score_en,
+        |    length(text) - length(replace(text, 'sch', '')) AS score_de,
+        |    length(text) - length(replace(text, 'rr', '')) AS score_es
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+        |       WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS pred,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
+
+    // same char-4-gram distinct ratio; range() is empty for short docs
+    // on this side, the Spark side filters them first — identical sets
+    "q_text_compress_proxy" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, length(text) - 2),
+        |      i -> substr(text, cast(i as int), 4)) AS grams
+        |  FROM documents WHERE length(text) >= 4)
+        |SELECT doc_id, lang,
+        |  cast(len(grams) as int) AS n_grams,
+        |  cast(len(list_distinct(grams)) as int) AS n_distinct,
+        |  cast(len(list_distinct(grams)) as double) / len(grams) AS ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // same reach-closure labels; two shrinking rollups on top
     "q_dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shingleCte,

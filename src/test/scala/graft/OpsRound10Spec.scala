@@ -126,6 +126,110 @@ class OpsRound10Spec extends SparkSpec {
     }
   }
 
+  // ---- q_agg_having ------------------------------------------------------
+
+  test("Q18 having-cut rows all exceed 300 and match a driver recount") {
+    val rows = ops.Aggregates.aggHaving(spark, sfDir)
+      .as[(String, Long, Long, java.sql.Date, Double, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._6 > 300))
+    val prices = rows.map(_._5)
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    // independent count of qualifying orders (unlimited)
+    val want = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey").agg(sum($"l_quantity".cast("long")).as("s"))
+      .filter($"s" > 300).count()
+    assert(rows.length === math.min(want, 100L).toInt)
+  }
+
+  // ---- q_agg_minmax_by ---------------------------------------------------
+
+  test("max_by/min_by agree with a rank-window replay") {
+    val got = ops.Aggregates.aggMinmaxBy(spark, sfDir)
+      .as[(String, Long, Long, Double, Long, Double)].collect()
+    val c = Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_acctbal")
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    got.foreach { case (n, cnt, tc, tb, lc, lb) =>
+      val g = c(n)
+      assert(cnt === g.length.toLong, n)
+      val top = g.maxBy(r => (r._3, r._2))
+      val low = g.minBy(r => (r._3, r._2))
+      assert((tc, tb) === (top._2, top._3), s"$n top")
+      assert((lc, lb) === (low._2, low._3), s"$n low")
+    }
+  }
+
+  // ---- q_subquery_exists -------------------------------------------------
+
+  test("Q4 EXISTS decorrelates to a semi join, census mass matches") {
+    val df = ops.Generators.subqueryExists(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("LeftSemi"), s"expected semi join:\n$plan")
+    val want = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "lineitem"),
+        $"o_orderkey" === $"l_orderkey"
+          && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .count()
+    assert(df.as[(String, Long)].collect().map(_._2).sum === want)
+  }
+
+  // ---- q_events_resurrected ----------------------------------------------
+
+  test("resurrection gaps replay from the raw (user, day) stream") {
+    val got = ops.Analytics.eventsResurrected(spark, sfDir)
+      .as[(Int, Long, Long)].collect()
+    val days = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+    val gaps = days.groupBy(_._1).toSeq.flatMap { case (u, ds) =>
+      val sorted = ds.map(_._2.toLocalDate).sorted
+      sorted.zip(sorted.drop(1))
+        .map { case (a, b) =>
+          (u, java.time.temporal.ChronoUnit.DAYS.between(a, b).toInt) }
+        .filter(_._2 >= 3)
+    }
+    val want = gaps.groupBy(_._2).map { case (g, xs) =>
+      (g, xs.length.toLong, xs.map(_._1).distinct.length.toLong) }
+    assert(got.toSet === want.toSet)
+  }
+
+  // ---- q_langid_confusion ------------------------------------------------
+
+  test("confusion matrix mass equals the per-doc prediction census") {
+    val m = ops.LlmOps.langidConfusion(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    val perDoc = ops.LlmOps.textLangid(spark, sfDir)
+      .groupBy($"lang", $"pred").count()
+      .as[(String, String, Long)].collect()
+    assert(m.toSet === perDoc.toSet)
+    assert(m.map(_._3).sum === Tables(spark, sfDir, "documents").count())
+  }
+
+  // ---- q_text_compress_proxy ---------------------------------------------
+
+  test("compressibility proxy: repetitive text scores below prose") {
+    val rows = ops.LlmOps.textCompressProxy(spark, sfDir)
+      .as[(Long, String, Int, Int, Double)].collect()
+    rows.foreach { case (id, _, n, d, r) =>
+      assert(d <= n && r === d.toDouble / n && r > 0.0, s"doc $id") }
+    // a purely repetitive synthetic doc must score strictly below the
+    // corpus median (the separation the filter exists to provide)
+    val spread = Tables.spread(Tables(spark, sfDir, "documents"))
+    val rep = spread
+      .withColumn("text", concat(lit("spam "),
+        expr("repeat('buy now ', 50)")))
+      .select(expr("size(array_distinct(transform(" +
+        "sequence(1, length(text) - 3), i -> substring(text, i, 4))))" +
+        " / cast(size(transform(sequence(1, length(text) - 3), " +
+        "i -> substring(text, i, 4))) as double)").as("r"))
+      .agg(min($"r")).as[Double].head()
+    val median = rows.map(_._5).sorted.apply(rows.length / 2)
+    assert(rep < median, s"repetitive $rep !< median $median")
+  }
+
   // ---- q_dedup_cluster_stats ---------------------------------------------
 
   test("cluster-size census mass equals the corpus") {

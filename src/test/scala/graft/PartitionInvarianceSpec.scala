@@ -94,7 +94,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // memoized-label histogram
     "q_stats_ks", "q_graph_bfs", "q_subquery_avg_correlated",
     "q_join_returned_revenue", "q_rank_fusion_borda",
-    "q_dedup_cluster_stats")
+    "q_dedup_cluster_stats",
+    // round 10 wave 2: having-cut top-k, struct-ordered extremes,
+    // EXISTS semi join, lag-gap census, row-local censuses
+    "q_agg_having", "q_agg_minmax_by", "q_subquery_exists",
+    "q_events_resurrected", "q_langid_confusion",
+    "q_text_compress_proxy")
 
   private lazy val alt = {
     val s = spark.newSession()
