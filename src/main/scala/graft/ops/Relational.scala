@@ -997,7 +997,39 @@ object Relational {
         (Det.dsum($"l_extendedprice") / 7.0).as("avg_yearly"))
   }
 
+  /** TPC-H Q19 "discounted revenue" shape — the DISJUNCTIVE-predicate
+    * join (OR of three conjunctive brand/size/quantity clauses
+    * spanning BOTH sides): the planner test every engine fails by
+    * planning a cartesian. Catalyst extracts the common
+    * `l_partkey = p_partkey` equi key out of the disjunction, plans
+    * ONE hash join, and evaluates the OR as a post-join residual —
+    * pinned in the spec (no BNL, single equi join).
+    *
+    * Scale posture: the side-local prefixes of each clause
+    * (brand/size on part, quantity on lineitem) are ALSO pushed as
+    * scan-level OR filters — each scan reads only rows that could
+    * satisfy SOME clause — and part broadcasts. Exact-decimal
+    * revenue. */
+  def joinDisjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem")
+    val p = Tables(spark, sfDir, "part")
+    val clause =
+      ($"p_brand" === "Brand#12" && $"p_size".between(1, 20)
+        && $"l_quantity".between(1, 20)) ||
+      ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
+        && $"l_quantity".between(10, 30)) ||
+      ($"p_brand" === "Brand#21" && $"p_size".between(1, 30)
+        && $"l_quantity".between(20, 45))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey" && clause)
+      .agg(count(lit(1)).as("n_lines"),
+        Det.dsumDec(Det.dec($"l_extendedprice")
+          * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+          .as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_disjunctive" -> joinDisjunctive,
     "q_join_returned_revenue" -> joinReturnedRevenue,
     "q_subquery_avg_correlated" -> subqueryAvgCorrelated,
     "q_join_local_volume" -> joinLocalVolume,

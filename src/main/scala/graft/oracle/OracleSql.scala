@@ -3639,6 +3639,19 @@ object OracleSql {
         |  cast(len(list_distinct(grams)) as double) / len(grams) AS ratio
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // TPC-H Q19 shape: same disjunction, DuckDB extracts the same
+    // common equi key
+    "q_join_disjunctive" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${dsumDec(s"${dec("l_extendedprice")} * (1 - ${dec("l_discount")})")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30
+         |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
+
     // same reach-closure labels; two shrinking rollups on top
     "q_dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -230,6 +230,30 @@ class OpsRound10Spec extends SparkSpec {
     assert(rep < median, s"repetitive $rep !< median $median")
   }
 
+  // ---- q_join_disjunctive ------------------------------------------------
+
+  test("Q19 disjunction plans ONE equi hash join (no BNL/cartesian) " +
+    "and matches a filter-after-join replay") {
+    val df = ops.Relational.joinDisjunctive(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the common equi key extracted into a hash join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"disjunction degraded to a non-equi join:\n$plan")
+    val (n, rev) = df.as[(Long, Double)].head()
+    val want = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 20)
+          && $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
+          && $"l_quantity".between(10, 30)) ||
+        ($"p_brand" === "Brand#21" && $"p_size".between(1, 30)
+          && $"l_quantity".between(20, 45)))
+      .count()
+    assert(n === want && n > 0 && rev > 0.0)
+  }
+
   // ---- q_dedup_cluster_stats ---------------------------------------------
 
   test("cluster-size census mass equals the corpus") {

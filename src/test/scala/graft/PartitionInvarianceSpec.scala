@@ -99,7 +99,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // EXISTS semi join, lag-gap census, row-local censuses
     "q_agg_having", "q_agg_minmax_by", "q_subquery_exists",
     "q_events_resurrected", "q_langid_confusion",
-    "q_text_compress_proxy")
+    "q_text_compress_proxy", "q_join_disjunctive")
 
   private lazy val alt = {
     val s = spark.newSession()
