@@ -1166,7 +1166,71 @@ object Analytics {
       .orderBy($"gap_days")
   }
 
+  /** PEAK CONCURRENCY via the sweep line — "how many sessions were
+    * open at once, per day, and exactly when": the capacity-planning
+    * query over the [[sessionizeGap]] intervals (same 30-min rule, so
+    * the two keys cannot disagree about session boundaries). Each
+    * interval contributes a +1 at its start and a −1 at its end;
+    * starts apply BEFORE ends at the same microsecond (inclusive
+    * intervals), so the peak at a timestamp is net-after + ends-there.
+    *
+    * Scale posture: the naive sweep is `sum(±1) OVER (ORDER BY ts)` —
+    * a corpus-wide single-partition window. This runs the same
+    * TWO-PASS cumsum as q_stats_ks (range-partition the per-timestamp
+    * census, partition-local running net via one imperative fold,
+    * P-row offset table broadcast back); the per-day argmax window
+    * partitions on the calendar day — bounded. The census is
+    * ≤ 2·|sessions| rows, already reduced from the event stream. */
+  def intervalsConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val gapUs = 1800000000L
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val marked = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      .withColumn("new_session",
+        when(lag($"tus", 1).over(w).isNull ||
+          $"tus" - lag($"tus", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_session").over(w))
+    val iv = marked.groupBy($"user_id", $"sid")
+      .agg(min($"tus").as("s_us"), max($"tus").as("e_us"))
+    val census = iv.select($"s_us".as("tus"), lit(1L).as("st"),
+        lit(0L).as("en"))
+      .unionAll(iv.select($"e_us".as("tus"), lit(0L).as("st"),
+        lit(1L).as("en")))
+      .groupBy($"tus").agg(sum($"st").as("s"), sum($"en").as("e"))
+    val nParts = 8
+    val local = census
+      .repartitionByRange(nParts, $"tus")
+      .sortWithinPartitions($"tus")
+      .select($"tus", $"s", $"e", spark_partition_id().as("pid"))
+      .as[(Long, Long, Long, Int)]
+      .mapPartitions { it =>
+        var net = 0L
+        it.map { case (t, s, e, pid) => net += s - e; (t, s, e, pid, net) }
+      }
+      .toDF("tus", "s", "e", "pid", "lnet")
+    // partition TOTALS (not maxima — the net dips) → exclusive prefix
+    val offs = local.groupBy($"pid")
+      .agg(sum($"s" - $"e").as("t"))
+      .withColumn("off", coalesce(sum($"t").over(Window.orderBy($"pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val peaks = local.join(broadcast(offs), "pid")
+      .select($"tus",
+        // peak while ts applies = net-before + starts = net-after + ends
+        ($"lnet" + $"off" + $"e").as("peak"))
+      .withColumn("day", to_date(timestamp_micros($"tus")))
+    val wd = Window.partitionBy($"day").orderBy($"peak".desc, $"tus")
+    peaks.withColumn("rk", row_number().over(wd))
+      .filter($"rk" === 1)
+      .select($"day", $"peak".as("peak_concurrency"),
+        timestamp_micros($"tus").as("at_ts"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intervals_concurrency" -> intervalsConcurrency,
     "q_events_resurrected" -> eventsResurrected,
     "q_cohort_revenue" -> cohortRevenue,
     "q_events_overlap" -> eventsOverlap,

@@ -3403,7 +3403,54 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** GREEDY BEAM SEARCH over the kNN graph — the HNSW/NSG-style
+    * graph-traversal ANN pattern (the modern alternative to
+    * IVF-bucket probing): start from the seed set (every 100th
+    * vector), keep a beam of the 8 best-scoring vectors seen so far,
+    * and for 4 rounds expand the beam's neighbors, score them
+    * against the query (vec 0), and re-select the beam from
+    * everything visited. Final answer: top-10 of the visited set.
+    *
+    * Determinism: r4'd dot scores, every selection over the
+    * (sim desc, vec_id) total order; the visited set grows
+    * monotonically so beam = top-8(visited) is well defined.
+    *
+    * Scale posture: per round the candidate set is ≤ beam × degree
+    * rows (metadata scale — broadcast into a semi join against the
+    * vector table, the batch analogue of the point lookups a vector
+    * store would do); only scoring touches the corpus and only as a
+    * broadcast-pruned scan. Lineage is truncated every round. The
+    * graph is the memoized kNN edge set. */
+  def simAnnBeam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val e0 = knnGraphBucketed(spark, sfDir)
+      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+    val edges = Tables.truncate(
+      e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))).distinct())
+    def score(cand: DataFrame): DataFrame =
+      emb.join(broadcast(cand.select($"vec_id")), "vec_id")
+        .crossJoin(broadcast(q))
+        .select($"vec_id", Det.r4(dot(spark)($"embedding", $"qe"))
+          .as("sim"))
+    var visited = Tables.truncate(
+      score(emb.filter($"vec_id" % 100 === 0).select($"vec_id"))
+        .orderBy($"sim".desc, $"vec_id").limit(8))
+    for (_ <- 1 to 4) {
+      val beam = visited.orderBy($"sim".desc, $"vec_id").limit(8)
+      val cand = beam.join(edges, $"vec_id" === $"src")
+        .select($"dst".as("vec_id")).distinct()
+        .join(visited.select($"vec_id".as("v")), $"vec_id" === $"v",
+          "left_anti")
+        .select($"vec_id")
+      visited = Tables.truncate(visited.unionAll(score(cand)))
+    }
+    visited.orderBy($"sim".desc, $"vec_id").limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ann_beam" -> simAnnBeam,
     "q_langid_confusion" -> langidConfusion,
     "q_text_compress_proxy" -> textCompressProxy,
     "q_rank_fusion_borda" -> rankFusionBorda,

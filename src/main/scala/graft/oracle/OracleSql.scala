@@ -3426,7 +3426,83 @@ object OracleSql {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
+  // greedy beam search over the kNN graph, 4 rounds UNROLLED as
+  // chained CTEs (the pagerank discipline): same symmetrized edges,
+  // same r4 scores, same (sim desc, vec_id) total order at every
+  // selection — the oracle scores all vectors once (sc) and the
+  // unrolled rounds draw from it, which is value-identical to the
+  // engine's per-round broadcast-pruned scoring
+  private def beamSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""b$i AS (SELECT vec_id, sim FROM v${i - 1}
+         |  ORDER BY sim DESC, vec_id LIMIT 8),
+         |c$i AS (SELECT DISTINCT dst FROM b$i
+         |  JOIN und ON b$i.vec_id = und.src
+         |  WHERE dst NOT IN (SELECT vec_id FROM v${i - 1})),
+         |v$i AS (SELECT * FROM v${i - 1}
+         |  UNION ALL SELECT sc.vec_id, sc.sim FROM sc
+         |  JOIN c$i ON sc.vec_id = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+       |           FROM embeddings),
+       |j AS (
+       |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+       |  FROM b a JOIN b q ON a.bucket = q.bucket
+       |  WHERE a.vec_id <> q.vec_id),
+       |r AS (SELECT vec_id, nbr_id,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM j),
+       |e0 AS (SELECT vec_id, nbr_id FROM r WHERE rk <= 3),
+       |und AS (SELECT vec_id AS src, nbr_id AS dst FROM e0
+       |        UNION SELECT nbr_id, vec_id FROM e0),
+       |sc AS (SELECT a.vec_id, $dotSql AS sim FROM embeddings a,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+       |v0 AS (SELECT vec_id, sim FROM sc WHERE vec_id % 100 = 0
+       |       ORDER BY sim DESC, vec_id LIMIT 8),
+       |$rounds
+       |SELECT vec_id, sim FROM v4
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   private val round10: Map[String, String] = Map(
+    "q_sim_ann_beam" -> beamSql,
+
+    // sweep-line peak concurrency over the same 30-min session
+    // intervals; starts apply before ends at equal microseconds
+    "q_intervals_concurrency" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM t),
+        |iv AS (SELECT user_id, sid, min(tus) AS s_us, max(tus) AS e_us
+        |       FROM s GROUP BY 1, 2),
+        |pts AS (SELECT s_us AS tus, 1 AS st, 0 AS en FROM iv
+        |        UNION ALL SELECT e_us, 0, 1 FROM iv),
+        |census AS (SELECT tus, cast(sum(st) as bigint) AS s,
+        |             cast(sum(en) as bigint) AS e
+        |           FROM pts GROUP BY tus),
+        |cum AS (SELECT tus, e, cast(sum(s - e) OVER (ORDER BY tus)
+        |          as bigint) AS net FROM census),
+        |pk AS (SELECT tus, net + e AS peak,
+        |         cast(make_timestamp(tus) as date) AS day FROM cum),
+        |rr AS (SELECT day, peak, tus, row_number() OVER (
+        |         PARTITION BY day ORDER BY peak DESC, tus) AS rk
+        |       FROM pk)
+        |SELECT day, peak AS peak_concurrency, make_timestamp(tus) AS at_ts
+        |FROM rr WHERE rk = 1 ORDER BY day""".stripMargin,
+
     // TPC-H Q10 shape: decimal-exact revenue ordering, then cast
     "q_join_returned_revenue" ->
       s"""WITH agg AS (

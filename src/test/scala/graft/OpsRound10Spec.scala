@@ -254,6 +254,97 @@ class OpsRound10Spec extends SparkSpec {
     assert(n === want && n > 0 && rev > 0.0)
   }
 
+  // ---- q_intervals_concurrency -------------------------------------------
+
+  test("sweep-line peak concurrency equals a driver sweep over the " +
+    "same session intervals") {
+    val got = ops.Analytics.intervalsConcurrency(spark, sfDir)
+      .as[(java.sql.Date, Long, java.sql.Timestamp)].collect()
+    // rebuild the intervals with the shared 30-min rule, sweep in the
+    // driver: starts before ends at equal microseconds
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts"))
+      .as[(Long, Long, Long)].collect()
+    val ivs = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map(r => (r._3, r._2)).sorted.toSeq
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head._1))
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (a, b) = (pair(0)._1, pair(1)._1)
+          if (b - a > 1800000000L)
+            sessions += scala.collection.mutable.ArrayBuffer(b)
+          else sessions.last += b
+        }
+      }
+      sessions.map(s => (s.min, s.max))
+    }.toSeq
+    val points = ivs.flatMap { case (s, e) => Seq((s, 1L, 0L), (e, 0L, 1L)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, ps) => (t, ps.map(_._2).sum, ps.map(_._3).sum) }
+    var net = 0L
+    val peaks = points.map { case (t, s, e) =>
+      net += s - e; (t, net + e)
+    }
+    val wantByDay = peaks
+      .groupBy { case (t, _) =>
+        java.time.Instant.ofEpochSecond(t / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      }
+      .map { case (d, ps) =>
+        val best = ps.maxBy { case (t, p) => (p, -t) }
+        (d.toString, best._2, best._1)
+      }.toSet
+    val gotSet = got.map(r =>
+      (r._1.toString, r._2,
+        r._3.toInstant.getEpochSecond * 1000000L
+          + r._3.toInstant.getNano / 1000L)).toSet
+    assert(gotSet === wantByDay)
+    assert(got.forall(_._2 >= 1))
+  }
+
+  // ---- q_sim_ann_beam ----------------------------------------------------
+
+  test("beam-search ANN equals a driver replay with identical rounding " +
+    "and total orders") {
+    val got = ops.LlmOps.simAnnBeam(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(got.length === 10)
+    val sims = got.map(_._2)
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    // driver replay from raw parquet
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val e = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect()
+    val adj = (e ++ e.map(p => (p._2, p._1))).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val qe = vecs(0L)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sim(id: Long): Double = {
+      var acc = 0.0
+      val v = vecs(id)
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * qe(i).toDouble; i += 1 }
+      r4(acc)
+    }
+    val ord = Ordering.by[(Long, Double), (Double, Long)] {
+      case (id, s) => (-s, id)
+    }
+    var visited = vecs.keys.filter(_ % 100 == 0).toSeq
+      .map(id => (id, sim(id))).sorted(ord).take(8).toMap
+    for (_ <- 1 to 4) {
+      val beam = visited.toSeq.sorted(ord).take(8).map(_._1)
+      val cand = beam.flatMap(adj.getOrElse(_, Array.empty[Long]))
+        .distinct.filterNot(visited.contains)
+      visited = visited ++ cand.map(id => (id, sim(id)))
+    }
+    val want = visited.toSeq.sorted(ord).take(10)
+    assert(got.toSeq === want)
+  }
+
   // ---- q_dedup_cluster_stats ---------------------------------------------
 
   test("cluster-size census mass equals the corpus") {

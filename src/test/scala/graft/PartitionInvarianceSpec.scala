@@ -99,7 +99,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // EXISTS semi join, lag-gap census, row-local censuses
     "q_agg_having", "q_agg_minmax_by", "q_subquery_exists",
     "q_events_resurrected", "q_langid_confusion",
-    "q_text_compress_proxy", "q_join_disjunctive")
+    "q_text_compress_proxy", "q_join_disjunctive",
+    // round 10 wave 3: two-pass sweep-line, beam-search graph ANN
+    "q_intervals_concurrency", "q_sim_ann_beam")
 
   private lazy val alt = {
     val s = spark.newSession()
