@@ -1199,27 +1199,10 @@ object Analytics {
       .unionAll(iv.select($"e_us".as("tus"), lit(0L).as("st"),
         lit(1L).as("en")))
       .groupBy($"tus").agg(sum($"st").as("s"), sum($"en").as("e"))
-    val nParts = 8
-    val local = census
-      .repartitionByRange(nParts, $"tus")
-      .sortWithinPartitions($"tus")
-      .select($"tus", $"s", $"e", spark_partition_id().as("pid"))
-      .as[(Long, Long, Long, Int)]
-      .mapPartitions { it =>
-        var net = 0L
-        it.map { case (t, s, e, pid) => net += s - e; (t, s, e, pid, net) }
-      }
-      .toDF("tus", "s", "e", "pid", "lnet")
-    // partition TOTALS (not maxima — the net dips) → exclusive prefix
-    val offs = local.groupBy($"pid")
-      .agg(sum($"s" - $"e").as("t"))
-      .withColumn("off", coalesce(sum($"t").over(Window.orderBy($"pid")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"off")
-    val peaks = local.join(broadcast(offs), "pid")
-      .select($"tus",
-        // peak while ts applies = net-before + starts = net-after + ends
-        ($"lnet" + $"off" + $"e").as("peak"))
+    val peaks = TwoPass.cumsum(
+        census.withColumn("net", $"s" - $"e"), "tus", Seq("net"))
+      // peak while ts applies = net-before + starts = net-after + ends
+      .select($"tus", ($"cum_net" + $"e").as("peak"))
       .withColumn("day", to_date(timestamp_micros($"tus")))
     val wd = Window.partitionBy($"day").orderBy($"peak".desc, $"tus")
     peaks.withColumn("rk", row_number().over(wd))

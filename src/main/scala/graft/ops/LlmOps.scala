@@ -3449,7 +3449,61 @@ object LlmOps {
     visited.orderBy($"sim".desc, $"vec_id").limit(10)
   }
 
+  /** Dedup THRESHOLD-SWEEP calibration — "how aggressive would the
+    * semantic dedup be at cosine ≥ 0.4 / 0.45 / 0.5?": the report a
+    * team reads before committing to a similarity cutoff, because the
+    * pair count and the touched-vector count as a function of the
+    * threshold IS the dedup-rate curve. Reuses the memoized ANN pair
+    * table ([[annPairs]], mined once at the 0.4 floor); the sweep is
+    * a ×3 fan-out of the BOUNDED pair set, never a re-mine.
+    *
+    * Scale posture: pairs ≪ corpus (LSH-banded upstream); both
+    * censuses partial-agg on the 3-value threshold domain. */
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fanned = annPairs(spark, sfDir)
+      .select($"vec_a", $"vec_b", $"sim",
+        explode(array(lit(0.4), lit(0.45), lit(0.5))).as("threshold"))
+      .filter($"sim" >= $"threshold")
+    val np = fanned.groupBy($"threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nv = fanned
+      .select($"threshold", explode(array($"vec_a", $"vec_b")).as("v"))
+      .groupBy($"threshold").agg(countDistinct($"v").as("n_dup_vecs"))
+    np.join(nv, "threshold").orderBy($"threshold")
+  }
+
+  /** Training-SHARD MANIFEST — the webdataset/Arrow-shard planning
+    * step every large-corpus training run needs: documents packed
+    * into contiguous ~64 KiB shards by byte offset (payload +
+    * 64-byte record header), manifest = per-shard doc count, byte
+    * size, and id range. Built on the [[TwoPass]] prefix sums — the
+    * byte offsets are a GLOBAL running total that must not funnel
+    * the corpus through one window task. Compose with
+    * [[shuffleDeterministic]]'s hash order upstream when shards must
+    * be i.i.d. rather than id-contiguous — the manifest math is
+    * order-agnostic.
+    *
+    * Scale posture: one range partition + local fold + P-row offset
+    * broadcast (the zipWithIndex discipline); the manifest rollup
+    * partial-aggs on shard_id. */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables(spark, sfDir, "documents")
+      .select($"doc_id", ($"n_chars".cast("long") + 64L).as("bytes"))
+    TwoPass.cumsum(b, "doc_id", Seq("bytes"))
+      .select($"doc_id", $"bytes",
+        expr("(cum_bytes - bytes) DIV 65536").as("shard_id"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bytes").cast("long").as("shard_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_threshold_sweep" -> dedupThresholdSweep,
+    "q_shard_manifest" -> shardManifest,
     "q_sim_ann_beam" -> simAnnBeam,
     "q_langid_confusion" -> langidConfusion,
     "q_text_compress_proxy" -> textCompressProxy,

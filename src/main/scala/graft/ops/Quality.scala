@@ -500,35 +500,8 @@ object Quality {
       .groupBy($"cents")
       .agg(count(when($"is_a", 1)).as("da"),
         count(when(!$"is_a", 1)).as("db"))
-    val nParts = 8
-    val local = census
-      .repartitionByRange(nParts, $"cents")
-      .sortWithinPartitions($"cents")
-      .select($"cents", $"da", $"db", spark_partition_id().as("pid"))
-      .as[(Long, Long, Long, Int)]
-      .mapPartitions { it =>
-        var ca = 0L; var cb = 0L
-        it.map { case (v, da, db, pid) =>
-          ca += da; cb += db; (v, ca, cb, pid)
-        }
-      }
-      .toDF("cents", "la", "lb", "pid")
-    // P rows → exclusive prefix offsets; the unpartitioned window is
-    // over partition-count-many rows, not data
-    val offs = local.groupBy($"pid")
-      .agg(max($"la").as("ta"), max($"lb").as("tb"))
-      .withColumn("offa", coalesce(sum($"ta").over(
-        org.apache.spark.sql.expressions.Window.orderBy($"pid")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)), lit(0L)))
-      .withColumn("offb", coalesce(sum($"tb").over(
-        org.apache.spark.sql.expressions.Window.orderBy($"pid")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)), lit(0L)))
-      .select($"pid", $"offa", $"offb")
-    val cum = local.join(broadcast(offs), "pid")
-      .select($"cents", ($"la" + $"offa").as("ca"),
-        ($"lb" + $"offb").as("cb"))
+    val cum = TwoPass.cumsum(census, "cents", Seq("da", "db"))
+      .select($"cents", $"cum_da".as("ca"), $"cum_db".as("cb"))
     val tot = cum.agg(max($"ca").as("na"), max($"cb").as("nb"))
     val gaps = cum.crossJoin(broadcast(tot))
       .select($"cents", $"na", $"nb",

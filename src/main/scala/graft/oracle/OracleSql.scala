@@ -3468,6 +3468,50 @@ object OracleSql {
   private val round10: Map[String, String] = Map(
     "q_sim_ann_beam" -> beamSql,
 
+    // same memoized-pair derivation at the 0.4 floor; ×3 threshold
+    // fan-out over the bounded pair set
+    "q_dedup_threshold_sweep" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, k,
+         |    list_sum(list_transform(range(1, 5),
+         |      i -> CASE WHEN embedding[k * 4 + i] > 0
+         |           THEN (cast(1 as bigint) << (4 - i)) ELSE 0 END)) AS s
+         |  FROM embeddings, range(0, 16) t(k)),
+         |cand AS (
+         |  SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+         |  FROM sig sa JOIN sig sb
+         |    ON sa.k = sb.k AND sa.s = sb.s AND sa.vec_id < sb.vec_id),
+         |p AS (
+         |  SELECT c.vec_a, c.vec_b, $dotSql AS sim
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_a
+         |  JOIN embeddings q ON q.vec_id = c.vec_b
+         |  WHERE $dotSql >= 0.4),
+         |f AS (SELECT t.threshold, vec_a, vec_b FROM p,
+         |        (VALUES (0.4), (0.45), (0.5)) t(threshold)
+         |      WHERE sim >= t.threshold),
+         |vv AS (SELECT threshold, vec_a AS v FROM f
+         |       UNION ALL SELECT threshold, vec_b FROM f),
+         |np AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),
+         |nv AS (SELECT threshold, count(DISTINCT v) AS n_dup_vecs
+         |       FROM vv GROUP BY 1)
+         |SELECT np.threshold, n_pairs, n_dup_vecs
+         |FROM np JOIN nv USING (threshold) ORDER BY threshold""".stripMargin,
+
+    // same byte arithmetic; the oracle may use the naive window cumsum
+    // (it needs no scale), offsets are EXCLUSIVE on both sides
+    "q_shard_manifest" ->
+      """WITH b AS (SELECT doc_id, cast(n_chars as bigint) + 64 AS bytes
+        |           FROM documents),
+        |c AS (SELECT doc_id, bytes, cast(sum(bytes) OVER (ORDER BY doc_id)
+        |        as bigint) AS cb FROM b),
+        |s AS (SELECT doc_id, bytes, (cb - bytes) // 65536 AS shard_id
+        |      FROM c)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  cast(sum(bytes) as bigint) AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
     // sweep-line peak concurrency over the same 30-min session
     // intervals; starts apply before ends at equal microseconds
     "q_intervals_concurrency" ->

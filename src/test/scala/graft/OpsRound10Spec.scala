@@ -345,6 +345,71 @@ class OpsRound10Spec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  // ---- TwoPass -----------------------------------------------------------
+
+  test("TwoPass.cumsum equals the naive window cumsum and survives " +
+    "a different partition count") {
+    val base = Tables(spark, sfDir, "orders")
+      .select(($"o_orderkey" % 997).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val want = base
+      .withColumn("cum_n", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select($"k", $"n", $"cum_n")
+      .collect().map(_.toString).sorted.toSeq
+    Seq(1, 3, 8, 17).foreach { p =>
+      val got = ops.TwoPass.cumsum(base, "k", Seq("n"), nParts = p)
+        .select($"k", $"n", $"cum_n")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"nParts=$p diverged")
+    }
+  }
+
+  // ---- q_dedup_threshold_sweep -------------------------------------------
+
+  test("threshold sweep is monotone and anchored at the mining floor") {
+    val rows = ops.LlmOps.dedupThresholdSweep(spark, sfDir)
+      .as[(Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // monotone non-increasing in both counts as the threshold rises
+    rows.sliding(2).foreach {
+      case Array((t1, p1, v1), (t2, p2, v2)) =>
+        assert(t1 < t2 && p1 >= p2 && v1 >= v2, s"not monotone at $t2")
+      case _ => ()
+    }
+    // the 0.4 row IS the full mined pair set
+    val all = ops.LlmOps.dedupEmbeddingAnn(spark, sfDir).count()
+    assert(rows.find(_._1 == 0.4).map(_._2).contains(all))
+  }
+
+  // ---- q_shard_manifest --------------------------------------------------
+
+  test("shard manifest: contiguous id ranges, byte mass conserved, " +
+    "every shard but the last crosses the budget line") {
+    val rows = ops.LlmOps.shardManifest(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val (nDocs, totBytes) = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)), sum($"n_chars".cast("long") + 64L))
+      .as[(Long, Long)].head()
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.map(_._3).sum === totBytes)
+    // shards are contiguous in doc_id: ranges don't interleave
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1 && a._5 < b._4,
+          s"shards ${a._1}/${b._1} interleave")
+      case _ => ()
+    }
+    // offset sharding: every shard's START offset is below its
+    // budget multiple and the next shard starts past it
+    val cum = rows.map(_._3).scanLeft(0L)(_ + _)
+    rows.zipWithIndex.foreach { case ((sid, _, _, _, _), i) =>
+      assert(cum(i) / 65536 === sid, s"shard $sid offset ${cum(i)}")
+    }
+  }
+
   // ---- q_dedup_cluster_stats ---------------------------------------------
 
   test("cluster-size census mass equals the corpus") {

@@ -101,7 +101,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_events_resurrected", "q_langid_confusion",
     "q_text_compress_proxy", "q_join_disjunctive",
     // round 10 wave 3: two-pass sweep-line, beam-search graph ANN
-    "q_intervals_concurrency", "q_sim_ann_beam")
+    "q_intervals_concurrency", "q_sim_ann_beam",
+    // round 10 wave 4: TwoPass shard offsets, memoized-pair sweep
+    "q_shard_manifest", "q_dedup_threshold_sweep")
 
   private lazy val alt = {
     val s = spark.newSession()
