@@ -505,7 +505,28 @@ object Aggregates {
       .orderBy($"n_name")
   }
 
+  /** BOOLEAN / PREDICATED aggregates per (returnflag, linestatus):
+    * `bool_and` / `bool_or` (SQL every/any) plus FILTER-clause-style
+    * predicated counts — the assertion-shaped aggregation a data
+    * contract check compiles to ("every line discounted ≤ 10 %? any
+    * oversize line at all?"). Pure boolean/long arithmetic, exact.
+    *
+    * Scale posture: one partial-agged hash aggregate (booleans
+    * combine associatively map-side); 6-row output domain. */
+  def aggBoolean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        bool_and($"l_discount" <= 0.10).as("all_discount_le_10"),
+        bool_or($"l_quantity" >= 49).as("any_qty_ge_49"),
+        count(when($"l_tax" > 0.05, 1)).as("n_high_tax"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_boolean" -> aggBoolean,
     "q_agg_having" -> aggHaving,
     "q_agg_minmax_by" -> aggMinmaxBy,
     "q_agg_bitmap_distinct" -> aggBitmapDistinct,

@@ -1212,7 +1212,153 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** AUTOCORRELATION FUNCTION of daily revenue at lags 1..7 — the
+    * seasonality detector a forecasting pipeline runs before choosing
+    * its model (a weekly cycle shows as a spike at lag 7).
+    *
+    * Determinism: per-lag Pearson correlation over the (xₜ, xₜ₊ₗ)
+    * pairs; daily revenue is an exact decimal census surfaced as
+    * double, and `corr` is the one genuinely order-dependent
+    * accumulation → r4 (the [[Aggregates]] stddev/corr regime).
+    *
+    * Scale posture: the day census is ONE partial-agged pass over
+    * orders, bounded by the calendar domain; the lag alignment is an
+    * 7-way explode of that census joined to itself on exact day keys
+    * (census × 7 rows — metadata scale), never a window over the
+    * fact table. */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(graft.Det.dsum($"o_totalprice").as("rev"))
+    val lagged = daily
+      .select($"day", $"rev", explode(sequence(lit(1), lit(7))).as("lag"))
+      .select(date_add($"day", $"lag").as("day"), $"lag",
+        $"rev".as("rev_lag"))
+    daily.join(lagged, "day")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.Det.r4(corr($"rev", $"rev_lag")).as("acf"))
+      .orderBy($"lag")
+  }
+
+  /** EXPONENTIAL MOVING AVERAGE (α = ½, 20-day memory) of daily
+    * revenue — the smoothing primitive behind every ops dashboard
+    * trendline. EMA is the textbook "inherently sequential" fold;
+    * this plan makes it exact AND order-free by exploiting α = ½:
+    * weights are powers of two, so numerator terms cents·2^(19−k) and
+    * the weight sum are EXACT int64 arithmetic (associative — no
+    * float accumulation order exists), and the only float op is the
+    * final division of two exact longs (identical IEEE result on both
+    * engines). Past ~sf10 the numerator nears 2⁶³ → switch the sums
+    * to DECIMAL(38,0), same plan.
+    *
+    * Scale posture: the day census bounds everything (calendar
+    * domain, not corpus); each census row fans out to its ≤20
+    * forward days (a 20-way explode of metadata-scale rows — no
+    * range join, no window), then one partial-agged groupBy per
+    * target day. Truncating the window to 20 days loses < 2⁻²⁰ of
+    * the weight mass. */
+  def tsEma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val days = daily.select($"day".as("tday")).distinct()
+    val fan = daily
+      .select($"day", $"cents",
+        explode(sequence(lit(0), lit(19))).as("k"))
+      .select(date_add($"day", $"k").as("tday"), $"k", $"cents")
+    // inner join keeps only target days that exist (calendar gaps get
+    // no fabricated EMA row); weight 2^(19−k) is exact int64
+    days.join(fan, "tday")
+      .select($"tday", $"cents",
+        // 2^(19−k) via double pow (exact for exponents ≤ 52) → long
+        pow(lit(2.0), lit(19) - $"k").cast("long").as("w"))
+      .groupBy($"tday")
+      .agg(sum($"cents" * $"w").as("num"), sum($"w" * 100L).as("den"))
+      .select($"tday".as("day"),
+        ($"num".cast("double") / $"den".cast("double")).as("ema"))
+      .orderBy($"day")
+  }
+
+  /** POWER-USER CONCENTRATION — what share of all events does the top
+    * decile of users generate? Computed WITHOUT ranking users: from
+    * the per-user activity census, derive the VALUE census (users per
+    * event-count), cumsum it from the top, and split the decile
+    * boundary arithmetically — every user strictly above the
+    * threshold count contributes all their events, and the k_rem
+    * boundary users each contribute exactly the threshold count, so
+    * no user-level ordering (or tiebreak) is ever materialized.
+    *
+    * Scale posture: user census (one partial-agged pass), value
+    * census (≤ distinct activity levels), [[TwoPass.cumsum]] over the
+    * descending-count order via negated keys — no corpus-wide or
+    * user-wide window. Exact integers end-to-end; one IEEE division
+    * for the share. */
+  def eventsPowerUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables(spark, sfDir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val census = users.groupBy($"cnt").agg(count(lit(1)).as("nu"))
+      .withColumn("neg", -$"cnt")
+      .withColumn("ev", $"cnt" * $"nu")
+    val cum = TwoPass.cumsum(census, "neg", Seq("nu", "ev"))
+    val tot = cum.agg(max($"cum_nu").as("n_users"),
+      max($"cum_ev").as("total_events"))
+    // decile size k = floor(n/10); the block CONTAINING rank k is the
+    // threshold count: users above it are fully in, k_rem tie users
+    // at the threshold contribute cnt_star each
+    cum.crossJoin(broadcast(tot))
+      .filter($"cum_nu" - $"nu" < floor($"n_users" / 10)
+        && floor($"n_users" / 10) <= $"cum_nu")
+      .select($"n_users", $"total_events",
+        floor($"n_users" / 10).as("k"),
+        $"cnt".as("threshold_cnt"),
+        ($"cum_ev" - $"ev"
+          + (floor($"n_users" / 10) - ($"cum_nu" - $"nu")) * $"cnt")
+          .as("top_events"))
+      .withColumn("share",
+        $"top_events".cast("double") / $"total_events".cast("double"))
+  }
+
+  /** CUSUM drift detector over daily revenue — the classic
+    * change-point alarm, and the textbook "inherently sequential"
+    * recursion S_t = max(0, S_{t−1} + x_t − k) made DECLARATIVE via
+    * the prefix identity: S_t = (C_t − k·t) − min_{i≤t}(C_i − k·i),
+    * where C is the cumulative sum. Two window passes over the DAY
+    * CENSUS (calendar-domain-bounded — the metadata-scale exemption;
+    * at decades of days these become [[TwoPass]] + a segment-min
+    * fold, same algebra) replace the fold entirely.
+    *
+    * Exactness: cents are exact longs, the reference rate k = ⌊total
+    * cents / n_days⌋ is integer division, every d_t = C_t − k·t and
+    * running min is int64 — bit-identical, no float anywhere. Output
+    * reports the 10 worst alarm days. */
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val tot = daily.agg(sum($"cents").as("tc"), count(lit(1)).as("n"))
+      .select(expr("tc DIV n").as("k"))
+    val wOrd = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(Window.orderBy($"day")))
+      .withColumn("d", sum($"cents").over(wOrd) - $"k" * $"t")
+      .withColumn("cusum", $"d" - min($"d").over(wOrd))
+      .select($"day", $"cents", $"cusum")
+      .orderBy($"cusum".desc, $"day")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_cusum" -> tsCusum,
+    "q_ts_acf" -> tsAcf,
+    "q_ts_ema" -> tsEma,
+    "q_events_power_users" -> eventsPowerUsers,
     "q_intervals_concurrency" -> intervalsConcurrency,
     "q_events_resurrected" -> eventsResurrected,
     "q_cohort_revenue" -> cohortRevenue,

@@ -3501,7 +3501,139 @@ object LlmOps {
       .orderBy($"shard_id")
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS (Data Selection with Importance
+    * Resampling, Xie et al. 2023) — per-document log-likelihood-ratio
+    * score under bag-of-bigram models of a TARGET distribution
+    * (English docs) vs the REST: score(d) = Σ_bigram ln((tgt+1)/
+    * (rest+1)). The standard "give me web data that looks like my
+    * curated set" ranking signal for pre-training curation.
+    *
+    * Scale posture: the bigram feature table is Heaps-bounded (vocab,
+    * not corpus); scoring joins doc bigrams to weights on the bigram
+    * key (at 100 TB: broadcast the top-K-by-df weight slice instead —
+    * same plan minus one exchange), then partial-aggs per doc. Docs
+    * under 2 tokens have no bigrams and drop on both engines. The
+    * per-doc ln-sum is the one order-dependent accumulation → r4. */
+  def qualityDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bg = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang",
+        explode(zip_with(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val w = bg.groupBy($"bigram")
+      .agg(count(when($"lang" === "en", 1)).as("tgt"),
+        count(lit(1)).as("tot"))
+      .select($"bigram",
+        log(($"tgt" + 1).cast("double")
+          / ($"tot" - $"tgt" + 1).cast("double")).as("w"))
+    bg.join(w, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.r4(sum($"w")).as("dsir_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** ZIPF-LAW FIT over the token frequency census — the OLS slope of
+    * log(freq) on log(rank) for the top-100 tokens (healthy natural-
+    * language corpora sit near −1; templated/spam corpora flatten).
+    * The corpus-level companion to the per-doc [[textEntropy]].
+    *
+    * Scale posture: token census is vocab-bounded; the top-100 head
+    * is a TakeOrdered (per-partition heap, never a full sort); the
+    * rank window and the OLS fold run on 100 rows. The log-log sums
+    * are order-dependent doubles → r4 on the fitted coefficients. */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token").limit(100)
+    // 100-row relation — the unpartitioned window is bounded
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"token")))
+      .select(log($"rank".cast("double")).as("x"),
+        log($"cnt".cast("double")).as("y"))
+    val s = ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+      sum($"x" * $"x").as("sxx"))
+    s.select($"n",
+      Det.r4(($"n" * $"sxy" - $"sx" * $"sy")
+        / ($"n" * $"sxx" - $"sx" * $"sx")).as("zipf_slope"),
+      Det.r4(($"sy" - ($"n" * $"sxy" - $"sx" * $"sy")
+        / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n")
+        .as("intercept"))
+  }
+
+  /** LINK PREDICTION on the kNN graph — common-neighbor count and
+    * neighbor-set Jaccard for NON-adjacent node pairs that share at
+    * least one neighbor (the "these two artifacts are probably
+    * related even though the index missed the edge" signal; also the
+    * candidate generator for graph densification).
+    *
+    * Scale posture: candidates come from the neighbor INVERTED index
+    * — pairs within each neighbor's in-list, Σ(in-degree)² bounded,
+    * never nodes² — and the same join that finds a pair counts its
+    * common neighbors (partial-agg before the shuffle). Degrees are
+    * ≤3 by construction; Jaccard divides two small exact ints (one
+    * IEEE division). Top-20 TakeOrdered with full-key tiebreak. */
+  def graphJaccardNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = knnGraphBucketed(spark, sfDir).select($"vec_id", $"nbr_id")
+    val deg = e.groupBy($"vec_id").agg(count(lit(1)).as("deg"))
+    val co = e.select($"nbr_id".as("h"), $"vec_id".as("a"))
+      .join(e.select($"nbr_id".as("h"), $"vec_id".as("b")), "h")
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    val adj = e.select(least($"vec_id", $"nbr_id").as("a"),
+      greatest($"vec_id", $"nbr_id").as("b")).distinct()
+    co.join(adj, Seq("a", "b"), "left_anti")
+      .join(deg.select($"vec_id".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"vec_id".as("b"), $"deg".as("db")), "b")
+      .select($"a".as("vec_a"), $"b".as("vec_b"), $"common",
+        ($"common".cast("double")
+          / ($"da" + $"db" - $"common").cast("double")).as("jaccard"))
+      .orderBy($"jaccard".desc, $"vec_a", $"vec_b")
+      .limit(20)
+  }
+
+  /** Deterministic TRAIN/VAL/TEST SPLIT census — 80/10/10 by
+    * `doc_id % 100` (the id-hash split every training pipeline pins
+    * so reruns see identical membership), reported per language with
+    * within-language fractions: the balance audit that catches a
+    * split correlated with content. For the cluster-granular variant
+    * that also blocks near-dup leakage across splits see
+    * [[splitLeakageSafe]].
+    *
+    * Scale posture: map-side split assignment, one partial-agged
+    * census bounded by lang × split; fractions divide exact longs. */
+  def splitTrainTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables(spark, sfDir, "documents")
+      .select($"lang",
+        when($"doc_id" % 100 < 80, "train")
+          .when($"doc_id" % 100 < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n_docs"))
+    val tot = s.groupBy($"lang").agg(sum($"n_docs").as("lang_docs"))
+    s.join(broadcast(tot), "lang")
+      .select($"lang", $"split", $"n_docs",
+        ($"n_docs".cast("double") / $"lang_docs".cast("double"))
+          .as("frac"))
+      .orderBy($"lang", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_dsir" -> qualityDsir,
+    "q_text_zipf" -> textZipf,
+    "q_graph_jaccard_neighbors" -> graphJaccardNeighbors,
+    "q_split_train_test" -> splitTrainTest,
     "q_dedup_threshold_sweep" -> dedupThresholdSweep,
     "q_shard_manifest" -> shardManifest,
     "q_sim_ann_beam" -> simAnnBeam,

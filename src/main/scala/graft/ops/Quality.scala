@@ -1,8 +1,9 @@
 package graft.ops
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Declarative data-quality constraint suite — the validation gate a
   * corpus passes before training (the Deequ/expectations pattern):
@@ -435,6 +436,36 @@ object Quality {
       sum($"cls_n").cast("long").as("n_rows"))
   }
 
+  /** l-DIVERSITY audit (l = 3) — the [[anonymizeKanon]] companion:
+    * k-anonymity bounds re-identification but a small-k class whose
+    * SENSITIVE attribute is uniform still leaks it; per equivalence
+    * class on the (nation, segment) quasi-identifiers, count DISTINCT
+    * sensitive values (the 1000-wide balance band) and report the
+    * classes below l, the rows they expose, and the dataset's actual
+    * l. Integer counting end to end.
+    *
+    * Scale posture: one partial-agged two-level distinct aggregation
+    * on the QI tuple (the distinct expand's rows are bounded by
+    * QI × sensitive domains), then a single-row rollup over the
+    * class census. */
+  def anonymizeLdiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = 3
+    val classes = Tables(spark, sfDir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("cls_n"),
+        countDistinct($"bal_band").as("cls_l"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      count(when($"cls_l" < l, 1)).as("n_low_diversity"),
+      coalesce(sum(when($"cls_l" < l, $"cls_n")), lit(0L)).cast("long")
+        .as("n_rows_at_risk"),
+      min($"cls_l").as("min_l"),
+      sum($"cls_n").cast("long").as("n_rows"))
+  }
+
   /** Chi-square INDEPENDENCE test over the order-priority × status
     * contingency table — the categorical-drift / association monitor
     * (is priority distributed independently of status?). Observed
@@ -516,7 +547,153 @@ object Quality {
         ($"at_cents".cast("double") / 100.0).as("at_value"))
   }
 
+  /** GINI COEFFICIENT of per-customer revenue — the inequality /
+    * concentration summary ("do 20% of customers carry 80% of
+    * revenue?") every marketplace health dashboard reports.
+    *
+    * Exactness: revenue quantizes to integer cents; the rank-weighted
+    * sum Σ rank·x is computed on the VALUE census (one row per
+    * distinct cents value) — a tied block at cumulative count c with
+    * previous cumulative p contributes x·(c(c+1)−p(p+1))/2, an exact
+    * integer identity, so no per-row rank assignment (and no rank
+    * order ambiguity on ties) exists at all. Accumulated in
+    * DECIMAL(38,0) (Σ rank·x ≈ n·max_rank·cents overflows int64 past
+    * ~sf1), cast to double once, two IEEE divisions on identical
+    * operands → bit-identical G = 2S/(nT) − (n+1)/n.
+    *
+    * Scale posture: customer-revenue census (one partial-agged pass
+    * over orders), then the VALUE census (≤ distinct cents values),
+    * then [[TwoPass.cumsum]] for the cumulative counts — no
+    * corpus-wide window anywhere; the final fold is a single-row
+    * aggregation. */
+  def statsGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custRev = Tables(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val census = custRev.groupBy($"cents").agg(count(lit(1)).as("cnt"))
+    val cum = TwoPass.cumsum(census, "cents", Seq("cnt"))
+    // 2× block rank sum = c(c+1) − p(p+1) with p = c − cnt — keeping
+    // the DOUBLED sum avoids any decimal division (2S replaces 2·S in
+    // the gini numerator); all integer decimal arithmetic, exact
+    val d38 = "decimal(38,0)"
+    val blocks = cum.select($"cents", $"cnt", $"cum_cnt",
+      (($"cum_cnt".cast(d38) * ($"cum_cnt" + 1)
+        - ($"cum_cnt" - $"cnt").cast(d38) * ($"cum_cnt" - $"cnt" + 1))
+        * $"cents").as("rank_x2"))
+    blocks.agg(
+      sum($"cnt").as("n_customers"),
+      sum($"cents".cast(d38) * $"cnt").as("total"),
+      sum($"rank_x2").as("s2"))
+      .select($"n_customers",
+        ($"total".cast(DoubleType) / 100.0).as("total_revenue"),
+        ($"s2".cast(DoubleType)
+          / ($"n_customers".cast(d38) * $"total").cast(DoubleType)
+          - ($"n_customers" + 1).cast(DoubleType)
+            / $"n_customers".cast(DoubleType)).as("gini"))
+  }
+
+  /** Two-sample MANN–WHITNEY U (rank-sum) test over order totals,
+    * even- vs odd-orderkey split — the nonparametric location-shift
+    * companion to [[statsKs]] (KS answers "any distributional
+    * difference?", U answers "is one arm systematically larger?").
+    *
+    * Exactness: ranks are midranks on the pooled VALUE census —
+    * a tied block spanning pooled positions (p, c] has midrank
+    * (p+c+1)/2, so 2·ΣR_A = Σ da·(p+c+1) is an exact integer and U_A
+    * = ΣR_A − n_A(n_A+1)/2 surfaces as an exact double. The normal
+    * z uses the no-tie σ (documented; ties only shrink σ) — sqrt and
+    * one division on identical operands, bit-identical.
+    *
+    * Scale posture: identical to [[statsKs]] — per-value census,
+    * [[TwoPass.cumsum]] for pooled cumulative counts, single-row
+    * fold. */
+  def statsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val census = Tables(spark, sfDir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderkey" % 2 === 0).as("is_a"))
+      .groupBy($"cents")
+      .agg(count(when($"is_a", 1)).as("da"),
+        count(when(!$"is_a", 1)).as("db"))
+      .withColumn("dn", $"da" + $"db")
+    val cum = TwoPass.cumsum(census, "cents", Seq("da", "dn"))
+    val agg = cum.agg(
+      max($"cum_da").as("n_a"),
+      (max($"cum_dn") - max($"cum_da")).as("n_b"),
+      // 2·ΣR_A: block pooled span (cum_dn − dn, cum_dn]
+      sum($"da" * (($"cum_dn" - $"dn") + $"cum_dn" + 1)).as("r2"))
+    agg.select($"n_a", $"n_b",
+      (($"r2" - $"n_a" * ($"n_a" + 1)).cast(DoubleType) / 2.0).as("u_a"))
+      .withColumn("mu", $"n_a".cast(DoubleType) * $"n_b" / 2.0)
+      .withColumn("z",
+        ($"u_a" - $"mu") / sqrt($"n_a".cast(DoubleType) * $"n_b"
+          * ($"n_a" + $"n_b" + 1) / 12.0))
+  }
+
+  /** BENFORD first-digit audit of order totals — the classic
+    * fabricated-data screen: observed leading-digit frequencies vs
+    * the log10(1+1/d) law, with per-digit deviation and the χ²
+    * distance.
+    *
+    * Determinism: the leading digit comes from the DECIMAL STRING of
+    * integer cents (same text on both engines — no float log10 whose
+    * libm could flip a power-of-ten boundary); expected counts touch
+    * libm log10 once per digit → every derived double is r4.
+    *
+    * Scale posture: one partial-agged census bounded by the digit
+    * domain (9 rows); everything after is constant work. */
+  def statsBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables(spark, sfDir, "orders")
+      .select(substring(round($"o_totalprice" * 100).cast("long")
+        .cast(StringType), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum($"observed").as("n"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("expected",
+        Det.r4($"n" * log10(lit(1.0) + lit(1.0) / $"digit")))
+      .select($"digit", $"observed", $"expected",
+        Det.r4(($"observed" - $"expected") * ($"observed" - $"expected")
+          / $"expected").as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  /** MUTUAL INFORMATION between order priority and order status — the
+    * information-theoretic dependence summary on the same cell census
+    * as [[statsChi2]] (χ² asks "independent?", MI answers "how many
+    * bits does one column reveal about the other?").
+    *
+    * Determinism: cell/margin counts are exact longs; each cell's
+    * p·log₂(p/(p_r·p_c)) term touches libm log once → the ~15-term
+    * sum is r4 (the chi2 discipline).
+    *
+    * Scale posture: identical to [[statsChi2]] — domain-bounded cell
+    * census, two tiny margin re-aggregations, single-row rollup. */
+  def statsMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority".as("r"), $"o_orderstatus".as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy($"r").agg(sum($"obs").as("rt"))
+    val colTot = cells.groupBy($"c").agg(sum($"obs").as("ct"))
+    val n = cells.agg(sum($"obs").as("n"))
+    cells.join(broadcast(rowTot), "r").join(broadcast(colTot), "c")
+      .crossJoin(broadcast(n))
+      .select((($"obs".cast(DoubleType) / $"n")
+        * log2($"obs".cast(DoubleType) * $"n"
+          / ($"rt".cast(DoubleType) * $"ct"))).as("term"),
+        $"n")
+      .agg(max($"n").as("n"), count(lit(1)).as("n_cells"),
+        Det.r4(sum($"term")).as("mi_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anonymize_ldiversity" -> anonymizeLdiversity,
+    "q_stats_gini" -> statsGini,
+    "q_stats_mannwhitney" -> statsMannWhitney,
+    "q_stats_benford" -> statsBenford,
+    "q_stats_mutual_info" -> statsMutualInfo,
     "q_stats_ks" -> statsKs,
     "q_stats_chi2" -> statsChi2,
     "q_anonymize_kanon" -> anonymizeKanon,

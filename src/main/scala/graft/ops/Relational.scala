@@ -1028,7 +1028,228 @@ object Relational {
           .as("revenue"))
   }
 
+  /** TPC-H Q12 "shipmode priority" shape — conditional (FILTER-clause)
+    * aggregation after a fact⨝fact join: per return flag, how many
+    * lines belong to critical-priority orders vs the rest. The
+    * high/low split is `count(CASE WHEN …)` — ONE pass, no pivot, no
+    * second join — the canonical way to fan one grouping into several
+    * predicated counts.
+    *
+    * Scale posture: both sides are facts, so the join shuffles on
+    * orderkey (no broadcast); the lineitem side prunes to one ship
+    * year AT THE SCAN (pushed filter), and the aggregation partial-
+    * aggs map-side into a 3-row (returnflag-domain) result. */
+  def aggFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType)
+        && $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_returnflag")
+    val o = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q14 "promotion effect" shape — a single-row percentage-of-
+    * total over a dim join: what share of one month's gross revenue
+    * came from PROMO-type parts. The classic conditional-numerator /
+    * unconditional-denominator pattern computed in ONE aggregation
+    * (two predicated decimal sums), not two scans.
+    *
+    * Determinism: both sums are exact decimal (base 2-decimal columns
+    * multiplied in decimal arithmetic — the Det regime), cast to
+    * double only at the end; the final ratio is ONE IEEE division of
+    * identical operands on both engines.
+    *
+    * Scale posture: part is the dim → broadcast; lineitem prunes to
+    * the month at the scan; the aggregation is a full partial-agg to
+    * one row, so the reduce stage moves two decimals per task. */
+  def joinPromoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-09-01").cast(TimestampType)
+        && $"l_shipdate" < lit("1997-10-01").cast(TimestampType))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val p = Tables(spark, sfDir, "part").select($"p_partkey", $"p_type")
+    val rev = Det.dec($"l_extendedprice") *
+      (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount"))
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        (lit(100.0) * Det.dsumDec(when($"p_type" === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          / Det.dsumDec(rev)).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q16 "parts/supplier relationship" shape — COUNT(DISTINCT)
+    * per attribute group with a NOT-IN exclusion subquery: how many
+    * distinct suppliers ship each (brand, type, size) part family,
+    * excluding blacklisted (negative-balance) suppliers.
+    *
+    * Scale posture: the blacklist is a handful of keys → Catalyst
+    * rewrites the NOT IN to a BROADCAST null-aware anti join (never a
+    * shuffle); part is a broadcast dim on the partkey join; the
+    * distinct-agg is the standard two-phase expand (partial distinct
+    * on (group, suppkey), then count) — no row ever carries more than
+    * the 4 grouping columns. Output bounded by the attribute domain,
+    * top-20 TakeOrdered. */
+  def aggPartsSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bad = Tables(spark, sfDir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val p = Tables(spark, sfDir, "part")
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    Tables(spark, sfDir, "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+      .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+      .limit(20)
+  }
+
+  /** TPC-H Q22 "global quantile gate" shape — a scalar subquery
+    * (global average balance over positive-balance customers) gating
+    * an anti join (customers with NO orders): per market segment, how
+    * many rich-but-dormant customers and their total balance.
+    *
+    * Determinism: the threshold is a Det.davg (exact decimal sum /
+    * count → one IEEE division), and every comparison against it is
+    * on base 2-decimal values — no accumulated float crosses the
+    * filter boundary.
+    *
+    * Scale posture: the scalar aggregate is ONE row broadcast into
+    * the filter (Catalyst plans the cross of a 1-row relation as a
+    * BroadcastNestedLoop over one row — constant work); the
+    * dormancy check is a shuffled LEFT ANTI on custkey against the
+    * date-pruned orders scan (orders is a fact — never broadcast);
+    * output bounded by the segment domain. ("No orders since 2000"
+    * rather than Q22's "no orders ever" — this corpus has no
+    * order-less customers, and a vacuous anti join tests nothing.) */
+  def subqueryGlobalAvgAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, sfDir, "customer")
+    val thr = c.filter($"c_acctbal" > 0)
+      .agg(Det.davg($"c_acctbal").as("avg_bal"))
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast(TimestampType))
+      .select($"o_custkey")
+    c.join(broadcast(thr))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        Det.dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** TPC-H Q2 "minimum-cost supplier" shape — a per-group ARGMIN with
+    * deterministic tie-breaking, WITHOUT a rank window: for each part,
+    * the supplier quoting the lowest line price. Two-level aggregation:
+    * (part, supplier) → min quote (exact 2-decimal), then part →
+    * `min(struct(quote, suppkey))` — struct ordering IS the tiebreak,
+    * so ties resolve to the smallest suppkey on both engines.
+    *
+    * Scale posture: both aggs partial-agg map-side (the first
+    * collapses lineitem to the (part, supplier) census, the second to
+    * one row per part); no window, no join until the bounded top-15
+    * head is taken. The rank-window formulation would shuffle the
+    * full census into per-part sorted groups — this shape moves one
+    * struct per (part, supplier) and never sorts more than the
+    * TakeOrdered heap. */
+  def joinMinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(Det.dec($"l_extendedprice")).as("quote"))
+      .groupBy($"l_partkey")
+      .agg(min(struct($"quote", $"l_suppkey")).as("best"),
+        count(lit(1)).as("n_suppliers"))
+      .select($"l_partkey".as("partkey"),
+        $"best.quote".cast(DoubleType).as("best_quote"),
+        $"best.l_suppkey".as("best_suppkey"),
+        $"n_suppliers")
+      .orderBy($"best_quote".asc, $"partkey")
+      .limit(15)
+  }
+
+  /** EXCEPT ALL — multiset difference (each right occurrence cancels
+    * ONE left occurrence), the bag semantics `except` (distinct)
+    * cannot express: lineitem's orderkey bag minus one occurrence per
+    * urgent order = "how many lines beyond the first does each
+    * non-cancelled order have". Censused afterwards so the operator's
+    * multiplicity arithmetic is what the oracle hashes.
+    *
+    * Scale posture: Spark plans ExceptAll as a counted aggregation +
+    * generate (no join explosion); one shuffle on the key. */
+  def exceptAllKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables(spark, sfDir, "lineitem").select($"l_orderkey".as("k"))
+    val urgent = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("k"))
+    l.exceptAll(urgent)
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n")
+  }
+
+  /** INTERSECT ALL — multiset intersection (min of the two
+    * multiplicities per value): line counts that appear in BOTH the
+    * even- and odd-orderkey halves of the lineitem-per-order census.
+    * The bag twin of `q_intersect`. */
+  def intersectAllKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    val a = per.filter($"l_orderkey" % 2 === 0).select($"n")
+    val b = per.filter($"l_orderkey" % 2 =!= 0).select($"n")
+    a.intersectAll(b)
+      .groupBy($"n").agg(count(lit(1)).as("n_common"))
+      .orderBy($"n")
+  }
+
+  /** UNION BY NAME with missing columns — the schema-evolution union:
+    * two extracts with DIFFERENT column orders and one column each
+    * the other lacks; `unionByName(allowMissingColumns = true)`
+    * aligns by NAME and null-fills, where positional UNION would
+    * silently mis-associate. Censused per source tag with null
+    * counts proving the fill. */
+  def unionByNameEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+    val v1 = o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("price"),
+        $"o_orderpriority".as("priority"), lit("v1").as("src"))
+    val v2 = o.filter($"o_orderkey" % 2 =!= 0)
+      .select(lit("v2").as("src"), $"o_orderstatus".as("status"),
+        $"o_orderkey".as("k"), $"o_totalprice".as("price"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n"),
+        count($"priority").as("n_priority"),
+        count($"status").as("n_status"),
+        Det.dsum($"price").as("sum_price"))
+      .orderBy($"src")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_except_all" -> exceptAllKeys,
+    "q_intersect_all" -> intersectAllKeys,
+    "q_union_byname" -> unionByNameEvolved,
+    "q_agg_filtered" -> aggFiltered,
+    "q_join_promo_share" -> joinPromoShare,
+    "q_agg_parts_suppliers" -> aggPartsSuppliers,
+    "q_subquery_global_avg_anti" -> subqueryGlobalAvgAnti,
+    "q_join_min_cost_supplier" -> joinMinCostSupplier,
     "q_join_disjunctive" -> joinDisjunctive,
     "q_join_returned_revenue" -> joinReturnedRevenue,
     "q_subquery_avg_correlated" -> subqueryAvgCorrelated,

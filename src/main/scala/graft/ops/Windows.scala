@@ -163,7 +163,92 @@ object Windows {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** SHARE-OF-TOTAL + running concentration per nation — each
+    * nation's revenue share of its REGION and the running cumulative
+    * share down the region's revenue ranking (the "how many nations
+    * until 80%?" curve).
+    *
+    * The windows here run over the NATION CENSUS (≤25 rows — the
+    * aggregate of the fact join), never over the fact table: the
+    * "global window" ban in this file's scaladoc is about corpora;
+    * a domain-bounded census is metadata scale, the same exemption
+    * [[graft.ops.Quality.statsChi2]]'s margin grid uses.
+    *
+    * Determinism: revenue is an exact decimal sum; shares divide two
+    * exact-sum doubles (identical IEEE); the running share sums ≤25
+    * exact decimal values inside the window — exact, order pinned by
+    * (revenue DESC, nation) with the unique nation tiebreak. */
+  def winShareOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(sum(Det.dec($"o_totalprice")).as("rev_dec"))
+    val named = rev
+      .join(broadcast(Tables(spark, sfDir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_regionkey".as("regionkey"), $"n_name".as("nation"),
+        $"rev_dec")
+    val wAll = Window.partitionBy($"regionkey")
+    val wRun = Window.partitionBy($"regionkey")
+      .orderBy($"rev_dec".desc, $"nation")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    named
+      .withColumn("region_total", sum($"rev_dec").over(wAll))
+      .withColumn("running", sum($"rev_dec").over(wRun))
+      .select($"regionkey", $"nation",
+        $"rev_dec".cast(DoubleType).as("revenue"),
+        ($"rev_dec".cast(DoubleType)
+          / $"region_total".cast(DoubleType)).as("share"),
+        ($"running".cast(DoubleType)
+          / $"region_total".cast(DoubleType)).as("running_share"))
+      .orderBy($"regionkey", $"revenue".desc, $"nation")
+  }
+
+  /** ROLLING 7-DAY CORRELATION between daily revenue and daily order
+    * count — the co-movement monitor ("is revenue tracking volume, or
+    * is price mix drifting?"). Exact to the bit WITHOUT r4: the five
+    * window sums (Σx, Σy, Σxy, Σx², Σy²) are int64 over integer
+    * daily dollars (cents DIV 100 — floor division, identical in
+    * both engines) and counts, so n·Σxy − ΣxΣy and the variance
+    * factors are exact integers; only the final
+    * num / √(dx·dy) touches floats (casts + one sqrt + one division
+    * of identical operands). Zero-variance windows yield NULL.
+    *
+    * Scale posture: windows run over the DAY CENSUS (calendar-
+    * domain-bounded — the metadata-scale exemption this file's
+    * scaladoc carves out for [[winShareOfTotal]]); the corpus is
+    * reduced by one partial-agged pass before any window. */
+  def winRollingCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as long)) DIV 100")
+        .as("x"),
+        count(lit(1)).as("y"))
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("syy", sum($"y" * $"y").over(w))
+      .filter($"n" === 7)
+      .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+      .select($"day", $"x".as("revenue_usd"), $"y".as("n_orders"),
+        when($"dx" > 0 && $"dy" > 0,
+          ($"n" * $"sxy" - $"sx" * $"sy").cast(DoubleType)
+            / sqrt($"dx".cast(DoubleType) * $"dy".cast(DoubleType)))
+          .as("corr7"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rolling_corr" -> winRollingCorr,
+    "q_win_share_of_total" -> winShareOfTotal,
     "q_win_rank" -> winRank,
     "q_win_median_rolling" -> winMedianRolling,
     "q_win_lag_lead" -> winLagLead,

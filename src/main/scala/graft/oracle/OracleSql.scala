@@ -3799,9 +3799,425 @@ object OracleSql {
          |FROM csz GROUP BY n_members ORDER BY cluster_size""".stripMargin
   )
 
+  // ——— round 11: TPC-H Q12/Q14/Q16/Q22/Q2 shapes, inequality /
+  // rank-sum / Benford / MI statistics, ACF/EMA time series, power-user
+  // concentration, share-of-total windows ———
+  private val round11: Map[String, String] = Map(
+    // Q12 shape: FILTER-clause (predicated) counts after fact⨝fact
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Q14 shape: conditional-numerator percentage, exact decimal sums
+    "q_join_promo_share" ->
+      s"""WITH j AS (
+         |  SELECT p_type,
+         |    ${dec("l_extendedprice")} * (1 - ${dec("l_discount")}) AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+         |    AND l_shipdate < TIMESTAMP '1997-10-01')
+         |SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO' THEN rev
+         |    ELSE cast(0 as decimal(12,2)) END) as double)
+         |  / cast(sum(rev) as double) AS promo_revenue_pct,
+         |  count(*) AS n_lines
+         |FROM j""".stripMargin,
+
+    // Q16 shape: count-distinct per attribute group + NOT-IN blacklist
+    "q_agg_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+
+    // Q22 shape: scalar global-average gate + no-orders anti join
+    "q_subquery_global_avg_anti" ->
+      s"""WITH thr AS (SELECT ${davg("c_acctbal")} AS avg_bal
+         |             FROM customer WHERE c_acctbal > 0)
+         |SELECT c_mktsegment, count(*) AS numcust,
+         |  ${dsum("c_acctbal")} AS totacctbal
+         |FROM customer CROSS JOIN thr
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    // Q2 shape: per-part argmin supplier, struct-order tiebreak =
+    // (min quote, then min suppkey among the min-quote rows)
+    "q_join_min_cost_supplier" ->
+      s"""WITH q AS (SELECT l_partkey, l_suppkey,
+         |    min(${dec("l_extendedprice")}) AS quote
+         |  FROM lineitem GROUP BY 1, 2),
+         |b AS (SELECT l_partkey AS partkey, count(*) AS n_suppliers,
+         |             min(quote) AS best_quote FROM q GROUP BY 1),
+         |s AS (SELECT q.l_partkey AS partkey, min(q.l_suppkey) AS best_suppkey
+         |      FROM q JOIN b ON q.l_partkey = b.partkey
+         |                   AND q.quote = b.best_quote
+         |      GROUP BY 1)
+         |SELECT b.partkey AS partkey, cast(b.best_quote as double) AS best_quote,
+         |  s.best_suppkey, b.n_suppliers
+         |FROM b JOIN s ON b.partkey = s.partkey
+         |ORDER BY best_quote ASC, b.partkey
+         |LIMIT 15""".stripMargin,
+
+    // Gini on integer cents; 2·Σrank·x via the tied-block identity so
+    // no per-row rank (and no tie ambiguity) exists; DECIMAL(38,0)
+    // accumulators, two IEEE divisions at the end
+    "q_stats_gini" ->
+      """WITH cr AS (SELECT o_custkey,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk
+        |      FROM cr),
+        |a AS (SELECT count(*) AS n,
+        |    sum(cast(cents as decimal(38,0))) AS total,
+        |    2 * sum(cast(rk as decimal(38,0)) * cents) AS s2 FROM r)
+        |SELECT n AS n_customers,
+        |  cast(total as double) / 100.0 AS total_revenue,
+        |  cast(s2 as double) / cast(cast(n as decimal(38,0)) * total as double)
+        |    - cast(n + 1 as double) / cast(n as double) AS gini
+        |FROM a""".stripMargin,
+
+    // Mann–Whitney U with midranks on the pooled value census — the
+    // doubled rank sum r2 is exact integer; σ is the no-tie normal
+    "q_stats_mannwhitney" ->
+      """WITH v AS (SELECT cast(round(o_totalprice * 100) as bigint) AS cents,
+        |             o_orderkey % 2 = 0 AS is_a FROM orders),
+        |census AS (SELECT cents,
+        |    count(CASE WHEN is_a THEN 1 END) AS da, count(*) AS dn
+        |  FROM v GROUP BY cents),
+        |cum AS (SELECT cents, da, dn,
+        |    cast(sum(da) OVER (ORDER BY cents) as bigint) AS cum_da,
+        |    cast(sum(dn) OVER (ORDER BY cents) as bigint) AS cum_dn
+        |  FROM census),
+        |a AS (SELECT max(cum_da) AS n_a,
+        |    max(cum_dn) - max(cum_da) AS n_b,
+        |    cast(sum(da * ((cum_dn - dn) + cum_dn + 1)) as bigint) AS r2
+        |  FROM cum)
+        |SELECT n_a, n_b,
+        |  cast(r2 - n_a * (n_a + 1) as double) / 2.0 AS u_a,
+        |  cast(n_a as double) * n_b / 2.0 AS mu,
+        |  (cast(r2 - n_a * (n_a + 1) as double) / 2.0
+        |     - cast(n_a as double) * n_b / 2.0)
+        |    / sqrt(cast(n_a as double) * n_b * (n_a + n_b + 1) / 12.0) AS z
+        |FROM a""".stripMargin,
+
+    // Benford: leading digit from the integer-cents DECIMAL STRING
+    // (no float log10 boundary); expected/χ² terms r4 (libm log10)
+    "q_stats_benford" ->
+      """WITH obs AS (SELECT
+        |    cast(substring(cast(cast(round(o_totalprice * 100) as bigint)
+        |      as varchar), 1, 1) as int) AS digit,
+        |    count(*) AS observed
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT cast(sum(observed) as bigint) AS n FROM obs),
+        |e AS (SELECT digit, observed,
+        |    round(n * log10(1.0 + 1.0 / digit), 4) AS expected
+        |  FROM obs CROSS JOIN tot)
+        |SELECT digit, observed, expected,
+        |  round((observed - expected) * (observed - expected) / expected, 4)
+        |    AS chi2_term
+        |FROM e ORDER BY digit""".stripMargin,
+
+    // Mutual information on the χ² cell census; 15-term log sum → r4
+    "q_stats_mutual_info" ->
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |    count(*) AS obs FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, cast(sum(obs) as bigint) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT c, cast(sum(obs) as bigint) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT cast(sum(obs) as bigint) AS n FROM cells),
+        |t AS (SELECT (cast(obs as double) / n)
+        |        * log2(cast(obs as double) * n
+        |               / (cast(rt as double) * ct)) AS term, n
+        |  FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n)
+        |SELECT max(n) AS n, count(*) AS n_cells,
+        |  round(sum(term), 4) AS mi_bits
+        |FROM t""".stripMargin,
+
+    // ACF lags 1..7 over the exact-decimal daily revenue census
+    "q_ts_acf" ->
+      s"""WITH daily AS (SELECT cast(o_orderdate as date) AS day,
+         |    ${dsum("o_totalprice")} AS rev
+         |  FROM orders GROUP BY 1),
+         |lagged AS (SELECT d.day + l.lag AS day, l.lag, d.rev AS rev_lag
+         |  FROM daily d CROSS JOIN
+         |    (SELECT cast(unnest(range(1, 8)) as int) AS lag) l)
+         |SELECT lag, count(*) AS n_pairs,
+         |  round(corr(d.rev, lg.rev_lag), 4) AS acf
+         |FROM daily d JOIN lagged lg USING (day)
+         |GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // EMA α=½, 20-day memory: powers-of-two weights ⇒ exact int64
+    // numerator/denominator, one IEEE division
+    "q_ts_ema" ->
+      """WITH daily AS (SELECT cast(o_orderdate as date) AS day,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |fan AS (SELECT d.day + k.k AS tday, k.k, d.cents
+        |  FROM daily d CROSS JOIN
+        |    (SELECT cast(unnest(range(0, 20)) as int) AS k) k),
+        |j AS (SELECT f.tday, f.cents,
+        |    cast(power(2.0, 19 - f.k) as bigint) AS w
+        |  FROM (SELECT day AS tday FROM daily) t JOIN fan f USING (tday))
+        |SELECT tday AS day,
+        |  cast(sum(cents * w) as double) / cast(sum(w * 100) as double) AS ema
+        |FROM j GROUP BY tday ORDER BY day""".stripMargin,
+
+    // top-decile event share WITHOUT per-user ranking: value census +
+    // descending cumsum + arithmetic boundary split (ties at the
+    // threshold count contribute exactly threshold_cnt each, so the
+    // rank-window formulation here is provably equal)
+    "q_events_power_users" ->
+      """WITH users AS (SELECT user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |census AS (SELECT cnt, count(*) AS nu, cnt * count(*) AS ev
+        |  FROM users GROUP BY cnt),
+        |cum AS (SELECT cnt, nu, ev,
+        |    cast(sum(nu) OVER (ORDER BY cnt DESC) as bigint) AS cum_nu,
+        |    cast(sum(ev) OVER (ORDER BY cnt DESC) as bigint) AS cum_ev
+        |  FROM census),
+        |tot AS (SELECT max(cum_nu) AS n_users, max(cum_ev) AS total_events
+        |  FROM cum)
+        |SELECT n_users, total_events, n_users // 10 AS k,
+        |  cnt AS threshold_cnt,
+        |  cum_ev - ev + (n_users // 10 - (cum_nu - nu)) * cnt AS top_events,
+        |  cast(cum_ev - ev + (n_users // 10 - (cum_nu - nu)) * cnt as double)
+        |    / cast(total_events as double) AS share
+        |FROM cum CROSS JOIN tot
+        |WHERE cum_nu - nu < n_users // 10 AND n_users // 10 <= cum_nu""".stripMargin,
+
+    // nation share-of-region + running concentration over the ≤25-row
+    // nation census; exact decimal sums, IEEE divisions
+    "q_win_share_of_total" ->
+      s"""WITH rev AS (SELECT c_nationkey,
+         |    sum(${dec("o_totalprice")}) AS rev_dec
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1),
+         |named AS (SELECT n_regionkey AS regionkey, n_name AS nation, rev_dec
+         |  FROM rev JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT regionkey, nation, cast(rev_dec as double) AS revenue,
+         |  cast(rev_dec as double)
+         |    / cast(sum(rev_dec) OVER (PARTITION BY regionkey) as double)
+         |    AS share,
+         |  cast(sum(rev_dec) OVER (PARTITION BY regionkey
+         |      ORDER BY rev_dec DESC, nation
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+         |    / cast(sum(rev_dec) OVER (PARTITION BY regionkey) as double)
+         |    AS running_share
+         |FROM named
+         |ORDER BY regionkey, revenue DESC, nation""".stripMargin
+  )
+
+  // round 11, LLM-pipeline wave: DSIR weights, Zipf fit, kNN-graph
+  // link prediction, train/val/test split census
+  private val round11b: Map[String, String] = Map(
+    // DSIR bag-of-bigram log-likelihood ratio, target = lang 'en'
+    "q_quality_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tk WHERE len(t) >= 2),
+        |w AS (SELECT bigram,
+        |    ln(cast(count(CASE WHEN lang = 'en' THEN 1 END) + 1 as double)
+        |      / cast(count(*) - count(CASE WHEN lang = 'en' THEN 1 END) + 1
+        |             as double)) AS w
+        |  FROM bg GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(w.w), 4) AS dsir_score
+        |FROM bg JOIN w USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Zipf OLS fit over the top-100 token census
+    "q_text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok
+        |  WHERE token <> '' GROUP BY 1),
+        |top AS (SELECT token, cnt FROM freq
+        |  ORDER BY cnt DESC, token LIMIT 100),
+        |ranked AS (SELECT
+        |    ln(cast(row_number() OVER (ORDER BY cnt DESC, token) as double))
+        |      AS x,
+        |    ln(cast(cnt as double)) AS y
+        |  FROM top),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM ranked)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // common-neighbor link prediction on the kNN graph (same edge
+    // derivation as q_knn_graph_bucketed)
+    "q_graph_jaccard_neighbors" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |rnk AS (SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |e AS (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 3),
+         |deg AS (SELECT vec_id, count(*) AS deg FROM e GROUP BY 1),
+         |co AS (SELECT e1.vec_id AS a, e2.vec_id AS b2, count(*) AS common
+         |  FROM e e1 JOIN e e2 ON e1.nbr_id = e2.nbr_id
+         |                      AND e1.vec_id < e2.vec_id
+         |  GROUP BY 1, 2),
+         |adj AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+         |    greatest(vec_id, nbr_id) AS b2 FROM e)
+         |SELECT co.a AS vec_a, co.b2 AS vec_b, common,
+         |  cast(common as double)
+         |    / cast(da.deg + db.deg - common as double) AS jaccard
+         |FROM co
+         |JOIN deg da ON da.vec_id = co.a
+         |JOIN deg db ON db.vec_id = co.b2
+         |WHERE NOT EXISTS (SELECT 1 FROM adj
+         |                  WHERE adj.a = co.a AND adj.b2 = co.b2)
+         |ORDER BY jaccard DESC, vec_a, vec_b
+         |LIMIT 20""".stripMargin,
+
+    // deterministic 80/10/10 id split census with per-lang fractions
+    "q_split_train_test" ->
+      """WITH s AS (SELECT lang,
+        |    CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |         WHEN doc_id % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT lang, cast(sum(n_docs) as bigint) AS lang_docs
+        |  FROM s GROUP BY 1)
+        |SELECT s.lang, s.split, s.n_docs,
+        |  cast(n_docs as double) / cast(lang_docs as double) AS frac
+        |FROM s JOIN tot USING (lang)
+        |ORDER BY lang, split""".stripMargin
+  )
+
+  // round 11 wave C: l-diversity, CUSUM, rolling correlation, bag set
+  // ops, by-name union, boolean aggregates
+  private val round11c: Map[String, String] = Map(
+    "q_anonymize_ldiversity" ->
+      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
+        |    count(*) AS cls_n,
+        |    count(DISTINCT cast(floor(c_acctbal / 1000.0) as bigint))
+        |      AS cls_l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  count(CASE WHEN cls_l < 3 THEN 1 END) AS n_low_diversity,
+        |  cast(coalesce(sum(CASE WHEN cls_l < 3 THEN cls_n END), 0)
+        |       as bigint) AS n_rows_at_risk,
+        |  min(cls_l) AS min_l,
+        |  cast(sum(cls_n) as bigint) AS n_rows
+        |FROM classes""".stripMargin,
+
+    // CUSUM via the prefix identity S_t = (C_t − k·t) − min_{i≤t}
+    // (C_i − k·i); all-integer, bit-exact
+    "q_ts_cusum" ->
+      """WITH daily AS (SELECT cast(o_orderdate as date) AS day,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT cast(sum(cents) as bigint) // count(*) AS k
+        |  FROM daily),
+        |w AS (SELECT day, cents,
+        |    row_number() OVER (ORDER BY day) AS t,
+        |    cast(sum(cents) OVER (ORDER BY day) as bigint) AS c
+        |  FROM daily),
+        |d AS (SELECT day, cents, c - k * t AS d FROM w CROSS JOIN tot),
+        |m AS (SELECT day, cents,
+        |    d - min(d) OVER (ORDER BY day) AS cusum FROM d)
+        |SELECT day, cents, cast(cusum as bigint) AS cusum FROM m
+        |ORDER BY cusum DESC, day LIMIT 10""".stripMargin,
+
+    // rolling 7-day correlation on exact int64 window sums
+    "q_win_rolling_corr" ->
+      """WITH daily AS (SELECT cast(o_orderdate as date) AS day,
+        |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+        |      // 100 AS x,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT day, x, y,
+        |    count(*) OVER win AS n,
+        |    cast(sum(x) OVER win as bigint) AS sx,
+        |    cast(sum(y) OVER win as bigint) AS sy,
+        |    cast(sum(x * y) OVER win as bigint) AS sxy,
+        |    cast(sum(x * x) OVER win as bigint) AS sxx,
+        |    cast(sum(y * y) OVER win as bigint) AS syy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT day, x, y, n, sxy, sx, sy,
+        |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+        |  FROM w WHERE n = 7)
+        |SELECT day, x AS revenue_usd, y AS n_orders,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN
+        |    cast(n * sxy - sx * sy as double)
+        |      / sqrt(cast(dx as double) * cast(dy as double))
+        |  END AS corr7
+        |FROM f ORDER BY day""".stripMargin,
+
+    "q_except_all" ->
+      """WITH l AS (SELECT l_orderkey AS k FROM lineitem),
+        |u AS (SELECT o_orderkey AS k FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'),
+        |e AS (SELECT k FROM l EXCEPT ALL SELECT k FROM u),
+        |c AS (SELECT k, count(*) AS n FROM e GROUP BY k)
+        |SELECT n, count(*) AS n_orders FROM c
+        |GROUP BY n ORDER BY n""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH per AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+        |  GROUP BY 1),
+        |a AS (SELECT n FROM per WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT n FROM per WHERE l_orderkey % 2 <> 0),
+        |i AS (SELECT n FROM a INTERSECT ALL SELECT n FROM b)
+        |SELECT n, count(*) AS n_common FROM i
+        |GROUP BY n ORDER BY n""".stripMargin,
+
+    "q_union_byname" ->
+      s"""WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price,
+         |    o_orderpriority AS priority, 'v1' AS src
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |v2 AS (SELECT 'v2' AS src, o_orderstatus AS status,
+         |    o_orderkey AS k, o_totalprice AS price
+         |  FROM orders WHERE o_orderkey % 2 <> 0),
+         |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+         |SELECT src, count(*) AS n, count(priority) AS n_priority,
+         |  count(status) AS n_status, ${dsum("price")} AS sum_price
+         |FROM u GROUP BY src ORDER BY src""".stripMargin,
+
+    "q_agg_boolean" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  bool_and(l_discount <= 0.10) AS all_discount_le_10,
+        |  bool_or(l_quantity >= 49) AS any_qty_ge_49,
+        |  count(CASE WHEN l_tax > 0.05 THEN 1 END) AS n_high_tax,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
     analytics ++ layout ++ round7 ++ round8 ++ round9 ++ round10 ++
-    generators ++ scalars ++ streaming ++ llm ++ Map(
+    round11 ++ round11b ++ round11c ++ generators ++ scalars ++
+    streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)
     "q_cdc_apply" ->

@@ -103,7 +103,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 10 wave 3: two-pass sweep-line, beam-search graph ANN
     "q_intervals_concurrency", "q_sim_ann_beam",
     // round 10 wave 4: TwoPass shard offsets, memoized-pair sweep
-    "q_shard_manifest", "q_dedup_threshold_sweep")
+    "q_shard_manifest", "q_dedup_threshold_sweep",
+    // round 11: two-pass gini/rank-sum/power-decile cumsums, census
+    // ACF/EMA fans, struct-ordered argmin, distinct-agg + anti
+    // blacklist, bigram-keyed DSIR weights, inverted-index link
+    // prediction, top-100 Zipf head — each reduces on keys whose
+    // grouping must not depend on the initial layout
+    "q_stats_gini", "q_stats_mannwhitney", "q_events_power_users",
+    "q_ts_acf", "q_ts_ema", "q_join_min_cost_supplier",
+    "q_agg_parts_suppliers", "q_quality_dsir",
+    "q_graph_jaccard_neighbors", "q_text_zipf",
+    // round 11 wave C: census-window CUSUM/rolling-corr, counted-agg
+    // bag set ops, by-name union null-fill census
+    "q_ts_cusum", "q_win_rolling_corr", "q_except_all",
+    "q_intersect_all", "q_union_byname")
 
   private lazy val alt = {
     val s = spark.newSession()

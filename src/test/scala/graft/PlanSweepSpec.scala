@@ -44,7 +44,12 @@ class PlanSweepSpec extends SparkSpec {
     "q_eval_recall_ann", // exact arm shares the k-row sample crossJoin
     "q_sim_rerank_mmr",  // 1-row broadcast query vector (candidate fetch)
     "q_stats_ks",        // 1-row broadcast sample-totals crossJoin
-    "q_rank_fusion_borda" // 1-row broadcast query vector + corpus stats
+    "q_rank_fusion_borda", // 1-row broadcast query vector + corpus stats
+    "q_stats_benford",   // 1-row broadcast total-count crossJoin
+    "q_stats_mutual_info", // 1-row broadcast N crossJoin
+    "q_events_power_users", // 1-row broadcast user/event-totals crossJoin
+    "q_subquery_global_avg_anti", // 1-row broadcast global-average gate
+    "q_ts_cusum"         // 1-row broadcast reference-rate crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
