@@ -1354,7 +1354,46 @@ object Analytics {
       .limit(10)
   }
 
+  /** EVENT-TYPE CO-OCCURRENCE with LIFT — which event types happen on
+    * the same user-day more than independence predicts (the behavioral
+    * "market basket" over sessions rather than orders; basket_pairs
+    * covers the order⨝part flavor). Lift = P(a,b)/(P(a)·P(b)) over
+    * user-day baskets.
+    *
+    * Determinism: all counts are exact longs over DISTINCT
+    * (user, day, type) triples; lift = (cnt·n)/(ca·cb) divides exact
+    * int64 products as doubles — identical IEEE on both engines.
+    *
+    * Scale posture: the distinct triple reduction partial-aggs before
+    * its one shuffle; the pair self-join key is (user, day) whose
+    * per-key width is the TYPE DOMAIN (≤5), so the pair space is
+    * n_user_days·|types|², never corpus²; the census output is
+    * bounded by |types|². */
+  def eventsCooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ed = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").as("d"), $"event_type")
+      .distinct()
+    val n = ed.select($"user_id", $"d").distinct().count()
+    val singles = ed.groupBy($"event_type").agg(count(lit(1)).as("c"))
+    val pairs = ed.select($"user_id", $"d", $"event_type".as("ta"))
+      .join(ed.select($"user_id", $"d", $"event_type".as("tb")),
+        Seq("user_id", "d"))
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_days"))
+    pairs
+      .join(broadcast(singles.select($"event_type".as("ta"), $"c".as("ca"))),
+        "ta")
+      .join(broadcast(singles.select($"event_type".as("tb"), $"c".as("cb"))),
+        "tb")
+      .select($"ta", $"tb", $"n_days",
+        (($"n_days" * n).cast("double")
+          / ($"ca" * $"cb").cast("double")).as("lift"))
+      .orderBy($"ta", $"tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_cooccur" -> eventsCooccur,
     "q_ts_cusum" -> tsCusum,
     "q_ts_acf" -> tsAcf,
     "q_ts_ema" -> tsEma,

@@ -636,6 +636,36 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of join — each click joins the NEXT purchase at or
+    * after it (conversion-delay measurement), the time-reversed twin
+    * of [[joinAsof]]'s latest-prior lookup. Same union + running-
+    * window shape — one shuffle on the key, NO quadratic join — with
+    * the frame flipped to CURRENT..FOLLOWING and purchases sorting
+    * BEFORE clicks at equal ts so "at-or-after" includes ties.
+    * Delay surfaces in exact integer microseconds. */
+  def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"ts".as("p_ts"),
+        lit(null).cast(LongType).as("c_event_id"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(null).cast(TimestampType).as("p_ts"),
+        $"event_id".as("c_event_id"))
+    val tagged = purchases.withColumn("src", lit(0))
+      .unionByName(clicks.withColumn("src", lit(1)))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"src")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_purchase_ts", min($"p_ts").over(w))
+      .filter($"c_event_id".isNotNull)
+      .select($"c_event_id".as("event_id"), $"user_id", $"ts",
+        $"next_purchase_ts",
+        (unix_micros($"next_purchase_ts") - unix_micros($"ts"))
+          .as("delay_us"))
+      .orderBy($"event_id")
+  }
+
   /** As-of join with a STALENESS TOLERANCE — the feature-store
     * point-in-time contract: a purchase joins its latest prior click
     * only if that click is ≤ 10 minutes old, else NULL (serving a
@@ -1093,13 +1123,14 @@ object Relational {
     * distinct suppliers ship each (brand, type, size) part family,
     * excluding blacklisted (negative-balance) suppliers.
     *
-    * Scale posture: the blacklist is a handful of keys → Catalyst
-    * rewrites the NOT IN to a BROADCAST null-aware anti join (never a
-    * shuffle); part is a broadcast dim on the partkey join; the
-    * distinct-agg is the standard two-phase expand (partial distinct
-    * on (group, suppkey), then count) — no row ever carries more than
-    * the 4 grouping columns. Output bounded by the attribute domain,
-    * top-20 TakeOrdered. */
+    * Scale posture: the fact collapses to DISTINCT (partkey, suppkey)
+    * PAIRS first — a partial-agged 16-byte-row shuffle — so the
+    * blacklist anti join, the part attribute join, and the final
+    * distinct-agg expand all run over the pair census, and no
+    * lineitem-sized relation ever carries the brand/type strings.
+    * The blacklist is a handful of keys → Catalyst rewrites the anti
+    * to a BROADCAST anti join; part broadcasts on partkey. Output
+    * bounded by the attribute domain, top-20 TakeOrdered. */
   def aggPartsSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val bad = Tables(spark, sfDir, "supplier")
@@ -1107,7 +1138,7 @@ object Relational {
     val p = Tables(spark, sfDir, "part")
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
     Tables(spark, sfDir, "lineitem")
-      .select($"l_partkey", $"l_suppkey")
+      .select($"l_partkey", $"l_suppkey").distinct()
       .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
       .join(broadcast(p), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand", $"p_type", $"p_size")
@@ -1283,6 +1314,7 @@ object Relational {
     "q_join_range_interval" -> joinRangeInterval,
     "q_join_interval_bucketed" -> joinIntervalBucketed,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_forward" -> joinAsofForward,
     "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_asof_native" -> joinAsofNative,
     "q_join_multiway_star" -> joinMultiwayStar,

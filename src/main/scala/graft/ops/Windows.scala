@@ -246,7 +246,35 @@ object Windows {
       .orderBy($"day")
   }
 
+  /** TIME-RANGE window frame — trailing 7 CALENDAR DAYS per user
+    * (RANGE frame on the integer day index, not a row count): per
+    * event, how many events and how many purchases the user produced
+    * in the preceding week. The rows-vs-range distinction that
+    * matters on event streams: a burst of same-day events must all
+    * see the same trailing window.
+    *
+    * Determinism: the RANGE frame is defined by the day VALUE, so
+    * same-day tie order inside a user cannot change any frame —
+    * results are layout-invariant with no tiebreak column needed in
+    * the ORDER BY; all aggregates are integer counts.
+    *
+    * Scale posture: one shuffle on user_id; frame evaluation is the
+    * standard per-partition sliding aggregation. */
+  def winFrameRangeTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(datediff(to_date($"ts"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        count(lit(1)).over(w).as("n_7d"),
+        count(when($"event_type" === "purchase", 1)).over(w)
+          .as("n_purchases_7d"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_frame_range_time" -> winFrameRangeTime,
     "q_win_rolling_corr" -> winRollingCorr,
     "q_win_share_of_total" -> winShareOfTotal,
     "q_win_rank" -> winRank,

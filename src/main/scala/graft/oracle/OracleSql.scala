@@ -4211,7 +4211,59 @@ object OracleSql {
         |  bool_or(l_quantity >= 49) AS any_qty_ge_49,
         |  count(CASE WHEN l_tax > 0.05 THEN 1 END) AS n_high_tax,
         |  count(*) AS n_lines
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // forward as-of: purchases sort BEFORE clicks at equal ts so
+    // at-or-after includes ties; min over the FOLLOWING frame
+    "q_join_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, ts AS p_ts,
+        |    CAST(NULL AS BIGINT) AS c_event_id, 0 AS src
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS p_ts,
+        |    event_id AS c_event_id, 1 AS src
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (SELECT * FROM p UNION ALL SELECT * FROM c),
+        |w AS (SELECT user_id, ts, c_event_id,
+        |    min(p_ts) OVER (PARTITION BY user_id ORDER BY ts, src
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_purchase_ts
+        |  FROM t)
+        |SELECT c_event_id AS event_id, user_id, ts, next_purchase_ts,
+        |  epoch_us(next_purchase_ts) - epoch_us(ts) AS delay_us
+        |FROM w WHERE c_event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // same-user-day event-type co-occurrence with lift
+    "q_events_cooccur" ->
+      """WITH ed AS (SELECT DISTINCT user_id, cast(ts as date) AS d,
+        |    event_type FROM events),
+        |n AS (SELECT count(*) AS n
+        |  FROM (SELECT DISTINCT user_id, d FROM ed)),
+        |s AS (SELECT event_type, count(*) AS c FROM ed GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    count(*) AS n_days
+        |  FROM ed a JOIN ed b ON a.user_id = b.user_id AND a.d = b.d
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT ta, tb, n_days,
+        |  cast(n_days * n.n as double) / cast(sa.c * sb.c as double)
+        |    AS lift
+        |FROM p
+        |JOIN s sa ON sa.event_type = ta
+        |JOIN s sb ON sb.event_type = tb
+        |CROSS JOIN n
+        |ORDER BY ta, tb""".stripMargin,
+
+    // trailing-7-calendar-day RANGE frame on the integer day index
+    "q_win_frame_range_time" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |  count(*) OVER win AS n_7d,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER win
+        |    AS n_purchases_7d
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id
+        |  ORDER BY date_diff('day', DATE '1970-01-01', cast(ts as date))
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 
   val all: Map[String, String] = relational ++ aggregates ++ windows ++

@@ -514,6 +514,69 @@ class OpsRound11Spec extends SparkSpec {
     assert(nRows === cust.length.toLong)
   }
 
+  // ---- q_join_asof_forward -------------------------------------------------
+
+  test("forward as-of equals a driver next-purchase scan") {
+    val got = ops.Relational.joinAsofForward(spark, sfDir)
+      .select($"event_id", $"next_purchase_ts")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+    val purchasesByUser = ev.filter(_._4 == "purchase")
+      .groupBy(_._2).view.mapValues(_.map(_._3.getTime).sorted.toSeq).toMap
+    val clicks = ev.filter(_._4 == "click")
+    assert(got.size === clicks.length)
+    clicks.foreach { case (id, u, ts, _) =>
+      val want = purchasesByUser.getOrElse(u, Seq.empty[Long])
+        .find(_ >= ts.getTime)
+      assert(got(id).map(_.getTime) === want, s"click $id")
+    }
+  }
+
+  // ---- q_events_cooccur ------------------------------------------------------
+
+  test("co-occurrence lift matches a driver basket replay") {
+    val rows = ops.Analytics.eventsCooccur(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val ed = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts"), $"event_type")
+      .as[(Long, java.sql.Date, String)].collect().distinct
+    val n = ed.map(r => (r._1, r._2)).distinct.length
+    val singles = ed.groupBy(_._3).view.mapValues(_.length)
+    val byBasket = ed.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sorted)
+    rows.foreach { case (ta, tb, nd, lift) =>
+      assert(ta < tb)
+      val want = byBasket.values.count(ts => ts.contains(ta) && ts.contains(tb))
+      assert(nd === want.toLong, s"($ta,$tb)")
+      assert(lift === (nd * n).toDouble /
+        (singles(ta).toLong * singles(tb)).toDouble)
+    }
+  }
+
+  // ---- q_win_frame_range_time -------------------------------------------------
+
+  test("7-day RANGE frame counts match a driver replay (same-day peers)") {
+    val rows = ops.Windows.winFrameRangeTime(spark, sfDir)
+      .as[(Long, Long, java.sql.Timestamp, String, Long, Long)].collect()
+    val byUser = rows.groupBy(_._2)
+    byUser.take(10).foreach { case (_, g) =>
+      val days = g.map(r => r._1 ->
+        r._3.toLocalDateTime.toLocalDate.toEpochDay).toMap
+      g.foreach { case (id, _, _, _, n7, np7) =>
+        val d = days(id)
+        val win = g.filter(r => {
+          val rd = days(r._1); rd >= d - 6 && rd <= d
+        })
+        assert(n7 === win.length.toLong, s"event $id")
+        assert(np7 === win.count(_._4 == "purchase").toLong, s"event $id")
+      }
+    }
+    assert(rows.length === Tables(spark, sfDir, "events").count())
+  }
+
   // ---- q_split_train_test ------------------------------------------------
 
   test("split census: fractions sum to 1 per lang, counts to the corpus") {

@@ -116,7 +116,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round 11 wave C: census-window CUSUM/rolling-corr, counted-agg
     // bag set ops, by-name union null-fill census
     "q_ts_cusum", "q_win_rolling_corr", "q_except_all",
-    "q_intersect_all", "q_union_byname")
+    "q_intersect_all", "q_union_byname",
+    // round 11 wave D: flipped-frame as-of, user-day basket join,
+    // value-defined RANGE frames (tie order must not matter)
+    "q_join_asof_forward", "q_events_cooccur", "q_win_frame_range_time")
 
   private lazy val alt = {
     val s = spark.newSession()
