@@ -366,6 +366,72 @@ class PlanSpec extends SparkSpec {
       s"expected one a_id exchange:\n${plan.take(1500)}")
   }
 
+  // ---- round 11 plan pins --------------------------------------------------
+
+  test("agg_filtered: the ship-year cut reaches the lineitem scan") {
+    val plan = finalPlan(Relational.aggFiltered(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan.take(600))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate")
+      && plan.contains("LessThan(l_shipdate"),
+      s"ship-year range not pushed:\n${plan.take(800)}")
+  }
+
+  test("promo_share: part joins as a broadcast dim") {
+    val plan = finalSection(finalPlan(
+      Relational.joinPromoShare(spark, sfDir)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("parts_suppliers: distinct pairs shuffle BEFORE any string column") {
+    val plan = finalSection(finalPlan(
+      Relational.aggPartsSuppliers(spark, sfDir)))
+    // the blacklist anti join must never be a BNL; at sf0.001 the
+    // negative-balance list is EMPTY and AQE's PropagateEmptyRelation
+    // (correctly) erases the LeftAnti node altogether, so only the
+    // negative is pinned here
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the first data exchange carries only the two long keys: it hash-
+    // partitions on l_partkey/l_suppkey, not on brand/type strings
+    assert(plan.contains("Exchange hashpartitioning(l_partkey"),
+      s"expected the pair-distinct exchange first:\n${plan.take(1500)}")
+  }
+
+  test("min_cost_supplier argmin: aggregates only, no rank window") {
+    val plan = finalSection(finalPlan(
+      Relational.joinMinCostSupplier(spark, sfDir)))
+    assert(!plan.contains("Window"),
+      s"argmin must not rank-window:\n${plan.take(1000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-15 must heap, not full-sort:\n${plan.take(1000)}")
+  }
+
+  test("ts_ema: the bounded explode replaces windows AND range joins") {
+    val plan = finalSection(finalPlan(Analytics.tsEma(spark, sfDir)))
+    assert(!plan.contains("Window"), plan.take(1000))
+    assert(plan.contains("Generate explode"),
+      s"expected the 20-way fan-out generate:\n${plan.take(1000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan.take(1000))
+  }
+
+  test("asof_forward: union + ONE user_id exchange, no join operator") {
+    val plan = finalSection(finalPlan(
+      Relational.joinAsofForward(spark, sfDir)))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"as-of must not join:\n${plan.take(1000)}")
+    assert(plan.contains("Union"), plan.take(1000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size === 1,
+      s"expected exactly one user_id exchange:\n${plan.take(1200)}")
+  }
+
+  test("frame_range_time: the frame is a RANGE frame on the day index") {
+    val plan = finalSection(finalPlan(
+      Windows.winFrameRangeTime(spark, sfDir)))
+    assert(plan.contains("RangeFrame"),
+      s"expected a RANGE (value) frame, not ROWS:\n${plan.take(1200)}")
+    assert(plan.contains("Window"), plan.take(600))
+  }
+
   test("bucketed join is exchange-free (co-located sort-merge)") {
     val plan = finalSection(finalPlan(Relational.bucketedJoin(spark, sfDir)))
     assert(plan.contains("SortMergeJoin"),
