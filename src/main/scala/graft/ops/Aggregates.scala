@@ -525,7 +525,50 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** SQL-standard LINEAR-REGRESSION aggregates — `regr_slope` /
+    * `regr_intercept` / `regr_r2` / `regr_count` of extended price on
+    * quantity per return flag: the one-pass OLS the warehouse runs
+    * before bothering with an ML stack. All four are single-pass
+    * moment aggregates (partial-aggable — Spark keeps them map-side-
+    * combining); the float moment sums are order-dependent → r4 (the
+    * stddev/corr regime).
+    *
+    * Scale posture: one hash aggregate, 3-row flag domain. */
+  def aggRegr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        Det.r4(regr_slope($"l_extendedprice", $"l_quantity")).as("slope"),
+        Det.r4(regr_intercept($"l_extendedprice", $"l_quantity"))
+          .as("intercept"),
+        Det.r4(regr_r2($"l_extendedprice", $"l_quantity")).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** BITWISE aggregates — `bit_and` / `bit_or` / `bit_xor` of the
+    * orderkey per priority class: the flag-mask / checksum aggregate
+    * family (bit_xor over a key set is the classic order-independent
+    * table checksum — [[graft.ops.Quality.tableFingerprint]] builds
+    * on exactly this primitive). Exact integer lattice operations,
+    * commutative and associative — partial-agg friendly by
+    * construction. */
+  def aggBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        bit_and($"o_orderkey").as("key_and"),
+        bit_or($"o_orderkey").as("key_or"),
+        bit_xor($"o_orderkey").as("key_xor"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_regr" -> aggRegr,
+    "q_agg_bitwise" -> aggBitwise,
     "q_agg_boolean" -> aggBoolean,
     "q_agg_having" -> aggHaving,
     "q_agg_minmax_by" -> aggMinmaxBy,

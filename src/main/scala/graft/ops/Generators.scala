@@ -155,7 +155,27 @@ object Generators {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** OUTER explode — `posexplode_outer` keeps the parent row (with
+    * NULL position/element) when its array is EMPTY, where plain
+    * explode silently DROPS it: the generator variant that matters
+    * when absence is the signal (docs with no long tokens are the
+    * interesting rows for a quality audit, not the discardable ones).
+    * Census proves the preserved-null contract: total rows =
+    * Σ max(1, arity), null rows = docs with no match. */
+  def explodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val longToks = filter(split($"text", " "), t => length(t) >= 12)
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", posexplode_outer(longToks).as(Seq("pos", "tok")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"tok").as("n_long_tokens"),
+        count(when($"tok".isNull, 1)).as("n_null_rows"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> explodeOuter,
     "q_subquery_exists" -> subqueryExists,
     "q_pivot" -> pivot,
     "q_unpivot" -> unpivot,

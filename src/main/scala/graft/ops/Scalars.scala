@@ -139,7 +139,46 @@ object Scalars {
       .crossJoin(dropped.agg(count(lit(1)).as("n_after_drop")))
   }
 
+  /** HASH / ENCODING pack — md5, sha2-256, hex, base64, bit_count:
+    * the content-addressing toolbox every dedup/fingerprint/sharding
+    * pipeline leans on (the fingerprint and surrogate-key keys build
+    * on md5; this surfaces the primitives as first-class scalars).
+    * All row-local, codegen'd, exact; cross-engine equivalence
+    * (case, padding, two's-complement popcount) probed and pinned by
+    * the oracle. */
+  def encodeFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        md5($"text".cast(BinaryType)).as("md5_hex"),
+        sha2($"text".cast(BinaryType), 256).as("sha256_hex"),
+        hex($"doc_id").as("id_hex"),
+        base64(substring($"text", 1, 12).cast(BinaryType)).as("head_b64"),
+        bit_count($"doc_id").as("id_popcount"))
+      .orderBy($"doc_id")
+  }
+
+  /** MONTH-ARITHMETIC pack — add_months (end-of-month clamped),
+    * last_day, month-start truncation, and month distance on the
+    * calendar lattice: the fiscal-calendar scalar surface
+    * [[dateFuncs]]'s day-level pack doesn't cover. Clamping
+    * semantics (Jan 31 + 1 month = Feb 28) verified identical in
+    * both engines. */
+  def dateArith(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"o_orderdate".cast(DateType)
+    Tables(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        add_months(d, 3).as("plus3m"),
+        last_day(d).as("eom"),
+        trunc(d, "month").as("month_start"),
+        (year(d) * 12 + month(d)).as("month_index"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_encode" -> encodeFuncs,
+    "q_date_arith" -> dateArith,
     "q_na_functions" -> naFunctions,
     "q_str_funcs" -> strFuncs,
     "q_date_funcs" -> dateFuncs,

@@ -4253,6 +4253,60 @@ object OracleSql {
         |CROSS JOIN n
         |ORDER BY ta, tb""".stripMargin,
 
+    // SQL-standard one-pass OLS aggregates, r4 on the float moments
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  cast(regr_count(l_extendedprice, l_quantity) as bigint) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact integer-lattice bitwise aggregates
+    "q_agg_bitwise" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hash/encoding scalar pack (case, padding, popcount pinned)
+    "q_scalar_encode" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex,
+        |  hex(doc_id) AS id_hex,
+        |  to_base64(encode(substring(text, 1, 12))) AS head_b64,
+        |  cast(bit_count(doc_id) as int) AS id_popcount
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // month arithmetic with end-of-month clamping
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  cast(cast(o_orderdate as date) + INTERVAL 3 MONTH as date)
+        |    AS plus3m,
+        |  last_day(cast(o_orderdate as date)) AS eom,
+        |  cast(date_trunc('month', cast(o_orderdate as date)) as date)
+        |    AS month_start,
+        |  cast(year(o_orderdate) * 12 + month(o_orderdate) as int)
+        |    AS month_index
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // outer explode: empty arrays keep their parent row as a NULL row
+    "q_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) >= 12)
+        |      AS l
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_rows, count(tok) AS n_long_tokens,
+        |  count(CASE WHEN tok IS NULL THEN 1 END) AS n_null_rows
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // trailing-7-calendar-day RANGE frame on the integer day index
     "q_win_frame_range_time" ->
       """SELECT event_id, user_id, ts, event_type,

@@ -577,6 +577,104 @@ class OpsRound11Spec extends SparkSpec {
     assert(rows.length === Tables(spark, sfDir, "events").count())
   }
 
+  // ---- q_agg_regr ----------------------------------------------------------
+
+  test("regression aggregates match a driver OLS replay") {
+    val rows = ops.Aggregates.aggRegr(spark, sfDir)
+      .as[(String, Double, Double, Double, Long)].collect()
+    val base = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    rows.foreach { case (flag, slope, intercept, r2, n) =>
+      val g = base(flag)
+      assert(n === g.length.toLong)
+      val xs = g.map(_._2); val ys = g.map(_._3)
+      val mx = xs.sum / n; val my = ys.sum / n
+      val sxy = xs.zip(ys).map(p => (p._1 - mx) * (p._2 - my)).sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val wSlope = sxy / sxx
+      assert(math.abs(slope - wSlope) < 1e-3, flag)
+      assert(math.abs(intercept - (my - wSlope * mx)) < 1e-2, flag)
+      assert(math.abs(r2 - sxy * sxy / (sxx * syy)) < 1e-3, flag)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  // ---- q_agg_bitwise -------------------------------------------------------
+
+  test("bitwise aggregates equal a driver fold") {
+    val rows = ops.Aggregates.aggBitwise(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val base = Tables(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderkey")
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (p, and, or, xor, n) =>
+      val ks = base(p).map(_._2)
+      assert(and === ks.reduce(_ & _), p)
+      assert(or === ks.reduce(_ | _), p)
+      assert(xor === ks.reduce(_ ^ _), p)
+      assert(n === ks.length.toLong, p)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  // ---- q_scalar_encode -----------------------------------------------------
+
+  test("encode pack matches JDK digests on a sample row") {
+    val row = ops.LlmOps // reuse nothing; direct call
+    val r = ops.Scalars.encodeFuncs(spark, sfDir)
+      .as[(Long, String, String, String, String, Int)].head()
+    val text = Tables(spark, sfDir, "documents")
+      .filter($"doc_id" === r._1).select($"text").as[String].head()
+    def hexOf(alg: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(r._2 === hexOf("MD5"))
+    assert(r._3 === hexOf("SHA-256"))
+    assert(r._4 === java.lang.Long.toHexString(r._1).toUpperCase)
+    assert(r._5 === java.util.Base64.getEncoder.encodeToString(
+      text.take(12).getBytes("UTF-8")))
+    assert(r._6 === java.lang.Long.bitCount(r._1))
+  }
+
+  // ---- q_date_arith --------------------------------------------------------
+
+  test("month arithmetic clamps end-of-month like java.time") {
+    val rows = ops.Scalars.dateArith(spark, sfDir)
+      .as[(Long, java.sql.Date, java.sql.Date, java.sql.Date, Int)]
+      .collect()
+    val src = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", to_date($"o_orderdate"))
+      .as[(Long, java.sql.Date)].collect().toMap
+    rows.take(200).foreach { case (k, p3, eom, ms, mi) =>
+      val d = src(k).toLocalDate
+      assert(p3.toLocalDate === d.plusMonths(3), k)
+      assert(eom.toLocalDate ===
+        d.withDayOfMonth(d.lengthOfMonth), k)
+      assert(ms.toLocalDate === d.withDayOfMonth(1), k)
+      assert(mi === d.getYear * 12 + d.getMonthValue, k)
+    }
+  }
+
+  // ---- q_explode_outer -----------------------------------------------------
+
+  test("posexplode_outer preserves empty-array parents as null rows") {
+    val rows = ops.Generators.explodeOuter(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(rows.length.toLong === total,
+      "every document survives the outer explode")
+    rows.foreach { case (id, nRows, nToks, nNull) =>
+      if (nToks == 0) assert(nRows === 1L && nNull === 1L, id)
+      else assert(nRows === nToks && nNull === 0L, id)
+    }
+    assert(rows.exists(_._4 == 1L),
+      "corpus must contain at least one no-long-token doc (else the " +
+        "outer path is untested)")
+  }
+
   // ---- q_split_train_test ------------------------------------------------
 
   test("split census: fractions sum to 1 per lang, counts to the corpus") {

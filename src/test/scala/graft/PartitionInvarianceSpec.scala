@@ -119,7 +119,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_intersect_all", "q_union_byname",
     // round 11 wave D: flipped-frame as-of, user-day basket join,
     // value-defined RANGE frames (tie order must not matter)
-    "q_join_asof_forward", "q_events_cooccur", "q_win_frame_range_time")
+    "q_join_asof_forward", "q_events_cooccur", "q_win_frame_range_time",
+    // round 11 wave E: float moment aggregates + commutative lattices
+    "q_agg_regr", "q_agg_bitwise")
 
   private lazy val alt = {
     val s = spark.newSession()
