@@ -1272,7 +1272,232 @@ object Relational {
       .orderBy($"src")
   }
 
+  /** TPC-H Q7 "volume shipping" shape — bidirectional cross-nation
+    * trade: revenue flowing between two named nations per ship year,
+    * keyed by the (supplier-nation, customer-nation) ORDERED pair.
+    * The join graph touches both dimension arms of the fact at once
+    * (supplier side AND customer→orders side), which is the test of
+    * whether nation filters prune BOTH arms before the fact joins.
+    *
+    * Scale posture: the two-nation filter broadcasts into supplier
+    * and customer independently, so each fact join sees a pre-pruned
+    * key set (a ~2/25 semi-filter) instead of a post-join predicate;
+    * the cross-pair inequality (supp ≠ cust nation) rides the final
+    * projection over already-named columns. Exact-decimal revenue;
+    * output bounded by 2 pairs × years. */
+  def joinNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val picked = Tables(spark, sfDir, "nation")
+      .filter($"n_name".isin("NATION_3", "NATION_7"))
+      .select($"n_nationkey", $"n_name")
+    val s = Tables(spark, sfDir, "supplier")
+      .join(broadcast(picked), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val c = Tables(spark, sfDir, "customer")
+      .join(broadcast(picked), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val o = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType)
+        && $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+        $"l_discount", year($"l_shipdate").as("l_year"))
+    l.join(s, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(Det.dsumDec(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q8 "national market share" shape — what fraction of the
+    * ASIA market's PROMO-part revenue is supplied by one nation, per
+    * order year: a conditional-numerator share (like
+    * [[joinPromoShare]]) but over a FIVE-table join with the market
+    * defined on the customer arm and the share on the supplier arm.
+    *
+    * Determinism: numerator and denominator are exact decimal sums;
+    * the share is ONE IEEE division per year row.
+    *
+    * Scale posture: part (PROMO) broadcasts into lineitem first —
+    * the most selective cut — then orders shuffles on orderkey,
+    * customer on custkey; the ASIA nation-set and the supplier→
+    * nation name map are both broadcast dims. Output = one row per
+    * order year. */
+  def joinMarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val asiaKeys = Tables(spark, sfDir, "nation")
+      .join(Tables(spark, sfDir, "region")
+        .filter($"r_name" === "ASIA").select($"r_regionkey"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val p = Tables(spark, sfDir, "part")
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val suppNation = Tables(spark, sfDir, "supplier")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val rev = Det.dec($"l_extendedprice") *
+      (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount"))
+    Tables(spark, sfDir, "lineitem")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .join(Tables(spark, sfDir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(spark, sfDir, "customer")
+        .join(broadcast(asiaKeys), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"o_year")
+      .agg(
+        (Det.dsumDec(when($"supp_nation" === "NATION_9", rev)
+          .otherwise(lit(0).cast("decimal(12,2)")))
+          / Det.dsumDec(rev)).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q13 "customer distribution" shape — the DOUBLE aggregation
+    * with an outer join underneath: orders-per-customer (LEFT join so
+    * zero-order customers survive as count 0, with a filter that
+    * belongs in the JOIN CONDITION, not WHERE — the classic
+    * outer-join-filter placement trap), then the census of customers
+    * per order-count.
+    *
+    * Scale posture: first agg shuffles on custkey with partial
+    * counts; the second input is customer-bounded and the final
+    * census is count-domain-bounded. The priority filter rides the
+    * orders SCAN (pushed) because it only references the inner side
+    * — Spark and the SQL twin agree precisely because it is in the
+    * ON clause. */
+  def aggCountDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, sfDir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    Tables(spark, sfDir, "customer").select($"c_custkey")
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q15 "top supplier" shape — a scalar-max gate over a
+    * derived revenue relation: quarterly revenue per supplier, then
+    * the supplier(s) achieving the maximum. The comparison happens in
+    * EXACT DECIMAL (the derived column, not its double projection) so
+    * "equals the max" is a lattice equality, not a float one — ties,
+    * if the data ever produces them, are all returned.
+    *
+    * Scale posture: one suppkey shuffle builds the supplier-bounded
+    * revenue relation; the max is a 1-row aggregate broadcast back
+    * over it (the sanctioned 1-row crossJoin gate); supplier names
+    * broadcast. */
+  def joinTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType)
+        && $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
+      .groupBy($"l_suppkey")
+      .agg(sum(Det.dec($"l_extendedprice")
+        * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount")))
+        .as("rev_dec"))
+    val mx = rev.agg(max($"rev_dec").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"rev_dec" === $"mx")
+      .join(broadcast(Tables(spark, sfDir, "supplier")
+        .select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        $"rev_dec".cast(DoubleType).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q18 "large volume customer" shape — a grouped-HAVING
+    * subquery gating the outer join chain: orders whose total line
+    * quantity exceeds a threshold, reported with customer identity
+    * and the quantity itself. The decorrelation is a self-aggregation
+    * of lineitem reused as a SEMI filter — the aggregate is computed
+    * ONCE, not once per probe row.
+    *
+    * Scale posture: the quantity census shuffles lineitem on
+    * orderkey (cast long — exact); the HAVING cut bounds it hard
+    * (~10% of orders); the surviving keys join orders and then
+    * customer on their natural keys; top-100 is TakeOrdered. */
+  def subqueryInGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"total_qty" > 180)
+    Tables(spark, sfDir, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_orderdate".cast(DateType).as("o_date"), $"o_totalprice",
+        $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q21 "suppliers who kept orders waiting" shape, adapted to
+    * this corpus (no commit/receipt dates): in multi-supplier orders,
+    * the supplier whose lines shipped STRICTLY last (its per-order
+    * max shipdate equals the order's global max, and no other
+    * supplier ties it) held the order open. The original's
+    * EXISTS/NOT-EXISTS double correlation decorrelates into one
+    * pair census + one order census — each subquery becomes an
+    * aggregate column instead of a per-row probe.
+    *
+    * Scale posture: lineitem collapses to the (orderkey, suppkey)
+    * pair census FIRST (partial-agged max); the order-level census
+    * (supplier count, global max, ties-at-max) derives from the pair
+    * census — both shuffles are on orderkey and the second input is
+    * pair-bounded, never lineitem-sized. The final count groups the
+    * guilty pairs by supplier (supplier-bounded) and broadcasts
+    * names. Exact timestamp comparisons throughout. */
+  def joinWaitingSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"l_shipdate").as("pair_max"))
+    val orderStats = pairs
+      .groupBy($"l_orderkey".as("ok"))
+      .agg(count(lit(1)).as("n_supp"), max($"pair_max").as("global_max"))
+    val atMax = pairs.join(orderStats, $"l_orderkey" === $"ok")
+      .filter($"pair_max" === $"global_max" && $"n_supp" > 1)
+    // ties-at-max census: guilty only when exactly one supplier is last
+    val guilty = atMax
+      .withColumn("ties", count(lit(1))
+        .over(Window.partitionBy($"l_orderkey")))
+      .filter($"ties" === 1)
+    guilty.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables(spark, sfDir, "supplier")
+        .select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_nation_volume" -> joinNationVolume,
+    "q_join_market_share" -> joinMarketShare,
+    "q_agg_count_distribution" -> aggCountDistribution,
+    "q_join_top_supplier" -> joinTopSupplier,
+    "q_subquery_in_grouped" -> subqueryInGrouped,
+    "q_join_waiting_supplier" -> joinWaitingSupplier,
     "q_except_all" -> exceptAllKeys,
     "q_intersect_all" -> intersectAllKeys,
     "q_union_byname" -> unionByNameEvolved,

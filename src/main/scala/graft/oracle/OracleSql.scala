@@ -4253,6 +4253,99 @@ object OracleSql {
         |CROSS JOIN n
         |ORDER BY ta, tb""".stripMargin,
 
+    // TPC-H Q7: bidirectional cross-nation trade per ship year
+    "q_join_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  cast(year(l.l_shipdate) as int) AS l_year,
+         |  ${dsumDec(s"${dec("l.l_extendedprice")} * (1 - ${dec("l.l_discount")})")} AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+         |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+         |  AND sn.n_name <> cn.n_name
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q8: conditional-numerator market share per order year
+    "q_join_market_share" ->
+      s"""WITH asia AS (SELECT n_nationkey FROM nation
+         |    JOIN region ON n_regionkey = r_regionkey
+         |    WHERE r_name = 'ASIA')
+         |SELECT cast(year(o.o_orderdate) as int) AS o_year,
+         |  ${dsumDec(s"CASE WHEN sn.n_name = 'NATION_9' THEN ${dec("l.l_extendedprice")} * (1 - ${dec("l.l_discount")}) ELSE cast(0 as decimal(12,2)) END")}
+         |    / ${dsumDec(s"${dec("l.l_extendedprice")} * (1 - ${dec("l.l_discount")})")} AS mkt_share,
+         |  count(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN asia a ON c.c_nationkey = a.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q13: orders-per-customer census (filter in the ON clause)
+    "q_agg_count_distribution" ->
+      """WITH co AS (SELECT c.c_custkey,
+        |    count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q15: scalar-max gate in exact decimal
+    "q_join_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey,
+         |    sum(${dec("l_extendedprice")} * (1 - ${dec("l_discount")}))
+         |      AS rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name,
+         |  cast(r.rev_dec as double) AS total_revenue
+         |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.rev_dec = (SELECT max(rev_dec) FROM r)
+         |ORDER BY s.s_suppkey""".stripMargin,
+
+    // TPC-H Q18: grouped-HAVING gate on exact integer quantity
+    "q_subquery_in_grouped" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(cast(l_quantity as bigint)) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 180)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  cast(o.o_orderdate as date) AS o_date, o.o_totalprice,
+        |  big.total_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+
+    // TPC-H Q21 (adapted): strictly-last supplier in multi-supplier
+    // orders, via pair census + order census (decorrelated EXISTS)
+    "q_join_waiting_supplier" ->
+      """WITH pairs AS (SELECT l_orderkey, l_suppkey,
+        |    max(l_shipdate) AS pair_max
+        |  FROM lineitem GROUP BY 1, 2),
+        |os AS (SELECT l_orderkey AS ok, count(*) AS n_supp,
+        |    max(pair_max) AS global_max
+        |  FROM pairs GROUP BY 1),
+        |atmax AS (SELECT p.* FROM pairs p JOIN os ON p.l_orderkey = os.ok
+        |  WHERE p.pair_max = os.global_max AND os.n_supp > 1),
+        |g AS (SELECT * FROM (SELECT a.*,
+        |      count(*) OVER (PARTITION BY l_orderkey) AS ties
+        |    FROM atmax a) WHERE ties = 1)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
     // SQL-standard one-pass OLS aggregates, r4 on the float moments
     "q_agg_regr" ->
       """SELECT l_returnflag,

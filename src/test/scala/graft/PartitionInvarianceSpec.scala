@@ -121,7 +121,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // value-defined RANGE frames (tie order must not matter)
     "q_join_asof_forward", "q_events_cooccur", "q_win_frame_range_time",
     // round 11 wave E: float moment aggregates + commutative lattices
-    "q_agg_regr", "q_agg_bitwise")
+    "q_agg_regr", "q_agg_bitwise",
+    // round 12: TPC-H classics whose gates (scalar max, HAVING cut,
+    // ties-at-max window, double aggregation) must not depend on layout
+    "q_join_top_supplier", "q_join_waiting_supplier",
+    "q_agg_count_distribution", "q_join_nation_volume",
+    "q_join_market_share", "q_subquery_in_grouped")
 
   private lazy val alt = {
     val s = spark.newSession()
