@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, TimestampType}
 
 /** SURVEY.md §2.4 — aggregations.
   *
@@ -566,7 +566,82 @@ object Aggregates {
       .orderBy($"o_orderpriority")
   }
 
+  /** CORRELATION / COVARIANCE aggregates — `corr` / `covar_samp` /
+    * `covar_pop` of quantity vs extended price per return flag: the
+    * bivariate-moment family completing [[aggRegr]] (slope = covar/var
+    * — the spec replays that identity). Single-pass partial-aggable
+    * moment sums; float accumulation order → r4 (the stddev/corr
+    * regime).
+    *
+    * Scale posture: one hash aggregate, 3-row flag domain. */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        Det.r4(corr($"l_quantity", $"l_extendedprice")).as("corr_qp"),
+        Det.r4(covar_samp($"l_quantity", $"l_extendedprice"))
+          .as("covar_s"),
+        Det.r4(covar_pop($"l_quantity", $"l_extendedprice"))
+          .as("covar_p"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** LISTAGG / string aggregation — the sorted distinct-value CSV per
+    * group (which statuses did each priority class see?): the report-
+    * formatting aggregate every BI export needs. Built as
+    * `array_join(array_sort(collect_set))` — set semantics bound the
+    * state by the VALUE DOMAIN, and the explicit sort makes the
+    * concatenation order deterministic (a bare listagg over an
+    * unordered shuffle is nondeterminism-by-construction).
+    *
+    * Scale posture: collect_set partial-aggs to the status domain
+    * (≤3 elements) map-side — the shuffle carries tiny sets, never
+    * row lists. An UNBOUNDED-group listagg (collect_list of raw rows)
+    * is the documented anti-pattern at 100 TB; domain-bounded set
+    * aggregation is the scale-safe form of this operator. */
+  def aggString(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set($"o_orderstatus")), ",")
+          .as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q6 "forecasting revenue change" shape — the pure
+    * filter-and-aggregate: revenue that would be recovered by
+    * eliminating small-quantity discounted lineitems in one ship year.
+    * No join, no grouping — ONE row out. Revenue Σ price·disc runs in
+    * exact decimal arithmetic (both factors are base money/ratio
+    * columns, never tie-adjacent — the Det.dec contract), surfaced as
+    * an exact double cast.
+    *
+    * Scale posture: the year/discount/quantity cuts all reach the
+    * parquet scan (plain stored-column comparisons), then a single
+    * partial-agged census pass — the minimal full-scan query; at
+    * 100 TB it is bounded by scan bandwidth alone. */
+  def aggRevenueCut(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType)
+        && $"l_shipdate" < lit("1998-01-01").cast(TimestampType)
+        && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
+        && $"l_quantity" < 24)
+      .agg(
+        Det.dsumDec(Det.dec($"l_extendedprice") * Det.dec($"l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_revenue_cut" -> aggRevenueCut,
+    "q_agg_corr" -> aggCorr,
+    "q_agg_string" -> aggString,
     "q_agg_regr" -> aggRegr,
     "q_agg_bitwise" -> aggBitwise,
     "q_agg_boolean" -> aggBoolean,

@@ -1392,7 +1392,42 @@ object Analytics {
       .orderBy($"ta", $"tb")
   }
 
+  /** EVENT-SEQUENCE PATTERN MATCH (the MATCH_RECOGNIZE shape): each
+    * user's stream folds to a type-initial string in (ts, event_id)
+    * order — 'c/s/e/v/p' initials are distinct across the 5-type
+    * domain — and a REGEX over it counts conversions: `v[^p]*p` =
+    * "a view eventually followed by a purchase with no purchase in
+    * between" (left-to-right non-overlapping matches, identical in
+    * Java regex and RE2 for this backref-free fragment). The per-user
+    * string makes arbitrary sequence predicates (negation, gaps,
+    * alternation) one regex instead of a window-function ladder.
+    *
+    * Determinism: the struct sort on (tus, event_id, c) totalizes the
+    * order (event_id unique).
+    *
+    * Scale posture: ONE user_id hash aggregation; per-user state is
+    * that user's own event string (the q_events_journeys bound —
+    * user-activity-sized, never corpus-sized); regex is row-local on
+    * the census. */
+  def eventsPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seqs = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        substring($"event_type", 1, 1).as("c"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"tus", $"event_id", $"c"))),
+        x => x.getField("c")), "").as("seq"))
+    seqs.select($"user_id", length($"seq").as("n_events"),
+        size(regexp_extract_all($"seq", lit("v[^p]*p"), lit(0)))
+          .as("n_conversions"),
+        size(regexp_extract_all($"seq", lit("e+"), lit(0)))
+          .as("n_error_bursts"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_pattern" -> eventsPattern,
     "q_events_cooccur" -> eventsCooccur,
     "q_ts_cusum" -> tsCusum,
     "q_ts_acf" -> tsAcf,

@@ -3629,7 +3629,89 @@ object LlmOps {
       .orderBy($"lang", $"split")
   }
 
+  /** READABILITY SCORE (Flesch reading-ease shape) per document —
+    * the grade-level quality signal curation pipelines bucket on
+    * (alongside [[textQuality]]'s ratio gates). Words, sentences, and
+    * a vowel-group syllable PROXY are exact integer regex-counts
+    * (character-class patterns — the Java/RE2-identical fragment);
+    * the score is one fixed double expression over those integers,
+    * identical in the SQL twin, surfaced under r4. Sentence count
+    * floors at 1 so fragment documents score instead of dividing by
+    * zero.
+    *
+    * Scale posture: row-local codegen'd scan work — no shuffle at
+    * all until the output sort, which a pipeline consumer would drop.
+    */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = size(regexp_extract_all($"text",
+      lit("[A-Za-z0-9]+"), lit(0))).cast("long")
+    val sents = greatest(size(regexp_extract_all($"text",
+      lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val syll = size(regexp_extract_all($"text",
+      lit("[aeiouAEIOU]+"), lit(0))).cast("long")
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", words.as("n_words"), sents.as("n_sents"),
+        syll.as("n_syll"))
+      .filter($"n_words" > 0)
+      .select($"doc_id", $"n_words", $"n_sents", $"n_syll",
+        Det.r4(lit(206.835)
+          - lit(1.015) * ($"n_words".cast("double")
+            / $"n_sents".cast("double"))
+          - lit(84.6) * ($"n_syll".cast("double")
+            / $"n_words".cast("double"))).as("flesch"))
+      .orderBy($"doc_id")
+  }
+
+  /** PARAGRAPH-LEVEL EXACT DEDUP (the C4/CCNet pipeline stage that
+    * removes boilerplate paragraphs repeated ACROSS documents while
+    * keeping the documents themselves): docs split into fixed 20-token
+    * chunks (this corpus has no paragraph breaks — the chunker stands
+    * in for split-on-\n\n with identical plumbing), each distinct
+    * chunk text keeps exactly ONE occurrence (the (doc_id, chunk_idx)
+    * minimum — first document, earliest position), and every doc is
+    * reassembled from its surviving chunks in original order. Docs
+    * whose every chunk was claimed elsewhere survive as empty text —
+    * the row-preserving contract (a downstream length filter decides
+    * their fate, not the dedup).
+    *
+    * Scale posture: explode is Σchunks rows (~tokens/20); the keeper
+    * reduction and claim join both key on the chunk text — at 100 TB
+    * the key becomes xxhash64(chunk) with the text resolved only for
+    * survivors (same plan, 8-byte shuffle keys); reassembly is one
+    * doc_id aggregation whose per-group state is the doc's own
+    * surviving text (bounded by document size). */
+  def dedupParagraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+    val chunks = toks
+      .select($"doc_id", $"t", explode(sequence(lit(0),
+        (((size($"t") - 1)) / 20).cast("int"))).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        array_join(slice($"t", $"chunk_idx" * 20 + 1, lit(20)), " ")
+          .as("chunk"),
+        ($"doc_id" * 100000 + $"chunk_idx").as("keyord"))
+    val keeper = chunks.groupBy($"chunk")
+      .agg(min($"keyord").as("keep_key"))
+    val kept = chunks.join(keeper, Seq("chunk"))
+      .filter($"keyord" === $"keep_key")
+    val perDoc = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"chunk_idx", $"chunk"))),
+          x => x.getField("chunk")), " ").as("text_dedup"))
+    chunks.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_chunks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_paragraph" -> dedupParagraph,
+    "q_text_readability" -> textReadability,
     "q_quality_dsir" -> qualityDsir,
     "q_text_zipf" -> textZipf,
     "q_graph_jaccard_neighbors" -> graphJaccardNeighbors,

@@ -688,7 +688,210 @@ object Quality {
         Det.r4(sum($"term")).as("mi_bits"))
   }
 
+  /** WELCH'S t-TEST over order totals, even- vs odd-orderkey split —
+    * the parametric companion to [[statsKs]]/[[statsMannWhitney]]
+    * (unequal-variance means comparison, the A/B readout when the
+    * metric is roughly symmetric).
+    *
+    * Exactness: prices quantize to integer cents; per-arm count and
+    * Σcents are exact longs, Σcents² accumulates in DECIMAL(38,0)
+    * (5e7-cent rows square to 2.5e15 — int64 dies within ~4k rows).
+    * Means/variances/t/df derive from those exact sums through ONE
+    * fixed double expression tree, identical in the SQL twin, so
+    * every IEEE op sees bit-identical operands; t and the Welch–
+    * Satterthwaite df surface under r4.
+    *
+    * Scale posture: a single partial-agged pass to ONE census row —
+    * the 100 TB plan is the sf0.001 plan. */
+  def statsTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val c = Tables(spark, sfDir, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderkey" % 2 === 0).as("is_a"))
+      .agg(
+        count(when($"is_a", 1)).as("na"),
+        count(when(!$"is_a", 1)).as("nb"),
+        sum(when($"is_a", $"cents")).as("sa"),
+        sum(when(!$"is_a", $"cents")).as("sb"),
+        sum(when($"is_a", $"cents".cast(d38) * $"cents")).as("ssa"),
+        sum(when(!$"is_a", $"cents".cast(d38) * $"cents")).as("ssb"))
+    val na = $"na".cast(DoubleType); val nb = $"nb".cast(DoubleType)
+    val sa = $"sa".cast(DoubleType); val sb = $"sb".cast(DoubleType)
+    val va = ($"ssa".cast(DoubleType) - sa * sa / na) / (na - 1)
+    val vb = ($"ssb".cast(DoubleType) - sb * sb / nb) / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    c.select($"na".as("n_a"), $"nb".as("n_b"),
+      (sa / na / 100.0).as("mean_a"),
+      (sb / nb / 100.0).as("mean_b"),
+      // t is scale-invariant — computed directly on the cents lattice
+      Det.r4((sa / na - sb / nb) / sqrt(se2)).as("t_welch"),
+      Det.r4(se2 * se2
+        / (sea * sea / (na - 1) + seb * seb / (nb - 1))).as("df_welch"))
+  }
+
+  /** IQR-FENCE OUTLIER AUDIT per market segment — Tukey's 1.5·IQR
+    * rule over customer balances: the robust univariate outlier
+    * screen a data-quality gate runs before fitting anything. Q1/Q3
+    * are exact interpolated percentiles (deterministic order
+    * statistics — partitioning cannot move them); the fences and the
+    * per-row comparisons happen on the engine's own percentile
+    * values, and the REPORTED fences surface under r4 while the
+    * counts are exact integers (a fence-straddling value would need
+    * the two engines' interpolation to differ, which
+    * q_agg_percentile pins as bit-equal).
+    *
+    * Scale posture: percentile is a single-pass sorted-merge
+    * aggregate per segment (5-row domain); the outlier count is a
+    * second pass joined against the broadcast 5-row fence table —
+    * two scans, zero corpus-wide windows. */
+  def statsIqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, sfDir, "customer")
+      .select($"c_mktsegment", $"c_acctbal")
+    val fences = cust.groupBy($"c_mktsegment")
+      .agg(expr("percentile(c_acctbal, 0.25)").as("q1"),
+        expr("percentile(c_acctbal, 0.75)").as("q3"))
+      .select($"c_mktsegment".as("seg"), $"q1", $"q3",
+        ($"q1" - ($"q3" - $"q1") * 1.5).as("lo"),
+        ($"q3" + ($"q3" - $"q1") * 1.5).as("hi"))
+    cust.join(broadcast(fences), $"c_mktsegment" === $"seg")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        count(when($"c_acctbal" < $"lo" || $"c_acctbal" > $"hi", 1))
+          .as("n_outliers"),
+        Det.r4(max($"lo")).as("fence_lo"),
+        Det.r4(max($"hi")).as("fence_hi"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** SPEARMAN RANK CORRELATION between quantity and price — the
+    * monotone-association readout that survives outliers and
+    * nonlinearity (the robust companion to [[statsTtest]]'s means and
+    * q_agg_corr's Pearson). Ranks are DOUBLED MIDRANKS
+    * (2·cum − n + 1 on each variable's value census — integers, so
+    * tie handling is exact and layout-free); Pearson on doubled ranks
+    * equals Pearson on ranks (scale invariance). Moment sums are
+    * exact (long / DECIMAL(38,0) for the squares — doubled ranks
+    * square past int64 beyond ~sf2); rho derives through one fixed
+    * double tree, r4.
+    *
+    * Scale posture: two value censuses (quantity domain ≤50 rows —
+    * broadcast; cents domain ≪ corpus — one shuffle join), TwoPass
+    * range-partitioned cumsums (no corpus-wide window anywhere), one
+    * partial-agged moment pass. */
+  def statsSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val facts = Tables(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("long").as("qv"),
+        round($"l_extendedprice" * 100).cast("long").as("pv"))
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val census = facts.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      TwoPass.cumsum(census, c, Seq("n"))
+        .select(col(c), (col("cum_n") * 2 - col("n") + 1).as(out))
+    }
+    val qr = doubledRanks("qv", "drq") // ≤50 rows
+    val pr = doubledRanks("pv", "drp") // distinct-cents rows
+    val m = facts
+      .join(broadcast(qr), "qv")
+      .join(pr, "pv")
+      .agg(count(lit(1)).as("n"),
+        sum($"drq").as("sq"), sum($"drp").as("sp"),
+        sum($"drq".cast(d38) * $"drq").as("sqq"),
+        sum($"drp".cast(d38) * $"drp").as("spp"),
+        sum($"drq".cast(d38) * $"drp").as("sqp"))
+    val nd = $"n".cast(DoubleType)
+    val (sq, sp) = ($"sq".cast(DoubleType), $"sp".cast(DoubleType))
+    val (sqq, spp, sqp) = ($"sqq".cast(DoubleType),
+      $"spp".cast(DoubleType), $"sqp".cast(DoubleType))
+    m.select($"n",
+      Det.r4((nd * sqp - sq * sp)
+        / sqrt((nd * sqq - sq * sq) * (nd * spp - sp * sp)))
+        .as("rho_spearman"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX of revenue concentration across
+    * customer nations — the market-concentration census (10 000 ·
+    * Σ share² in the antitrust convention; 1/HHI is the "effective
+    * number of markets"). Per-nation revenue is an exact decimal sum;
+    * HHI = Σv² / (Σv)² needs NO share division per group — both
+    * reductions fold over the ≤25-row nation census in one final agg
+    * (decimal squares, so the 25-row fold is order-free), with one
+    * double division at the end, r4.
+    *
+    * Scale posture: fact join shuffles once on custkey, census is
+    * nation-domain-bounded; no crossJoin, no window. */
+  def statsHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val custNation = Tables(spark, sfDir, "customer")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    // per-nation revenue folded to EXACT integer cents (a decimal²
+    // would overflow precision 38 at scale; long cents square exactly
+    // inside DECIMAL(38,0))
+    val census = Tables(spark, sfDir, "orders")
+      .select($"o_custkey", round($"o_totalprice" * 100).cast("long")
+        .as("cents"))
+      .join(custNation, $"o_custkey" === $"c_custkey")
+      .groupBy($"n_name")
+      .agg(sum($"cents").as("v"))
+    census
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"v".cast("decimal(38,0)") * $"v").as("s2"),
+        sum($"v").as("s1"))
+      .select($"n_groups",
+        Det.r4(lit(10000.0) * $"s2".cast(DoubleType)
+          / ($"s1".cast(DoubleType) * $"s1".cast(DoubleType)))
+          .as("hhi"),
+        Det.r4($"s1".cast(DoubleType) * $"s1".cast(DoubleType)
+          / $"s2".cast(DoubleType)).as("effective_n"))
+  }
+
+  /** SKEWNESS / EXCESS KURTOSIS per return flag from EXACT integer
+    * moment sums — built-in `skewness`/`kurtosis` aggregates differ
+    * across engines in bias correction (Spark: population moments;
+    * DuckDB: sample-corrected), so the engine-agnostic form sums
+    * Σq¹..Σq⁴ exactly (q ≤ 50 ⇒ Σq⁴ ≤ 6.25e6·rows — int64 safe past
+    * sf100) and derives population skew/kurtosis through ONE fixed
+    * double tree, r4. The same technique is how any cross-engine
+    * metric contract should pin higher moments.
+    *
+    * Scale posture: one partial-agged hash agg, 3-row flag domain. */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = $"l_quantity".cast("long")
+    val m = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(q).as("m1"),
+        sum(q * q).as("m2"), sum(q * q * q).as("m3"),
+        sum(q * q * q * q).as("m4"))
+    val nd = $"n".cast(DoubleType)
+    val mu = $"m1".cast(DoubleType) / nd
+    val e2 = $"m2".cast(DoubleType) / nd
+    val e3 = $"m3".cast(DoubleType) / nd
+    val e4 = $"m4".cast(DoubleType) / nd
+    val v = e2 - mu * mu
+    m.select($"l_returnflag", $"n",
+      Det.r4(mu).as("mean_qty"),
+      Det.r4(v).as("var_pop"),
+      Det.r4((e3 - lit(3.0) * mu * e2 + lit(2.0) * mu * mu * mu)
+        / (v * sqrt(v))).as("skew_pop"),
+      Det.r4((e4 - lit(4.0) * mu * e3 + lit(6.0) * mu * mu * e2
+        - lit(3.0) * mu * mu * mu * mu) / (v * v) - lit(3.0))
+        .as("kurt_excess"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_spearman" -> statsSpearman,
+    "q_stats_hhi" -> statsHhi,
+    "q_stats_moments" -> statsMoments,
+    "q_stats_ttest" -> statsTtest,
+    "q_stats_iqr_outliers" -> statsIqrOutliers,
     "q_anonymize_ldiversity" -> anonymizeLdiversity,
     "q_stats_gini" -> statsGini,
     "q_stats_mannwhitney" -> statsMannWhitney,

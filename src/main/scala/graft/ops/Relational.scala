@@ -1491,7 +1491,123 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q9 "product type profit" shape (adapted — this corpus has
+    * no partsupp, so supply cost is the standard retail-margin proxy
+    * `0.6 · p_retailprice · l_quantity`): profit per (supplier nation,
+    * order year) over parts whose name contains a token. All money
+    * arithmetic in exact decimal on BASE columns (price, discount,
+    * retailprice are ≤2-decimal; quantity is integral) — the profit
+    * sum is exact, the cast to double at the end is exact-nearest.
+    *
+    * Scale posture: the p_name LIKE cut broadcast-prunes the part side
+    * BEFORE the fact join (parts is the small dim); supplier→nation is
+    * a second broadcast chain; the only big shuffle is lineitem⨝orders
+    * on the natural orderkey. The (nation × year) census is
+    * domain-bounded. */
+  def joinProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables(spark, sfDir, "part")
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey", Det.dec($"p_retailprice").as("retail"))
+    val supNation = Tables(spark, sfDir, "supplier")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val profit = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(spark, sfDir, "orders")
+        .select($"o_orderkey", year($"o_orderdate").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"nation", $"o_year",
+        (Det.dec($"l_extendedprice")
+          * (lit(1).cast("decimal(4,2)") - Det.dec($"l_discount"))
+          - lit(0.6).cast("decimal(4,2)") * $"retail"
+            * $"l_quantity".cast("decimal(4,0)")).as("amount"))
+    profit.groupBy($"nation", $"o_year")
+      .agg(Det.dsumDec($"amount").as("sum_profit"),
+        count(lit(1)).as("n"))
+      .orderBy($"nation", $"o_year")
+  }
+
+  /** TPC-H Q11 "important stock identification" shape (adapted to the
+    * shipped-volume proxy: per-part inventory value = Σ qty·retailprice
+    * over lineitems supplied by ONE REGION's suppliers): parts whose
+    * value exceeds TWICE the average part value — the
+    * scalar-subquery-threshold-over-grouped-aggregate pattern. The
+    * mean-relative gate (vs Q11's fixed fraction) keeps the cut
+    * meaningful at every corpus size; it clears to exact
+    * cross-multiplication `value·n_parts > total·2` on decimal sums,
+    * so the filter cannot flip on float luck.
+    *
+    * Scale posture: the region's supplier keys broadcast into the fact
+    * scan (semi-join prune before any aggregation); the per-part census
+    * aggregates once and is reused for BOTH the global gate (a 1-row
+    * re-aggregation, broadcast back) and the output filter — Catalyst
+    * plans the reuse as two consumers of one exchange. */
+  def aggImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supKeys = Tables(spark, sfDir, "supplier")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .filter($"n_regionkey" === 0).select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val partRetail = Tables(spark, sfDir, "part")
+      .select($"p_partkey", Det.dec($"p_retailprice").as("retail"))
+    val perPart = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(supKeys), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(partRetail), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"retail" * $"l_quantity".cast("decimal(4,0)"))
+        .as("value_dec"))
+    val gate = perPart
+      .agg(sum($"value_dec").as("total"), count(lit(1)).as("nparts"))
+    perPart.join(broadcast(gate))
+      .filter($"value_dec" * $"nparts" > $"total" * 2)
+      .select($"l_partkey".as("p_partkey"),
+        $"value_dec".cast(DoubleType).as("stock_value"))
+      .orderBy($"stock_value".desc, $"p_partkey")
+  }
+
+  /** TPC-H Q20 "potential part promotion" shape (adapted — availqty
+    * has no table here, so the threshold compares a supplier's RECENT
+    * shipped quantity of promo parts against HALF their all-time
+    * total): suppliers of promo parts whose 1997 volume exceeded 20 %
+    * of their lifetime volume (the corpus spans ~7 ship years, so the
+    * cut isolates 1997-concentrated suppliers), named via the
+    * supplier dim — the nested grouped-subquery semi-join chain Q20
+    * exists to exercise. The 1/5 threshold clears to INTEGER
+    * cross-multiplication (5·recent > total on exact long quantity
+    * sums) so the cut is exact in both engines.
+    *
+    * Scale posture: the promo partkey set broadcast-prunes the fact
+    * scan; ONE (suppkey)-grouped census computes recent and lifetime
+    * sums together (conditional aggregation — no second scan, no
+    * self-join); the supplier dim joins broadcast. */
+  def subqueryPartPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val promoParts = Tables(spark, sfDir, "part")
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val vol = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(
+        sum(when($"l_shipdate" >= lit("1997-01-01").cast(TimestampType)
+          && $"l_shipdate" < lit("1998-01-01").cast(TimestampType),
+          $"l_quantity".cast("long")).otherwise(0L)).as("recent_qty"),
+        sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"recent_qty" * 5 > $"total_qty")
+    Tables(spark, sfDir, "supplier")
+      .join(vol, $"s_suppkey" === $"l_suppkey")
+      .select($"s_suppkey", $"s_name", $"recent_qty", $"total_qty")
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_product_profit" -> joinProductProfit,
+    "q_agg_important_stock" -> aggImportantStock,
+    "q_subquery_part_promotion" -> subqueryPartPromotion,
     "q_join_nation_volume" -> joinNationVolume,
     "q_join_market_share" -> joinMarketShare,
     "q_agg_count_distribution" -> aggCountDistribution,

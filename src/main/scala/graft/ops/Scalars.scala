@@ -176,7 +176,30 @@ object Scalars {
       .orderBy($"o_orderkey")
   }
 
+  /** REGEX scalar pack — extract / extract-all / replace / match over
+    * document text: the pattern toolbox of every log parser and text
+    * cleaner. Patterns stay inside the character-class + bounded-
+    * quantifier fragment where Java regex (Spark) and RE2 (the oracle
+    * engine) agree exactly — no backrefs, no lookaround, no lazy
+    * quantifiers (the dialect-divergent features are the documented
+    * no-go zone for cross-engine pipelines). No-match extract yields
+    * '' in both engines (pinned by the oracle). All row-local,
+    * codegen'd. */
+  def regexFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id",
+        regexp_extract($"text", "([A-Za-z]{9,})", 1).as("first_long"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]{9,}"), lit(0)))
+          .as("n_long"),
+        regexp_replace($"text", "[0-9]+", "#").as("masked_head"),
+        $"text".rlike("[0-9]{3}").as("has_3digits"))
+      .withColumn("masked_head", substring($"masked_head", 1, 40))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_funcs" -> regexFuncs,
     "q_scalar_encode" -> encodeFuncs,
     "q_date_arith" -> dateArith,
     "q_na_functions" -> naFunctions,

@@ -154,7 +154,36 @@ object Spatial {
       .orderBy($"zx", $"zy")
   }
 
+  /** SPATIAL kNN — for each supplier object, its k=3 nearest part
+    * objects WITHIN the crossmatch radius (the "nearest counterparts"
+    * list a survey pipeline consumes when the best match alone is too
+    * brittle). Bounded-radius kNN is EXACT under the zone banding:
+    * every candidate with d² ≤ r² lies within ±1 dec zone of height
+    * r, so the banded pair stream already contains the true top-k.
+    * Rank runs per supplier over the (d2, a_id) total order — d2 is
+    * the same arithmetic expression both engines evaluate on exact
+    * inputs, so ties and ordering cannot diverge; reported dist2
+    * surfaces under r4.
+    *
+    * Scale posture: the pair space is Σ(zone occupancy)² — the zones
+    * crossmatch bound, never |A|·|B|; the rank window partitions on
+    * the supplier with per-partition size = that supplier's candidate
+    * count (zone-occupancy-bounded). An UNbounded kNN (no radius)
+    * needs the multi-probe escalation q_sim_ann_* implement for
+    * embeddings; the bounded form is what sky pipelines actually run. */
+  def spatialKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"b_id").orderBy($"d2", $"a_id")
+    zoneMatches(spark, sfDir)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"b_id", $"rank", $"a_id", graft.Det.r4($"d2").as("dist2"))
+      .orderBy($"b_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_knn" -> spatialKnn,
     "q_spatial_density" -> spatialDensity,
     "q_spatial_cone" -> spatialCone,
     "q_spatial_zones_join" -> spatialZonesJoin,

@@ -273,7 +273,42 @@ object Windows {
       .orderBy($"event_id")
   }
 
+  /** VALUE window functions with IGNORE NULLS — first/last/nth over
+    * each user's event stream, where the "value" only exists on
+    * purchase events (NULL elsewhere): `last(…, ignoreNulls)` over a
+    * running frame is the LAST-KNOWN-VALUE carry-forward (the
+    * observe-then-propagate pattern gap-fill, SCD reads, and ticker
+    * joins all reduce to); first/nth over the full frame are the
+    * per-user "entry price" / "second observation" reads.
+    *
+    * Determinism: per-user partitioning with unique (tus, event_id)
+    * ordering totalizes every frame; NULL handling is pinned by the
+    * census columns (n_events vs n_priced).
+    *
+    * Scale posture: both windows share ONE user_id partitioning —
+    * Catalyst plans a single exchange + sort and evaluates all four
+    * functions in one Window operator (no per-function shuffles). */
+  def winValueFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"),
+        when($"event_type" === "purchase", $"value").as("pval"))
+      .select($"user_id", $"event_id",
+        last($"pval", ignoreNulls = true).over(run).as("last_price"),
+        first($"pval", ignoreNulls = true).over(full).as("entry_price"),
+        nth_value($"pval", 2, ignoreNulls = true).over(full)
+          .as("second_price"),
+        count($"pval").over(full).as("n_priced"),
+        count(lit(1)).over(full).as("n_events"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_value_funcs" -> winValueFuncs,
     "q_win_frame_range_time" -> winFrameRangeTime,
     "q_win_rolling_corr" -> winRollingCorr,
     "q_win_share_of_total" -> winShareOfTotal,

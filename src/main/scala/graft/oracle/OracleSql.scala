@@ -4253,6 +4253,341 @@ object OracleSql {
         |CROSS JOIN n
         |ORDER BY ta, tb""".stripMargin,
 
+    // bivariate moment aggregates, r4 (stddev/corr regime)
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // domain-bounded sorted listagg (set semantics, explicit order)
+    "q_agg_string" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Welch t from exact integer-cents sums; one fixed double tree
+    "q_stats_ttest" ->
+      """WITH v AS (SELECT cast(round(o_totalprice * 100) as bigint)
+        |    AS cents, o_orderkey % 2 = 0 AS is_a FROM orders),
+        |a AS (SELECT
+        |    count(CASE WHEN is_a THEN 1 END) AS na,
+        |    count(CASE WHEN NOT is_a THEN 1 END) AS nb,
+        |    sum(CASE WHEN is_a THEN cents END) AS sa,
+        |    sum(CASE WHEN NOT is_a THEN cents END) AS sb,
+        |    sum(CASE WHEN is_a
+        |      THEN cast(cents as decimal(38,0)) * cents END) AS ssa,
+        |    sum(CASE WHEN NOT is_a
+        |      THEN cast(cents as decimal(38,0)) * cents END) AS ssb
+        |  FROM v),
+        |d AS (SELECT na, nb,
+        |    cast(sa as double) AS sad, cast(sb as double) AS sbd,
+        |    cast(na as double) AS nad, cast(nb as double) AS nbd,
+        |    cast(ssa as double) AS ssad, cast(ssb as double) AS ssbd
+        |  FROM a),
+        |e AS (SELECT na, nb, sad, sbd, nad, nbd,
+        |    ((ssad - sad * sad / nad) / (nad - 1)) / nad AS sea,
+        |    ((ssbd - sbd * sbd / nbd) / (nbd - 1)) / nbd AS seb
+        |  FROM d)
+        |SELECT na AS n_a, nb AS n_b,
+        |  sad / nad / 100.0 AS mean_a,
+        |  sbd / nbd / 100.0 AS mean_b,
+        |  round((sad / nad - sbd / nbd) / sqrt(sea + seb), 4)
+        |    AS t_welch,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (nad - 1) + seb * seb / (nbd - 1)), 4)
+        |    AS df_welch
+        |FROM e""".stripMargin,
+
+    // Tukey 1.5*IQR fences on exact interpolated quantiles
+    "q_stats_iqr_outliers" ->
+      """WITH f AS (SELECT c_mktsegment AS seg,
+        |    quantile_cont(c_acctbal, 0.25) AS q1,
+        |    quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer GROUP BY 1),
+        |f2 AS (SELECT seg, q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT c.c_mktsegment, count(*) AS n,
+        |  count(CASE WHEN c.c_acctbal < f2.lo OR c.c_acctbal > f2.hi
+        |    THEN 1 END) AS n_outliers,
+        |  round(max(f2.lo), 4) AS fence_lo,
+        |  round(max(f2.hi), 4) AS fence_hi
+        |FROM customer c JOIN f2 ON c.c_mktsegment = f2.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IGNORE NULLS value window functions over totalized frames
+    "q_win_value_funcs" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pval
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  last_value(pval IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_price,
+        |  first_value(pval IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS entry_price,
+        |  nth_value(pval, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_price,
+        |  count(pval) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS n_priced,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS n_events
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    // regex pack inside the Java/RE2-identical dialect fragment
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([A-Za-z]{9,})', 1) AS first_long,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]{9,}')) as int)
+        |    AS n_long,
+        |  substring(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40)
+        |    AS masked_head,
+        |  regexp_matches(text, '[0-9]{3}') AS has_3digits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Flesch reading ease from exact integer regex censuses, r4
+    "q_text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    cast(len(regexp_extract_all(text, '[A-Za-z0-9]+')) as bigint)
+        |      AS n_words,
+        |    greatest(cast(len(regexp_extract_all(text, '[.!?]+'))
+        |      as bigint), 1) AS n_sents,
+        |    cast(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+        |      as bigint) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(206.835
+        |    - 1.015 * (cast(n_words as double) / cast(n_sents as double))
+        |    - 84.6 * (cast(n_syll as double) / cast(n_words as double)),
+        |    4) AS flesch
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // TPC-H Q6: pure filter-and-aggregate, exact decimal revenue
+    "q_agg_revenue_cut" ->
+      """SELECT cast(sum(cast(l_extendedprice as decimal(12,2))
+        |    * cast(l_discount as decimal(12,2))) as double) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q9 adapted: retail-margin profit per (nation, year)
+    "q_join_product_profit" ->
+      """WITH parts AS (SELECT p_partkey,
+        |    cast(p_retailprice as decimal(12,2)) AS retail
+        |  FROM part WHERE contains(p_name, 'widget')),
+        |sn AS (SELECT s_suppkey, n_name AS nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT nation, year(o_orderdate) AS o_year,
+        |  cast(sum(cast(l_extendedprice as decimal(12,2))
+        |      * (cast(1 as decimal(4,2))
+        |        - cast(l_discount as decimal(12,2)))
+        |    - cast(0.6 as decimal(4,2)) * retail
+        |      * cast(l_quantity as decimal(4,0))) as double)
+        |    AS sum_profit,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN parts ON l_partkey = p_partkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // TPC-H Q11 adapted: per-part value vs cross-multiplied mean gate
+    "q_agg_important_stock" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_regionkey = 0),
+        |pp AS (SELECT l_partkey,
+        |    sum(cast(p_retailprice as decimal(12,2))
+        |      * cast(l_quantity as decimal(4,0))) AS value_dec
+        |  FROM lineitem
+        |  JOIN sup ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |g AS (SELECT sum(value_dec) AS total, count(*) AS nparts
+        |  FROM pp)
+        |SELECT l_partkey AS p_partkey,
+        |  cast(value_dec as double) AS stock_value
+        |FROM pp, g WHERE value_dec * nparts > total * 2
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    // TPC-H Q20 adapted: integer cross-multiplied volume threshold
+    "q_subquery_part_promotion" ->
+      """WITH vol AS (SELECT l_suppkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'
+        |      THEN cast(l_quantity as bigint) ELSE 0 END) AS recent_qty,
+        |    sum(cast(l_quantity as bigint)) AS total_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY 1),
+        |v2 AS (SELECT * FROM vol WHERE recent_qty * 5 > total_qty)
+        |SELECT s_suppkey, s_name, recent_qty, total_qty
+        |FROM supplier JOIN v2 ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Spearman rho from exact doubled-midrank moment sums, r4
+    "q_stats_spearman" ->
+      """WITH f AS (SELECT cast(l_quantity as bigint) AS qv,
+        |    cast(round(l_extendedprice * 100) as bigint) AS pv
+        |  FROM lineitem),
+        |qc AS (SELECT qv, count(*) AS n FROM f GROUP BY 1),
+        |qr AS (SELECT qv,
+        |    2 * sum(n) OVER (ORDER BY qv) - n + 1 AS drq FROM qc),
+        |pc AS (SELECT pv, count(*) AS n FROM f GROUP BY 1),
+        |pr AS (SELECT pv,
+        |    2 * sum(n) OVER (ORDER BY pv) - n + 1 AS drp FROM pc),
+        |j AS (SELECT drq, drp FROM f
+        |  JOIN qr USING (qv) JOIN pr USING (pv)),
+        |m AS (SELECT count(*) AS n, sum(drq) AS sq, sum(drp) AS sp,
+        |    sum(cast(drq as decimal(38,0)) * drq) AS sqq,
+        |    sum(cast(drp as decimal(38,0)) * drp) AS spp,
+        |    sum(cast(drq as decimal(38,0)) * drp) AS sqp
+        |  FROM j)
+        |SELECT n,
+        |  round((cast(n as double) * cast(sqp as double)
+        |      - cast(sq as double) * cast(sp as double))
+        |    / sqrt((cast(n as double) * cast(sqq as double)
+        |        - cast(sq as double) * cast(sq as double))
+        |      * (cast(n as double) * cast(spp as double)
+        |        - cast(sp as double) * cast(sp as double))), 4)
+        |    AS rho_spearman
+        |FROM m""".stripMargin,
+
+    // HHI on exact integer-cents nation revenue census
+    "q_stats_hhi" ->
+      """WITH cn AS (SELECT c_custkey, n_name FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey),
+        |census AS (SELECT n_name,
+        |    sum(cast(round(o_totalprice * 100) as bigint)) AS v
+        |  FROM orders JOIN cn ON o_custkey = c_custkey GROUP BY 1),
+        |m AS (SELECT count(*) AS n_groups,
+        |    sum(cast(v as decimal(38,0)) * v) AS s2, sum(v) AS s1
+        |  FROM census)
+        |SELECT n_groups,
+        |  round(10000.0 * cast(s2 as double)
+        |    / (cast(s1 as double) * cast(s1 as double)), 4) AS hhi,
+        |  round(cast(s1 as double) * cast(s1 as double)
+        |    / cast(s2 as double), 4) AS effective_n
+        |FROM m""".stripMargin,
+
+    // population skew/kurtosis from exact integer moment sums, r4
+    "q_stats_moments" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(cast(l_quantity as bigint)) AS m1,
+        |    sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+        |      AS m2,
+        |    sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)
+        |      * cast(l_quantity as bigint)) AS m3,
+        |    sum(cast(l_quantity as bigint) * cast(l_quantity as bigint)
+        |      * cast(l_quantity as bigint) * cast(l_quantity as bigint))
+        |      AS m4
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l_returnflag, n,
+        |    cast(m1 as double) / cast(n as double) AS mu,
+        |    cast(m2 as double) / cast(n as double) AS e2,
+        |    cast(m3 as double) / cast(n as double) AS e3,
+        |    cast(m4 as double) / cast(n as double) AS e4
+        |  FROM m),
+        |v AS (SELECT l_returnflag, n, mu, e2, e3, e4,
+        |    e2 - mu * mu AS vr FROM d)
+        |SELECT l_returnflag, n,
+        |  round(mu, 4) AS mean_qty,
+        |  round(vr, 4) AS var_pop,
+        |  round((e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu)
+        |    / (vr * sqrt(vr)), 4) AS skew_pop,
+        |  round((e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2
+        |    - 3.0 * mu * mu * mu * mu) / (vr * vr) - 3.0, 4)
+        |    AS kurt_excess
+        |FROM v ORDER BY 1""".stripMargin,
+
+    // MATCH_RECOGNIZE shape: per-user type-initial string + regex
+    "q_events_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, cast(length(seq) as int) AS n_events,
+        |  cast(len(regexp_extract_all(seq, 'v[^p]*p')) as int)
+        |    AS n_conversions,
+        |  cast(len(regexp_extract_all(seq, 'e+')) as int)
+        |    AS n_error_bursts
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    // chunk-level exact dedup with in-order reassembly
+    "q_dedup_paragraph" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(0, ((len(t) - 1) // 20) + 1)) AS chunk_idx
+        |  FROM toks),
+        |chunks AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(
+        |      t[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ') AS chunk,
+        |    doc_id * 100000 + chunk_idx AS keyord
+        |  FROM idx),
+        |keeper AS (SELECT chunk, min(keyord) AS keep_key
+        |  FROM chunks GROUP BY 1),
+        |kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM chunks c
+        |  JOIN keeper k ON c.chunk = k.chunk AND c.keyord = k.keep_key),
+        |per_doc AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+        |  FROM kept GROUP BY 1),
+        |totals AS (SELECT doc_id, count(*) AS n_chunks
+        |  FROM chunks GROUP BY 1)
+        |SELECT t.doc_id, t.n_chunks,
+        |  coalesce(p.n_kept, 0) AS n_kept,
+        |  coalesce(p.text_dedup, '') AS text_dedup
+        |FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // bounded-radius spatial kNN: brute-force + rank window twin
+    "q_spatial_knn" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS a_id,
+        |    (p_partkey * cast(137.508 as double)) % cast(360 as double)
+        |      AS a_ra,
+        |    (p_partkey * cast(97.13 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS a_dec
+        |  FROM part),
+        |b AS (
+        |  SELECT s_suppkey AS b_id,
+        |    (s_suppkey * cast(211.7 as double)) % cast(360 as double)
+        |      AS b_ra,
+        |    (s_suppkey * cast(53.77 as double)) % cast(120 as double)
+        |      - cast(60 as double) AS b_dec
+        |  FROM supplier),
+        |pairs AS (SELECT b_id, a_id,
+        |    least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      + (a_dec - b_dec) * (a_dec - b_dec) AS d2
+        |  FROM a JOIN b
+        |    ON least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      * least(abs(a_ra - b_ra), 360.0 - abs(a_ra - b_ra))
+        |      + (a_dec - b_dec) * (a_dec - b_dec) <= 9.0),
+        |ranked AS (SELECT b_id, a_id, d2,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY d2, a_id)
+        |      AS rnk
+        |  FROM pairs)
+        |SELECT b_id, cast(rnk as int) AS rank, a_id,
+        |  round(d2, 4) AS dist2
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY b_id, rnk""".stripMargin,
+
     // TPC-H Q7: bidirectional cross-nation trade per ship year
     "q_join_nation_volume" ->
       s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -119,6 +119,171 @@ class OpsRound12Spec extends SparkSpec {
     assert(prices.sortBy(p => (-p._1, p._2)).toSeq === prices.toSeq)
   }
 
+  // ---- q_agg_corr --------------------------------------------------------
+
+  test("covar_samp/var identity reproduces the regr slope") {
+    val corrRows = ops.Aggregates.aggCorr(spark, sfDir)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val regrRows = ops.Aggregates.aggRegr(spark, sfDir)
+      .as[(String, Double, Double, Double, Long)].collect()
+    regrRows.foreach { case (flag, slope, _, _, n) =>
+      val (_, _, covS, _, nc) = corrRows(flag)
+      assert(nc === n)
+      // slope = covar_samp / var_samp(x) — replay var from raw rows
+      val xs = Tables(spark, sfDir, "lineitem")
+        .filter($"l_returnflag" === flag)
+        .select($"l_quantity").as[Double].collect()
+      val mx = xs.sum / xs.length
+      val varx = xs.map(x => (x - mx) * (x - mx)).sum / (xs.length - 1)
+      assert(math.abs(covS / varx - slope) < 1e-2, flag)
+    }
+  }
+
+  // ---- q_agg_string ------------------------------------------------------
+
+  test("listagg equals the sorted distinct census") {
+    val rows = ops.Aggregates.aggString(spark, sfDir)
+      .as[(String, String, Long, Long)].collect()
+    val base = Tables(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderstatus")
+      .as[(String, String)].collect()
+    rows.foreach { case (p, csv, nd, n) =>
+      val g = base.filter(_._1 == p).map(_._2)
+      assert(csv === g.distinct.sorted.mkString(","), p)
+      assert(nd === g.distinct.length.toLong, p)
+      assert(n === g.length.toLong, p)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  // ---- q_stats_ttest -----------------------------------------------------
+
+  test("Welch t matches a driver replay from raw cents") {
+    val (na, nb, ma, mb, t, df) = ops.Quality.statsTtest(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val cents = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val (a, b) = cents.partition(_._1 % 2 == 0)
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    def stats(xs: Array[Long]) = {
+      val n = xs.length.toDouble
+      val m = xs.map(BigInt(_)).sum.toDouble / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (nad, mad, vad) = stats(a.map(_._2))
+    val (nbd, mbd, vbd) = stats(b.map(_._2))
+    assert(math.abs(ma - mad / 100.0) < 1e-6)
+    assert(math.abs(mb - mbd / 100.0) < 1e-6)
+    val se2 = vad / nad + vbd / nbd
+    assert(math.abs(t - (mad - mbd) / math.sqrt(se2)) < 1e-3)
+    val dfW = se2 * se2 /
+      (math.pow(vad / nad, 2) / (nad - 1)
+        + math.pow(vbd / nbd, 2) / (nbd - 1))
+    assert(math.abs(df - dfW) < 1e-1)
+  }
+
+  // ---- q_stats_iqr_outliers ----------------------------------------------
+
+  test("IQR fences and outlier counts match a sorted-array replay") {
+    val rows = ops.Quality.statsIqrOutliers(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val base = Tables(spark, sfDir, "customer")
+      .select($"c_mktsegment", $"c_acctbal")
+      .as[(String, Double)].collect().groupBy(_._1)
+    def pct(xs: Array[Double], p: Double): Double = {
+      val pos = p * (xs.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < xs.length) xs(lo) * (1 - frac) + xs(lo + 1) * frac
+      else xs(lo)
+    }
+    rows.foreach { case (seg, n, nOut, fLo, fHi) =>
+      val xs = base(seg).map(_._2).sorted
+      assert(n === xs.length.toLong, seg)
+      val q1 = pct(xs, 0.25); val q3 = pct(xs, 0.75)
+      val lo = q1 - (q3 - q1) * 1.5; val hi = q3 + (q3 - q1) * 1.5
+      assert(math.abs(fLo - lo) < 1e-3, seg)
+      assert(math.abs(fHi - hi) < 1e-3, seg)
+      assert(nOut === xs.count(x => x < lo || x > hi).toLong, seg)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  // ---- q_win_value_funcs -------------------------------------------------
+
+  test("IGNORE NULLS carry-forward matches a per-user sequential fold") {
+    val rows = ops.Windows.winValueFuncs(spark, sfDir)
+      .select($"user_id", $"event_id", $"last_price", $"entry_price",
+        $"second_price", $"n_priced", $"n_events")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Long, Long)].collect()
+    val raw = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts"),
+        when($"event_type" === "purchase", $"value"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .groupBy(_._1)
+      .map { case (u, v) =>
+        u -> v.sortBy(e => (e._3, e._2))
+      }
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    raw.foreach { case (u, seq) =>
+      val priced = seq.flatMap(_._4)
+      var last: Option[Double] = None
+      seq.foreach { case (_, eid, _, pv) =>
+        last = pv.orElse(last)
+        val r = byKey((u, eid))
+        assert(r._3 === last, s"last_price u=$u e=$eid")
+        assert(r._4 === priced.headOption, s"entry u=$u")
+        assert(r._5 === priced.drop(1).headOption, s"second u=$u")
+        assert(r._6 === priced.length.toLong)
+        assert(r._7 === seq.length.toLong)
+      }
+    }
+  }
+
+  // ---- q_regex_funcs / q_text_readability --------------------------------
+
+  test("regex pack matches java.util.regex on every doc") {
+    val rows = ops.Scalars.regexFuncs(spark, sfDir)
+      .as[(Long, String, Int, String, Boolean)].collect()
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val pLong = java.util.regex.Pattern.compile("[A-Za-z]{9,}")
+    rows.foreach { case (id, first, n, masked, has3) =>
+      val t = texts(id)
+      val m = pLong.matcher(t)
+      val all = Iterator.continually(m.find()).takeWhile(identity)
+        .map(_ => m.group()).toList
+      assert(first === all.headOption.getOrElse(""), id)
+      assert(n === all.length, id)
+      assert(masked === t.replaceAll("[0-9]+", "#").take(40), id)
+      assert(has3 === ("[0-9]{3}".r.findFirstIn(t).isDefined), id)
+    }
+  }
+
+  test("flesch formula replays from driver regex counts") {
+    val rows = ops.LlmOps.textReadability(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, w, s, y, f) =>
+      val t = texts(id)
+      def cnt(p: String) = {
+        val m = java.util.regex.Pattern.compile(p).matcher(t)
+        Iterator.continually(m.find()).takeWhile(identity).size
+      }
+      assert(w === cnt("[A-Za-z0-9]+").toLong, id)
+      assert(s === math.max(cnt("[.!?]+"), 1).toLong, id)
+      assert(y === cnt("[aeiouAEIOU]+").toLong, id)
+      val want = 206.835 - 1.015 * (w.toDouble / s) -
+        84.6 * (y.toDouble / w)
+      assert(math.abs(f - want) < 1e-3, id)
+    }
+    assert(rows.nonEmpty)
+  }
+
   // ---- q_join_waiting_supplier (Q21 adapted) -----------------------------
 
   test("waiting supplier counts equal a brute-force per-order replay") {

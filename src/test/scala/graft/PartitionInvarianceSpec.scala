@@ -126,7 +126,19 @@ class PartitionInvarianceSpec extends SparkSpec {
     // ties-at-max window, double aggregation) must not depend on layout
     "q_join_top_supplier", "q_join_waiting_supplier",
     "q_agg_count_distribution", "q_join_nation_volume",
-    "q_join_market_share", "q_subquery_in_grouped")
+    "q_join_market_share", "q_subquery_in_grouped",
+    // round 12 wave G: moment aggs, ordered listagg, census t-test,
+    // quantile fences, IGNORE NULLS frames over totalized orderings
+    "q_agg_corr", "q_agg_string", "q_stats_ttest",
+    "q_stats_iqr_outliers", "q_win_value_funcs",
+    // round 12 wave H: doubled-midrank Spearman (TwoPass cumsums),
+    // integer-cents HHI census, exact moment skew/kurt, per-user
+    // sequence strings (collect_list sort), chunk dedup keeper join +
+    // ordered reassembly, zone-banded kNN rank window, 1-row decimal
+    // stock gate
+    "q_stats_spearman", "q_stats_hhi", "q_stats_moments",
+    "q_events_pattern", "q_dedup_paragraph", "q_spatial_knn",
+    "q_agg_important_stock")
 
   private lazy val alt = {
     val s = spark.newSession()

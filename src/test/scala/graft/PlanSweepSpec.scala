@@ -49,7 +49,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_stats_mutual_info", // 1-row broadcast N crossJoin
     "q_events_power_users", // 1-row broadcast user/event-totals crossJoin
     "q_subquery_global_avg_anti", // 1-row broadcast global-average gate
-    "q_ts_cusum"         // 1-row broadcast reference-rate crossJoin
+    "q_ts_cusum",        // 1-row broadcast reference-rate crossJoin
+    "q_agg_important_stock" // 1-row broadcast decimal-threshold gate
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
