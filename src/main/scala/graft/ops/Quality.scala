@@ -777,31 +777,35 @@ object Quality {
     * square past int64 beyond ~sf2); rho derives through one fixed
     * double tree, r4.
     *
-    * Scale posture: two value censuses (quantity domain ≤50 rows —
-    * broadcast; cents domain ≪ corpus — one shuffle join), TwoPass
-    * range-partitioned cumsums (no corpus-wide window anywhere), one
-    * partial-agged moment pass. */
+    * Scale posture: ONE corpus scan folds to the joint (quantity,
+    * cents) PAIR census; both marginal censuses derive from it (no
+    * second scan), TwoPass range-partitioned cumsums rank the
+    * marginals (no corpus-wide window anywhere), and the rank joins +
+    * count-weighted moment pass all run at census scale — corpus size
+    * enters only through the first aggregation. */
   def statsSpearman(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val d38 = "decimal(38,0)"
-    val facts = Tables(spark, sfDir, "lineitem")
+    val pairs = Tables(spark, sfDir, "lineitem")
       .select($"l_quantity".cast("long").as("qv"),
         round($"l_extendedprice" * 100).cast("long").as("pv"))
-    def doubledRanks(c: String, out: String): DataFrame = {
-      val census = facts.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .groupBy($"qv", $"pv").agg(count(lit(1)).as("np"))
+    def doubledRanks(census: DataFrame, c: String,
+        out: String): DataFrame =
       TwoPass.cumsum(census, c, Seq("n"))
         .select(col(c), (col("cum_n") * 2 - col("n") + 1).as(out))
-    }
-    val qr = doubledRanks("qv", "drq") // ≤50 rows
-    val pr = doubledRanks("pv", "drp") // distinct-cents rows
-    val m = facts
+    val qr = doubledRanks(
+      pairs.groupBy($"qv").agg(sum($"np").as("n")), "qv", "drq") // ≤50
+    val pr = doubledRanks(
+      pairs.groupBy($"pv").agg(sum($"np").as("n")), "pv", "drp")
+    val m = pairs
       .join(broadcast(qr), "qv")
       .join(pr, "pv")
-      .agg(count(lit(1)).as("n"),
-        sum($"drq").as("sq"), sum($"drp").as("sp"),
-        sum($"drq".cast(d38) * $"drq").as("sqq"),
-        sum($"drp".cast(d38) * $"drp").as("spp"),
-        sum($"drq".cast(d38) * $"drp").as("sqp"))
+      .agg(sum($"np").as("n"),
+        sum($"np" * $"drq").as("sq"), sum($"np" * $"drp").as("sp"),
+        sum($"np" * ($"drq".cast(d38) * $"drq")).as("sqq"),
+        sum($"np" * ($"drp".cast(d38) * $"drp")).as("spp"),
+        sum($"np" * ($"drq".cast(d38) * $"drp")).as("sqp"))
     val nd = $"n".cast(DoubleType)
     val (sq, sp) = ($"sq".cast(DoubleType), $"sp".cast(DoubleType))
     val (sqq, spp, sqp) = ($"sqq".cast(DoubleType),
