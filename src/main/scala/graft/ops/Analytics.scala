@@ -1426,7 +1426,46 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** DAY-OF-WEEK SEASONAL DECOMPOSITION of daily revenue — the
+    * weekly-seasonality profile (mean revenue and seasonal index per
+    * weekday) that q_ts_acf detects and this key QUANTIFIES. The
+    * weekday is `pmod(days since 1995-01-02, 7)` — pure integer date
+    * arithmetic, identical in both engines (the engines' native
+    * dayofweek() disagree on 0- vs 1-based Sunday anchoring — the
+    * documented cross-engine trap this formulation removes; anchor
+    * day 0 = Monday). Means and the index derive from exact integer
+    * cents/day-count sums through cross-multiplied DECIMAL(38,0)
+    * products (no per-group division until the final IEEE ops), r4.
+    *
+    * Scale posture: corpus → day census (one partial-agged pass) →
+    * 7-row weekday census + 1-row broadcast global — the 100 TB plan
+    * is the sf0.001 plan. */
+  def tsSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val daily = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate").as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"day")
+      .agg(sum($"cents").as("day_cents"))
+      .select(pmod(datediff($"day", lit("1995-01-02").cast("date")),
+        lit(7)).as("dow"), $"day_cents")
+    val g = daily.agg(sum($"day_cents").as("g_cents"),
+      count(lit(1)).as("g_days"))
+    daily.groupBy($"dow")
+      .agg(count(lit(1)).as("n_days"), sum($"day_cents").as("dow_cents"))
+      .crossJoin(broadcast(g))
+      .select($"dow", $"n_days",
+        graft.Det.r4($"dow_cents".cast("double")
+          / ($"n_days".cast("double") * 100.0)).as("mean_rev"),
+        graft.Det.r4(($"dow_cents".cast(d38) * $"g_days").cast("double")
+          / (($"n_days".cast(d38) * $"g_cents")).cast("double"))
+          .as("seasonal_idx"))
+      .orderBy($"dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_seasonal" -> tsSeasonal,
     "q_events_pattern" -> eventsPattern,
     "q_events_cooccur" -> eventsCooccur,
     "q_ts_cusum" -> tsCusum,

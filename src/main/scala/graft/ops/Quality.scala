@@ -890,7 +890,40 @@ object Quality {
       .orderBy($"l_returnflag")
   }
 
+  /** CRAMÉR'S V — the EFFECT-SIZE companion to [[statsChi2]] (χ² says
+    * "dependent", V says "how much" on a 0..1 scale comparable across
+    * table shapes): V = √(χ² / (n · (min(r,c) − 1))) over the same
+    * priority × status margin grid. The χ² fold runs UNROUNDED inside
+    * (r4 only at the surface, like every derived statistic here); the
+    * category counts come from the same grid.
+    *
+    * Scale posture: identical to χ² — one domain-bounded cell census,
+    * two tiny margin re-aggregations, single-row rollup. */
+  def statsCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority".as("r"), $"o_orderstatus".as("c"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy($"r").agg(sum($"obs").cast("long").as("rt"))
+    val colTot = cells.groupBy($"c").agg(sum($"obs").cast("long").as("ct"))
+    val n = cells.agg(sum($"obs").cast("long").as("n"))
+    val grid = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("r", "c"), "left")
+      .crossJoin(broadcast(n))
+      .select($"r", $"c", coalesce($"obs", lit(0L)).as("obs"), $"n",
+        (($"rt" * $"ct").cast("double") / $"n").as("exp"))
+    val agg = grid.agg(max($"n").as("n"),
+      countDistinct($"r").as("nr"), countDistinct($"c").as("nc"),
+      sum(($"obs" - $"exp") * ($"obs" - $"exp") / $"exp").as("chi2raw"))
+    agg.select($"n", (($"nr" - 1) * ($"nc" - 1)).as("dof"),
+      Det.r4($"chi2raw").as("chi2"),
+      Det.r4(sqrt($"chi2raw"
+        / ($"n" * (least($"nr", $"nc") - 1)).cast(DoubleType)))
+        .as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_cramers_v" -> statsCramersV,
     "q_stats_spearman" -> statsSpearman,
     "q_stats_hhi" -> statsHhi,
     "q_stats_moments" -> statsMoments,

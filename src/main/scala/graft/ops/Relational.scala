@@ -1604,7 +1604,37 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** PLAIN-TEXT source/sink roundtrip — `spark.read.text` is the
+    * format every raw-corpus ingestion starts from (one line = one
+    * record, schema = a single `value` string). Documents serialize
+    * to tab-separated lines (this corpus is space-tokenized — no
+    * embedded tabs/newlines, the precondition any text-line format
+    * requires), read back through the text source, re-parsed with
+    * `split`, and censused per language; the oracle aggregates the
+    * ORIGINAL table, so the hash match proves the sink+source+parse
+    * chain is lossless.
+    *
+    * Scale posture: text write/read parallelize per file split like
+    * any other source; the census is one partial-agged pass. */
+  def sinkTextRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratchRoot/sink_text"
+    Tables(spark, sfDir, "documents")
+      .select(concat_ws("\t", $"doc_id", $"lang", $"text").as("value"))
+      .write.mode("overwrite").text(dir)
+    spark.read.text(dir)
+      .select(split($"value", "\t").as("p"))
+      .select($"p".getItem(0).cast("long").as("doc_id"),
+        $"p".getItem(1).as("lang"), $"p".getItem(2).as("text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length($"text").cast("long")).as("sum_chars"),
+        sum($"doc_id").as("sum_ids"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sink_text_roundtrip" -> sinkTextRoundtrip,
     "q_join_product_profit" -> joinProductProfit,
     "q_agg_important_stock" -> aggImportantStock,
     "q_subquery_part_promotion" -> subqueryPartPromotion,

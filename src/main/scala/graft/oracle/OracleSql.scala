@@ -4374,6 +4374,59 @@ object OracleSql {
         |    4) AS flesch
         |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
+    // Cramér's V effect size over the same chi2 margin grid
+    "q_stats_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |    count(*) AS obs FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, cast(sum(obs) as bigint) AS rt FROM cells
+        |       GROUP BY r),
+        |ct AS (SELECT c, cast(sum(obs) as bigint) AS ct FROM cells
+        |       GROUP BY c),
+        |n AS (SELECT cast(sum(obs) as bigint) AS n FROM cells),
+        |g AS (SELECT rt.r, ct.c, coalesce(cells.obs, 0) AS obs, n.n,
+        |        cast(rt.rt * ct.ct as double) / n.n AS exp
+        |      FROM rt CROSS JOIN ct
+        |      LEFT JOIN cells ON rt.r = cells.r AND ct.c = cells.c
+        |      CROSS JOIN n),
+        |a AS (SELECT max(n) AS n,
+        |        count(DISTINCT r) AS nr, count(DISTINCT c) AS nc,
+        |        sum((obs - exp) * (obs - exp) / exp) AS chi2raw
+        |      FROM g)
+        |SELECT n, (nr - 1) * (nc - 1) AS dof,
+        |  round(chi2raw, 4) AS chi2,
+        |  round(sqrt(chi2raw
+        |    / cast(n * (least(nr, nc) - 1) as double)), 4) AS cramers_v
+        |FROM a""".stripMargin,
+
+    // weekday seasonality on integer date arithmetic (engine-neutral
+    // anchor: days since Monday 1995-01-02, mod 7)
+    "q_ts_seasonal" ->
+      """WITH daily AS (SELECT cast(o_orderdate as date) AS day,
+        |    sum(cast(round(o_totalprice * 100) as bigint)) AS day_cents
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT
+        |    ((day - DATE '1995-01-02') % 7 + 7) % 7 AS dow, day_cents
+        |  FROM daily),
+        |g AS (SELECT sum(day_cents) AS g_cents, count(*) AS g_days
+        |  FROM d2)
+        |SELECT dow, count(*) AS n_days,
+        |  round(cast(sum(day_cents) as double)
+        |    / (cast(count(*) as double) * 100.0), 4) AS mean_rev,
+        |  round(cast(cast(sum(day_cents) as decimal(38,0))
+        |      * max(g.g_days) as double)
+        |    / cast(cast(count(*) as decimal(38,0))
+        |      * max(g.g_cents) as double), 4) AS seasonal_idx
+        |FROM d2 CROSS JOIN g
+        |GROUP BY dow ORDER BY dow""".stripMargin,
+
+    // text-line sink+source+parse chain proven lossless vs the
+    // original table
+    "q_sink_text_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  cast(sum(length(text)) as bigint) AS sum_chars,
+        |  cast(sum(doc_id) as bigint) AS sum_ids
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // TPC-H Q6: pure filter-and-aggregate, exact decimal revenue
     "q_agg_revenue_cut" ->
       """SELECT cast(sum(cast(l_extendedprice as decimal(12,2))

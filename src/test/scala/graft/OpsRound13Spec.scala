@@ -265,6 +265,79 @@ class OpsRound13Spec extends SparkSpec {
       "expected at least one cross-doc duplicate chunk")
   }
 
+  // ---- q_stats_cramers_v ---------------------------------------------------
+
+  test("Cramér's V matches a driver chi-square replay") {
+    val (n, dof, chi2, v) = ops.Quality.statsCramersV(spark, sfDir)
+      .as[(Long, Long, Double, Double)].head()
+    val rows = Tables(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderstatus")
+      .as[(String, String)].collect()
+    assert(n === rows.length.toLong)
+    val rs = rows.map(_._1).distinct.sorted
+    val cs = rows.map(_._2).distinct.sorted
+    assert(dof === ((rs.length - 1) * (cs.length - 1)).toLong)
+    val cells = rows.groupBy(identity).map { case (k, v0) => k -> v0.length }
+    val rt = rows.groupBy(_._1).map { case (k, v0) => k -> v0.length }
+    val ct = rows.groupBy(_._2).map { case (k, v0) => k -> v0.length }
+    val chi = (for (r <- rs; c <- cs) yield {
+      val exp = rt(r).toDouble * ct(c) / rows.length
+      val obs = cells.getOrElse((r, c), 0).toDouble
+      (obs - exp) * (obs - exp) / exp
+    }).sum
+    assert(math.abs(chi2 - chi) < 1e-2)
+    val wantV = math.sqrt(chi / (rows.length.toDouble *
+      (math.min(rs.length, cs.length) - 1)))
+    assert(math.abs(v - wantV) < 1e-3)
+  }
+
+  // ---- q_ts_seasonal -------------------------------------------------------
+
+  test("weekday seasonal indices replay from an exact day census") {
+    val got = ops.Analytics.tsSeasonal(spark, sfDir)
+      .as[(Int, Long, Double, Double)].collect()
+    val anchor = java.time.LocalDate.parse("1995-01-02")
+    val daily = Tables(spark, sfDir, "orders")
+      .select(to_date($"o_orderdate").cast("string"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(r => BigInt(r._2)).sum
+      }
+    val byDow = daily.groupBy { case (d, _) =>
+      (((java.time.temporal.ChronoUnit.DAYS.between(anchor,
+        java.time.LocalDate.parse(d)) % 7) + 7) % 7).toInt
+    }
+    val gCents = daily.values.sum
+    val gDays = daily.size
+    assert(got.map(_._1).toSet === byDow.keySet)
+    got.foreach { case (dow, nDays, meanRev, idx) =>
+      val ds = byDow(dow)
+      assert(nDays === ds.size.toLong, dow)
+      val cents = ds.values.sum
+      assert(math.abs(meanRev - cents.toDouble / (ds.size * 100.0))
+        < 1e-2, dow)
+      val wantIdx = (BigDecimal(cents) * gDays).toDouble /
+        (BigDecimal(ds.size) * BigDecimal(gCents)).toDouble
+      assert(math.abs(idx - wantIdx) < 1e-3, dow)
+    }
+    // indices average to ~1 by construction (weighted by day counts)
+    assert(got.nonEmpty)
+  }
+
+  // ---- q_sink_text_roundtrip -----------------------------------------------
+
+  test("text roundtrip census equals the original-table census") {
+    val got = ops.Relational.sinkTextRoundtrip(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    val want = Tables(spark, sfDir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)), sum(length($"text").cast("long")),
+        sum($"doc_id"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+  }
+
   // ---- q_spatial_knn -------------------------------------------------------
 
   test("bounded-radius kNN equals the brute-force top-3 per supplier") {

@@ -138,7 +138,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // stock gate
     "q_stats_spearman", "q_stats_hhi", "q_stats_moments",
     "q_events_pattern", "q_dedup_paragraph", "q_spatial_knn",
-    "q_agg_important_stock")
+    "q_agg_important_stock",
+    // wave I: margin-grid effect size, weekday census decomposition,
+    // text-line sink+source+parse chain
+    "q_stats_cramers_v", "q_ts_seasonal", "q_sink_text_roundtrip")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -50,7 +50,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_events_power_users", // 1-row broadcast user/event-totals crossJoin
     "q_subquery_global_avg_anti", // 1-row broadcast global-average gate
     "q_ts_cusum",        // 1-row broadcast reference-rate crossJoin
-    "q_agg_important_stock" // 1-row broadcast decimal-threshold gate
+    "q_agg_important_stock", // 1-row broadcast decimal-threshold gate
+    "q_stats_cramers_v", // domain-bounded margin grid + 1-row N crossJoin
+    "q_ts_seasonal"      // 1-row broadcast global-mean crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
