@@ -51,6 +51,19 @@ def main(sf_dir, out_dir):
         try:
             spark_df = con.execute(
                 "SELECT * FROM read_parquet(?)", [files]).fetchdf()
+            # lint: reject oracle output types the driver's hasher treats
+            # differently from Spark's (HUGEINT from uncast sums bit us in
+            # round 7 — DuckDB types sum(BIGINT) as int128)
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            bad_types = [(c, t) for c, t, *_ in desc
+                         if "HUGEINT" in t.upper() or "INT128" in t.upper()
+                         or t.upper() in ("UNKNOWN", "ANY")]
+            if bad_types:
+                failures.append(
+                    (name, f"oracle output type not hash-stable: {bad_types} "
+                           f"— cast to BIGINT/DOUBLE in the oracle SQL"))
+                n_fail += 1
+                continue
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             failures.append((name, f"exec error: {e}"))

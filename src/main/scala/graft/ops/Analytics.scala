@@ -1306,17 +1306,19 @@ object Analytics {
     val cum = TwoPass.cumsum(census, "neg", Seq("nu", "ev"))
     val tot = cum.agg(max($"cum_nu").as("n_users"),
       max($"cum_ev").as("total_events"))
-    // decile size k = floor(n/10); the block CONTAINING rank k is the
+    // decile size k = max(1, floor(n/10)) — clamped so the boundary
+    // filter stays satisfiable below 10 users (k=0 made it vacuous and
+    // the result silently empty); the block CONTAINING rank k is the
     // threshold count: users above it are fully in, k_rem tie users
     // at the threshold contribute cnt_star each
+    val k = greatest(lit(1L), floor($"n_users" / 10))
     cum.crossJoin(broadcast(tot))
-      .filter($"cum_nu" - $"nu" < floor($"n_users" / 10)
-        && floor($"n_users" / 10) <= $"cum_nu")
+      .filter($"cum_nu" - $"nu" < k && k <= $"cum_nu")
       .select($"n_users", $"total_events",
-        floor($"n_users" / 10).as("k"),
+        k.as("k"),
         $"cnt".as("threshold_cnt"),
         ($"cum_ev" - $"ev"
-          + (floor($"n_users" / 10) - ($"cum_nu" - $"nu")) * $"cnt")
+          + (k - ($"cum_nu" - $"nu")) * $"cnt")
           .as("top_events"))
       .withColumn("share",
         $"top_events".cast("double") / $"total_events".cast("double"))

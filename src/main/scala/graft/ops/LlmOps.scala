@@ -3691,7 +3691,10 @@ object LlmOps {
       .select($"doc_id", $"chunk_idx",
         array_join(slice($"t", $"chunk_idx" * 20 + 1, lit(20)), " ")
           .as("chunk"),
-        ($"doc_id" * 100000 + $"chunk_idx").as("keyord"))
+        // structural keeper key — lexicographic (doc_id, chunk_idx) min,
+        // collision-free at any chunk count (an arithmetic doc*K+idx fold
+        // aliases across docs once a doc exceeds K chunks)
+        struct($"doc_id", $"chunk_idx").as("keyord"))
     val keeper = chunks.groupBy($"chunk")
       .agg(min($"keyord").as("keep_key"))
     val kept = chunks.join(keeper, Seq("chunk"))

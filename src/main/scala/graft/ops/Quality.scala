@@ -650,12 +650,13 @@ object Quality {
         .cast(StringType), 1, 1).cast("int").as("digit"))
       .groupBy($"digit").agg(count(lit(1)).as("observed"))
     val tot = obs.agg(sum($"observed").as("n"))
+    // r4 only at the surface: chi2_term folds over the UNROUNDED
+    // expected count (rounding the intermediate perturbs the term)
+    val expRaw = $"n" * log10(lit(1.0) + lit(1.0) / $"digit")
     obs.crossJoin(broadcast(tot))
-      .withColumn("expected",
-        Det.r4($"n" * log10(lit(1.0) + lit(1.0) / $"digit")))
-      .select($"digit", $"observed", $"expected",
-        Det.r4(($"observed" - $"expected") * ($"observed" - $"expected")
-          / $"expected").as("chi2_term"))
+      .select($"digit", $"observed", Det.r4(expRaw).as("expected"),
+        Det.r4(($"observed" - expRaw) * ($"observed" - expRaw)
+          / expRaw).as("chi2_term"))
       .orderBy($"digit")
   }
 

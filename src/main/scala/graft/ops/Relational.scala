@@ -640,8 +640,9 @@ object Relational {
     * after it (conversion-delay measurement), the time-reversed twin
     * of [[joinAsof]]'s latest-prior lookup. Same union + running-
     * window shape — one shuffle on the key, NO quadratic join — with
-    * the frame flipped to CURRENT..FOLLOWING and purchases sorting
-    * BEFORE clicks at equal ts so "at-or-after" includes ties.
+    * the frame flipped to CURRENT..FOLLOWING and clicks sorting
+    * BEFORE purchases at equal ts, so a same-timestamp purchase lands
+    * INSIDE the click's forward frame ("at-or-after" includes ties).
     * Delay surfaces in exact integer microseconds. */
   def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -652,8 +653,8 @@ object Relational {
     val clicks = e.filter($"event_type" === "click")
       .select($"user_id", $"ts", lit(null).cast(TimestampType).as("p_ts"),
         $"event_id".as("c_event_id"))
-    val tagged = purchases.withColumn("src", lit(0))
-      .unionByName(clicks.withColumn("src", lit(1)))
+    val tagged = clicks.withColumn("src", lit(0))
+      .unionByName(purchases.withColumn("src", lit(1)))
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"src")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     tagged

@@ -3926,10 +3926,10 @@ object OracleSql {
         |  FROM orders GROUP BY 1),
         |tot AS (SELECT cast(sum(observed) as bigint) AS n FROM obs),
         |e AS (SELECT digit, observed,
-        |    round(n * log10(1.0 + 1.0 / digit), 4) AS expected
+        |    n * log10(1.0 + 1.0 / digit) AS exp_raw
         |  FROM obs CROSS JOIN tot)
-        |SELECT digit, observed, expected,
-        |  round((observed - expected) * (observed - expected) / expected, 4)
+        |SELECT digit, observed, round(exp_raw, 4) AS expected,
+        |  round((observed - exp_raw) * (observed - exp_raw) / exp_raw, 4)
         |    AS chi2_term
         |FROM e ORDER BY digit""".stripMargin,
 
@@ -3993,13 +3993,17 @@ object OracleSql {
         |  FROM census),
         |tot AS (SELECT max(cum_nu) AS n_users, max(cum_ev) AS total_events
         |  FROM cum)
-        |SELECT n_users, total_events, n_users // 10 AS k,
+        |SELECT n_users, total_events,
+        |  greatest(1, n_users // 10) AS k,
         |  cnt AS threshold_cnt,
-        |  cum_ev - ev + (n_users // 10 - (cum_nu - nu)) * cnt AS top_events,
-        |  cast(cum_ev - ev + (n_users // 10 - (cum_nu - nu)) * cnt as double)
+        |  cum_ev - ev + (greatest(1, n_users // 10) - (cum_nu - nu)) * cnt
+        |    AS top_events,
+        |  cast(cum_ev - ev
+        |      + (greatest(1, n_users // 10) - (cum_nu - nu)) * cnt as double)
         |    / cast(total_events as double) AS share
         |FROM cum CROSS JOIN tot
-        |WHERE cum_nu - nu < n_users // 10 AND n_users // 10 <= cum_nu""".stripMargin,
+        |WHERE cum_nu - nu < greatest(1, n_users // 10)
+        |  AND greatest(1, n_users // 10) <= cum_nu""".stripMargin,
 
     // nation share-of-region + running concentration over the ≤25-row
     // nation census; exact decimal sums, IEEE divisions
@@ -4217,10 +4221,10 @@ object OracleSql {
     // at-or-after includes ties; min over the FOLLOWING frame
     "q_join_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, ts AS p_ts,
-        |    CAST(NULL AS BIGINT) AS c_event_id, 0 AS src
+        |    CAST(NULL AS BIGINT) AS c_event_id, 1 AS src
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS p_ts,
-        |    event_id AS c_event_id, 1 AS src
+        |    event_id AS c_event_id, 0 AS src
         |  FROM events WHERE event_type = 'click'),
         |t AS (SELECT * FROM p UNION ALL SELECT * FROM c),
         |w AS (SELECT user_id, ts, c_event_id,
@@ -4489,7 +4493,9 @@ object OracleSql {
         |  WHERE p_type = 'PROMO'
         |  GROUP BY 1),
         |v2 AS (SELECT * FROM vol WHERE recent_qty * 5 > total_qty)
-        |SELECT s_suppkey, s_name, recent_qty, total_qty
+        |SELECT s_suppkey, s_name,
+        |  cast(recent_qty AS BIGINT) AS recent_qty,
+        |  cast(total_qty AS BIGINT) AS total_qty
         |FROM supplier JOIN v2 ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
 
@@ -4591,7 +4597,7 @@ object OracleSql {
         |chunks AS (SELECT doc_id, chunk_idx,
         |    array_to_string(
         |      t[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ') AS chunk,
-        |    doc_id * 100000 + chunk_idx AS keyord
+        |    {'d': doc_id, 'i': chunk_idx} AS keyord
         |  FROM idx),
         |keeper AS (SELECT chunk, min(keyord) AS keep_key
         |  FROM chunks GROUP BY 1),
@@ -4710,7 +4716,7 @@ object OracleSql {
         |  FROM lineitem GROUP BY 1 HAVING total_qty > 180)
         |SELECT c.c_name, c.c_custkey, o.o_orderkey,
         |  cast(o.o_orderdate as date) AS o_date, o.o_totalprice,
-        |  big.total_qty
+        |  cast(big.total_qty AS BIGINT) AS total_qty
         |FROM orders o
         |JOIN big ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
