@@ -2212,6 +2212,20 @@ object OracleSql {
         |  cast(sum(cast(value as decimal(12,2)) * w) as double) AS weighted
         |FROM e JOIN d2 USING (k)""".stripMargin,
 
+    // wide-catalog fixture is a pure derivation of part: recompute the
+    // three consumed columns directly (the other 297 never matter)
+    "q_scan_wide_prune" ->
+      """WITH w AS (SELECT p_partkey AS objid,
+        |    ((p_partkey * 31 + 7) % 10000) / 100.0 AS mag_007,
+        |    ((p_partkey * 31 + 233) % 10000) / 100.0 AS mag_233,
+        |    p_partkey % 8 AS flags
+        |  FROM part)
+        |SELECT objid % 10 AS bucket, count(*) AS n_obj,
+        |  cast(sum(cast(mag_007 as decimal(27,4))) as double) AS sum_mag7,
+        |  cast(sum(cast(mag_233 as decimal(27,4))) as double) AS sum_mag233
+        |FROM w WHERE flags = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_describe_schema" ->
       """SELECT table_name, cast(ordinal_position as int) AS ord,
         |  column_name, lower(data_type) AS dtype

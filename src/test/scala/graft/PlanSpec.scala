@@ -23,6 +23,27 @@ class PlanSpec extends SparkSpec {
       readSchema.take(200))
   }
 
+  test("wide catalog: 300-col scan prunes to the 4 used columns + pushed flags") {
+    val plan = finalPlan(graft.sources.Sources.scanWidePrune(spark, sfDir))
+    // the wide_catalog scan section (not the part scan that built it)
+    val scan = plan.split("Location:").find(_.contains("wide_catalog"))
+      .orElse(plan.split("ReadSchema: ").find(_.contains("mag_007")))
+      .getOrElse(plan)
+    val readSchema = plan.split("ReadSchema: ")
+      .map(_.takeWhile(_ != '\n')) // schema struct is one line
+      .find(_.contains("mag_007")).getOrElse("")
+    // exactly the consumed columns — a 300-wide ReadSchema means
+    // pruning regressed and the scan reads ~100x the bytes at 100 TB
+    assert(readSchema.contains("objid") && readSchema.contains("flags")
+      && readSchema.contains("mag_007") && readSchema.contains("mag_233"),
+      readSchema.take(300))
+    assert(!readSchema.contains("mag_001") && !readSchema.contains("ra:")
+      && !readSchema.contains("mag_296"), readSchema.take(300))
+    // the flags cut reaches the parquet reader as a pushed filter
+    assert(plan.contains("PushedFilters: [IsNotNull(flags), EqualTo(flags,0)]")
+      || plan.contains("EqualTo(flags,0)"), scan.take(600))
+  }
+
   test("small-dim star join broadcasts") {
     val plan = finalPlan(Relational.joinBroadcast(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
