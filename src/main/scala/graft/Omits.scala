@@ -118,11 +118,17 @@ object Omits {
     }
 
     // q_dedup_minhash / q_dedup_simhash: recall vs the exact-Jaccard
-    // strong (j>=0.9) pair set; minhash pairs are also verified-exact
+    // strong (j>=0.9) pair set; minhash pairs are also verified-exact.
+    // Two SEPARATE attempt blocks (ADVICE r8): nesting simhash inside
+    // the minhash attempt meant a simhash failure overwrote the
+    // already-recorded minhash entry and silently dropped the simhash
+    // key from the artifact. The exact pair mine is computed once in a
+    // lazy val both blocks share; if IT fails, both report the error.
+    lazy val exactJaccardPairs = LlmOps.dedupNgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
     attempt("q_dedup_minhash") {
-      val exact = LlmOps.dedupNgramJaccard(spark, sfDir)
-        .select($"doc_a", $"doc_b", $"jaccard")
-        .as[(Long, Long, Double)].collect()
+      val exact = exactJaccardPairs
       val strong = exact.filter(_._3 >= 0.9).map(t => (t._1, t._2)).toSet
       val found = LlmOps.dedupMinhash(spark, sfDir)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
@@ -133,6 +139,10 @@ object Omits {
         "pairs subset-of exact-Jaccard pairs (precision 1) AND recall@j>=0.9 >= 0.9",
         subset && recall >= 0.9, "precision_subset" -> subset,
         "recall_strong" -> recall, "n_strong" -> strong.size)
+    }
+    attempt("q_dedup_simhash") {
+      val strong = exactJaccardPairs.filter(_._3 >= 0.9)
+        .map(t => (t._1, t._2)).toSet
       val sim = LlmOps.dedupSimhash(spark, sfDir)
         .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       val sRecall =
@@ -143,25 +153,35 @@ object Omits {
 
     // q_sim_ann_ivf / q_sim_ann_pq: recall@5 vs the exact brute-force
     // top-5 (q_sim_cosine_topk, itself hash-verified); PQ sims must be
-    // the exact cosine (re-rank leaves nothing approximate in output)
+    // the exact cosine (re-rank leaves nothing approximate in output).
+    // Separate attempt blocks for the same reason as minhash/simhash
+    // above; the exact top-k is shared via a lazy val.
+    lazy val exactTopk = LlmOps.simCosineTopk(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
     attempt("q_sim_ann_ivf") {
-      val exact = LlmOps.simCosineTopk(spark, sfDir)
-        .as[(Long, Double)].collect().toSeq
-      val truth = exact.take(5).map(_._1).toSet
+      val truth = exactTopk.take(5).map(_._1).toSet
       val ivf = LlmOps.simAnnIvf(spark, sfDir)
         .select($"vec_id").as[Long].collect().toSet
       val ivfRecall = (truth intersect ivf).size / 5.0
       put("q_sim_ann_ivf", "recall@5 vs exact top-5 >= 0.6",
         ivfRecall >= 0.6, "recall_at_5" -> ivfRecall)
+    }
+    attempt("q_sim_ann_pq") {
+      val truth = exactTopk.take(5).map(_._1).toSet
       val pq = LlmOps.simAnnPq(spark, sfDir).as[(Long, Double)].collect().toSeq
-      val exactMap = exact.toMap
-      val simsExact = pq.forall { case (id, s) =>
-        exactMap.get(id).forall(_ == s) }
+      val exactMap = exactTopk.toMap
+      // the lookup alone was vacuously true for an id OUTSIDE the exact
+      // top-k map (ADVICE r8): require every emitted id to be present in
+      // the truth map AND carry the exact cosine — a PQ result that
+      // re-ranked its way to an out-of-truth id now fails loudly
+      val idsKnown = pq.forall(p => exactMap.contains(p._1))
+      val simsExact = idsKnown && pq.forall { case (id, s) =>
+        exactMap(id) == s }
       val pqRecall = pq.take(5).map(_._1).count(truth) / 5.0
       put("q_sim_ann_pq",
-        "emitted sims are exact cosines AND recall@5 >= 0.6",
-        simsExact && pqRecall >= 0.6, "sims_exact" -> simsExact,
-        "recall_at_5" -> pqRecall)
+        "emitted ids within exact top-k, sims exact cosines, recall@5 >= 0.6",
+        simsExact && pqRecall >= 0.6, "ids_in_truth" -> idsKnown,
+        "sims_exact" -> simsExact, "recall_at_5" -> pqRecall)
     }
 
     // q_embed_pq: Lloyd iterations never increase the total residual

@@ -24,6 +24,7 @@ import org.apache.spark.sql.types._
   * | BINARY_FLOAT          | f4          | FloatType |
   * | VARCHAR2(n)           | S{n}        | StringType |
   * | DATE                  | string      | TimestampType |
+  * | FLOAT(b) (s = -127)   | f8          | DoubleType |
   *
   * The upgrades: (1) scaled/wide NUMBER keeps exact DecimalType
   * instead of collapsing to float8 — decimal exactness is the whole
@@ -56,9 +57,20 @@ object DesOracleDialect extends JdbcDialect {
       val scale = Option(md).flatMap(m => scala.util.Try(
         m.build().getLong("scale")).toOption).getOrElse(0L).toInt
       Some((size, scale) match {
+        // Oracle FLOAT / binary-precision NUMBER: the JDBC driver
+        // reports these as NUMERIC with scale = -127 (any precision).
+        // They are floating-point by declaration, so a fixed-point
+        // DecimalType would silently truncate fractions — stock
+        // OracleDialect special-cases this for the same reason.
+        case (_, -127)                       => DoubleType
         case (0, _)                          => DecimalType(38, 10)
         case (p, 0) if p <= MaxLongDigits    => LongType
         case (p, s) if s >= 0 && s <= p      => DecimalType(p, s)
+        // s > p is legal Oracle (NUMBER(2,5): sub-unity values with 5
+        // fraction digits, leading zeros implied) — Spark requires
+        // precision >= scale, so widen precision to the scale
+        case (p, s) if s > p && s <= 38      => DecimalType(s, s)
+        case (_, s) if s > 38                => DecimalType(38, 10)
         // negative scale (NUMBER(p,-s) rounds to tens): widen so the
         // integral magnitude p+|s| fits, capped at Spark's max 38
         case (p, s)                          =>

@@ -463,20 +463,26 @@ object Sources {
     * PushedFilters, so a regression that drags all 300 columns
     * through the scan fails the suite, not just the benchmark.
     * Magnitude sums ride the exact decimal pipeline (2-decimal
-    * lattice → Det.dsum is order-independent). */
+    * lattice → Det.dsum is order-independent).
+    *
+    * The fixture lands through [[graft.ops.Memo]] — written ONCE per
+    * (session, corpus), re-read as a plain parquet scan by every later
+    * invocation. Writing it inline on every call (the r8 shape) put
+    * the 300-column write inside the benchmark's timed region, so the
+    * bench measured fixture construction instead of the pruned read
+    * this key exists to showcase (VERDICT r8 "what's wrong" #2). */
   def scanWidePrune(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"${graft.ops.Relational.scratchRoot}/wide_catalog"
-    val mags = (1 to 296).map(i =>
-      ((($"objid" * 31 + i) % 10000) / lit(100.0)).as(f"mag_$i%03d"))
-    val wide = graft.Tables(spark, sfDir, "part")
-      .select($"p_partkey".as("objid"))
-      .select(Seq($"objid",
-        (($"objid" % 3600) / lit(10.0)).as("ra"),
-        (($"objid" % 1800) / lit(10.0) - 90.0).as("dec"),
-        ($"objid" % 8).as("flags")) ++ mags: _*)
-    wide.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+    graft.ops.Memo.parquet(spark, sfDir, "wide_catalog") {
+      val mags = (1 to 296).map(i =>
+        ((($"objid" * 31 + i) % 10000) / lit(100.0)).as(f"mag_$i%03d"))
+      graft.Tables(spark, sfDir, "part")
+        .select($"p_partkey".as("objid"))
+        .select(Seq($"objid",
+          (($"objid" % 3600) / lit(10.0)).as("ra"),
+          (($"objid" % 1800) / lit(10.0) - 90.0).as("dec"),
+          ($"objid" % 8).as("flags")) ++ mags: _*)
+    }
       .filter($"flags" === 0)
       .groupBy(($"objid" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_obj"),

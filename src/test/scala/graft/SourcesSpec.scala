@@ -168,6 +168,18 @@ class SourcesSpec extends SparkSpec {
     assert(number(0, 0) === Some(DecimalType(38, 10)))
     // negative scale NUMBER(p,-s) stores rounded tens: integral widened
     assert(number(5, -3) === Some(DecimalType(8, 0)))
+    // Oracle FLOAT(b) / binary-precision NUMBER: the driver reports
+    // scale = -127 (any precision) — floating-point by declaration, so
+    // DoubleType, NOT a scale-0 decimal that truncates fractions
+    assert(number(126, -127) === Some(DoubleType))
+    assert(number(0, -127) === Some(DoubleType))
+    // s > p is legal Oracle (NUMBER(2,5): sub-unity, 5 fraction digits)
+    // — Spark needs precision >= scale, so precision widens to scale
+    // instead of the p-s arithmetic going negative and throwing
+    assert(number(2, 5) === Some(DecimalType(5, 5)))
+    assert(number(1, 38) === Some(DecimalType(38, 38)))
+    // scale beyond Spark's 38 cap: full-capacity fallback
+    assert(number(2, 40) === Some(DecimalType(38, 10)))
     // IEEE columns and strings/dates
     val md0 = new MetadataBuilder()
     assert(DesOracleDialect.getCatalystType(
@@ -187,11 +199,23 @@ class SourcesSpec extends SparkSpec {
     import graft.sources.DesOracleDialect
     def ddl(dt: DataType): String =
       DesOracleDialect.getJDBCType(dt).get.databaseTypeDefinition
+    // the FULL write-path table (VERDICT r8 ask #5): every Spark type
+    // the dialect claims must emit the exact Oracle DDL string
     assert(ddl(LongType) === "NUMBER(19)")
+    assert(ddl(IntegerType) === "NUMBER(10)")
+    assert(ddl(ShortType) === "NUMBER(5)")
+    assert(ddl(ByteType) === "NUMBER(3)")
     assert(ddl(DoubleType) === "BINARY_DOUBLE")
+    assert(ddl(FloatType) === "BINARY_FLOAT")
     assert(ddl(StringType) === "VARCHAR2(4000)")
-    assert(ddl(DecimalType(12, 4)) === "NUMBER(12,4)")
+    assert(ddl(BooleanType) === "NUMBER(1)")
+    assert(ddl(BinaryType) === "BLOB")
     assert(ddl(TimestampType) === "TIMESTAMP")
+    assert(ddl(DateType) === "DATE")
+    assert(ddl(DecimalType(12, 4)) === "NUMBER(12,4)")
+    assert(ddl(DecimalType(38, 0)) === "NUMBER(38,0)")
+    // unclaimed types fall through to Spark's defaults (None)
+    assert(DesOracleDialect.getJDBCType(ArrayType(LongType)) === None)
   }
 
   test("Oracle dialect registration wins for dessci-style URLs only") {
