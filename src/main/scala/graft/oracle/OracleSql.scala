@@ -2234,6 +2234,23 @@ object OracleSql {
         |  'part','orders','lineitem','events','documents','embeddings')
         |ORDER BY table_name, ord""".stripMargin,
 
+    // the sync manifest recomputed from the source table: file bytes =
+    // text + trailing newline (pure-ASCII corpus), sha256 of the same
+    // bytes; phantom catalog ids resolve to nothing -> ok=false
+    "q_files_materialize" ->
+      """WITH cat AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 83 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id FROM documents
+        |  WHERE doc_id % 997 = 0)
+        |SELECT c.doc_id, 'doc_' || c.doc_id || '.txt' AS rel_path,
+        |  cast(coalesce(length(d.text) + 1, 0) as bigint) AS n_bytes,
+        |  CASE WHEN d.doc_id IS NULL THEN NULL
+        |       ELSE sha256(d.text || chr(10)) END AS sha256,
+        |  d.doc_id IS NOT NULL AS ok
+        |FROM cat c LEFT JOIN documents d ON c.doc_id = d.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
     // file bytes = text + trailing newline (corpus verified pure
     // ASCII, so bytes == chars); the landed-file aggregate equals
     // this recomputation from the source table

@@ -491,8 +491,86 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** Landing root for [[filesMaterialize]], keyed by corpus so two SFs
+    * in one session never alias each other's files. Test-visible: the
+    * resume spec reads mtimes underneath it. */
+  private[graft] def filesLandDir(sfDir: String): String = {
+    val corpusTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ops.Relational.scratchRoot}/files_land/$corpusTag"
+  }
+
+  /** FILE MATERIALIZATION with resume — the reference's sync surface
+    * [pub: desdb bin/ sync wrappers that fetch catalog-listed remote
+    * files to a local tree]: resolve catalog rows to payloads, land
+    * each under a local root UNLESS an intact copy already exists,
+    * and emit one manifest row per catalog entry. Spark-first shape:
+    * the catalog is a DataFrame, the landing runs INSIDE
+    * `mapPartitions` (executor-side java.nio here; the identical call
+    * shape lands on HDFS/S3 through the Hadoop FS API at cluster
+    * scale — 1000 executors land 1000 partitions of the catalog
+    * concurrently), and the manifest IS the operator's output, so
+    * downstream audits join it instead of re-listing storage.
+    *
+    * Resume: an existing target with the expected byte count is NOT
+    * rewritten; writes go through a temp file + ATOMIC_MOVE, so a
+    * partial landing can never surface at full size and a task retry
+    * (or speculative twin) republishes the same bytes idempotently.
+    * SourcesSpec pins "second run rewrites nothing" via mtimes and
+    * "a damaged file is re-landed" via a truncation probe.
+    *
+    * Failure surface: catalog rows whose payload the corpus cannot
+    * resolve (the phantom ids below — the remote listed a file the
+    * archive lost) land nothing and report ok=false, n_bytes=0.
+    *
+    * The manifest hashes what is ON DISK after the call (re-read,
+    * not the buffer it intended to write), and the DuckDB oracle
+    * recomputes sha256(text || '\n') from the source table — a sync
+    * that silently dropped, truncated, or cross-wired a file cannot
+    * hash-match. */
+  def filesMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = filesLandDir(sfDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // catalog: every 83rd doc, plus phantom entries for ids the corpus
+    // does not carry (deterministic in both engines)
+    val catalog = docs.filter($"doc_id" % 83 === 0).select($"doc_id")
+      .unionAll(docs.filter($"doc_id" % 997 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id")))
+      .withColumn("rel_path", concat(lit("doc_"), $"doc_id", lit(".txt")))
+    catalog.join(docs.select($"doc_id", $"text"), Seq("doc_id"), "left")
+      .select($"doc_id", $"rel_path", $"text")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, rel, text) =>
+          if (text == null) (id, rel, 0L, null: String, false)
+          else {
+            val bytes = (text + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val target = java.nio.file.Paths.get(dir, rel)
+            val intact = java.nio.file.Files.exists(target) &&
+              java.nio.file.Files.size(target) == bytes.length
+            if (!intact) {
+              val tmp = java.nio.file.Paths.get(dir, rel + ".tmp")
+              java.nio.file.Files.write(tmp, bytes)
+              java.nio.file.Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+            val landed = java.nio.file.Files.readAllBytes(target)
+            digest.reset()
+            val hex = digest.digest(landed).map("%02x".format(_)).mkString
+            (id, rel, landed.length.toLong, hex, true)
+          }
+        }
+      }.toDF("doc_id", "rel_path", "n_bytes", "sha256", "ok")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_wide_prune" -> scanWidePrune,
+    "q_files_materialize" -> filesMaterialize,
     "q_delete_compact" -> deleteCompact,
     "q_describe_schema" -> describeSchema,
     "q_source_badrecords" -> sourceBadRecords,

@@ -242,6 +242,42 @@ class SourcesSpec extends SparkSpec {
       !== Some(org.apache.spark.sql.types.LongType))
   }
 
+  // ---- file materialization (the sync-script analogue) -------------------
+
+  test("files materialize: re-run resumes (rewrites nothing), damage is re-landed") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val first = Sources.filesMaterialize(spark, sfDir).collect()
+    assert(first.nonEmpty)
+    // phantom catalog rows (unresolvable payloads) report the failure
+    val phantoms = first.filter(!_.getBoolean(4))
+    assert(phantoms.nonEmpty && phantoms.forall(r =>
+      r.getLong(2) === 0L && r.isNullAt(3)))
+    val dir = Paths.get(Sources.filesLandDir(sfDir))
+    def mtimes: Map[String, java.nio.file.attribute.FileTime] =
+      Files.list(dir).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+    val before = mtimes
+    assert(before.size === first.count(_.getBoolean(4)))
+    // resume: a second run verifies, skips, and reports the SAME manifest
+    val second = Sources.filesMaterialize(spark, sfDir).collect()
+    assert(second.map(_.toString).sorted.toSeq
+      === first.map(_.toString).sorted.toSeq)
+    assert(mtimes === before, "resume must not rewrite intact files")
+    // damage one landed file: the next run re-lands exactly that file
+    // (truncation changes the size, so the intact check fails)
+    val victim = before.keys.min
+    Files.write(dir.resolve(victim), Array[Byte](120))
+    val third = Sources.filesMaterialize(spark, sfDir).collect()
+    assert(third.map(_.toString).sorted.toSeq
+      === first.map(_.toString).sorted.toSeq,
+      "repair run must restore the original manifest")
+    assert(Files.size(dir.resolve(victim)) > 1L, "victim re-landed")
+    assert(mtimes - victim === before - victim,
+      "repair must touch only the damaged file")
+  }
+
   // ---- DSv2 custom connector contract ------------------------------------
 
   private def catalog = spark.read
