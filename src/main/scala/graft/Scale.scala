@@ -141,6 +141,7 @@ object ScaleBench {
   val keys: Seq[(String, String)] = Seq(
     "q_dedup_exact" -> "documents",
     "q_dedup_ngram_jaccard" -> "documents",
+    "q_dedup_ngram_capped" -> "documents",
     "q_dedup_jaccard_prefix" -> "documents",
     "q_dedup_containment" -> "documents",
     "q_dedup_winnow" -> "documents",

@@ -147,6 +147,50 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** MAXDF-capped inverted-index near-dup mine — the stop-shingle rung
+    * the round-9 scale measurement motivates (SCALE.md "Measured scale
+    * growth": the exact miners grow superlinearly because candidate
+    * mass is Σdf² and HEAD-shingle df grows with the corpus). Standard
+    * web-scale mitigation: shingles whose df exceeds max(5, 0.1% of
+    * the corpus) are dropped from CANDIDATE GENERATION only — they
+    * pair everything with everything while carrying almost no
+    * similarity signal. Verification still computes exact Jaccard
+    * over the FULL shingle sets, so every emitted similarity is
+    * exact; the (explicit) recall tradeoff is pairs whose ENTIRE
+    * overlap is capped head shingles — at J ≥ 0.6 a pair shares most
+    * of its union, tail included, so such pairs do not occur in
+    * practice. The DuckDB oracle implements the SAME capped candidate
+    * rule, so the key is hash-verified, not rows-only. The threshold
+    * is a broadcast 1-row aggregate, never a driver value; at 100 TB
+    * the df census is one partial-agged pass over the maintained
+    * shingle index and the cap bounds any single shingle's candidate
+    * contribution at (0.001·N)² instead of df². */
+  def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNgramCappedFrom(shingleIndex(spark, sfDir),
+      Tables(spark, sfDir, "documents"))
+
+  /** Core over an arbitrary corpus — driven by the OpsRound14Spec
+    * head-shingle probes. */
+  private[graft] def dedupNgramCappedOn(docs: DataFrame): DataFrame =
+    dedupNgramCappedFrom(
+      shingleDf(docs).transform(graft.Tables.truncate), docs)
+
+  private def dedupNgramCappedFrom(sh: DataFrame, docs: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val thr = docs.agg(greatest(lit(5.0), count(lit(1)) * 0.001).as("maxdf"))
+    val kept = sh.join(df.crossJoin(broadcast(thr))
+      .filter($"df" <= $"maxdf").select($"shingle"), "shingle")
+    val candidates = kept.select($"doc_id".as("doc_a"), $"shingle")
+      .join(kept.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    jaccardFor(candidates, sh)
+      .filter($"jaccard" >= 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The same exact-Jaccard near-dup pairs through a PREFIX-FILTERED
     * set-similarity join (the PPJoin-family candidate rule): under any
     * fixed global shingle order, two docs with J ≥ t must share a
@@ -3751,6 +3795,7 @@ object LlmOps {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_latest" -> dedupLatest,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "q_dedup_ngram_capped" -> dedupNgramCapped,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "q_dedup_containment" -> dedupContainment,
     "q_dedup_incremental" -> dedupIncremental,

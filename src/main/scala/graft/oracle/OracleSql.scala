@@ -832,6 +832,36 @@ object OracleSql {
          |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the MAXDF stop-shingle cap replayed exactly: candidates only
+    // from shingles with df <= max(5, 0.1% of corpus); verification
+    // over FULL shingle sets — same rule, same arithmetic
+    "q_dedup_ngram_capped" ->
+      s"""WITH $shingleCte,
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |nd AS (SELECT greatest(5.0, count(*) * 0.001) AS maxdf
+         |       FROM documents),
+         |kept AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN df ON sh.shingle = df.shingle CROSS JOIN nd
+         |  WHERE df.df <= nd.maxdf),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |cm AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |FROM cm p JOIN sz x ON p.doc_a = x.doc_id
+         |JOIN sz y ON p.doc_b = y.doc_id
+         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Same result set as q_dedup_ngram_jaccard by construction (the
     // prefix filter is lossless for J >= t), so the oracle is the same
     // reference formulation.
