@@ -52,7 +52,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_ts_cusum",        // 1-row broadcast reference-rate crossJoin
     "q_agg_important_stock", // 1-row broadcast decimal-threshold gate
     "q_stats_cramers_v", // domain-bounded margin grid + 1-row N crossJoin
-    "q_ts_seasonal"      // 1-row broadcast global-mean crossJoin
+    "q_ts_seasonal",     // 1-row broadcast global-mean crossJoin
+    "q_dedup_ngram_capped" // 1-row broadcast max-df threshold crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
