@@ -218,6 +218,43 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** WEIGHTED percentiles — "the doc length below which half (/90%)
+    * of the corpus VOLUME sits", per source. Unweighted length
+    * percentiles mislead a packing/sharding planner because one
+    * 100k-char doc carries as much training signal as a thousand
+    * 100-char docs; the volume-weighted quantile is what shard sizing
+    * and truncation budgets actually key on. Weight = n_chars itself
+    * (each document contributes its own volume).
+    *
+    * Determinism: EXACT integer arithmetic end to end — the census
+    * sums longs, the cumulative compare is cross-multiplied
+    * (2·cum ≥ total, 10·cum ≥ 9·total), no division or float appears
+    * anywhere.
+    *
+    * Scale posture: the corpus partial-aggs map-side to one row per
+    * (source, length) — census scale, not corpus scale; both windows
+    * share ONE source-hash exchange (partition-bounded — never a
+    * global ORDER BY window); the final reduction is a per-source
+    * conditional-min aggregate. */
+  def aggWeightedPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables(spark, sfDir, "documents")
+      .groupBy($"source", $"n_chars")
+      .agg(sum($"n_chars").cast("long").as("w"))
+    val cumWin = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum", sum($"w").over(cumWin))
+      .withColumn("total", sum($"w").over(Window.partitionBy($"source")))
+      .groupBy($"source")
+      .agg(max($"total").as("total_chars"),
+        min(when($"cum" * 2 >= $"total", $"n_chars")).as("p50_weighted"),
+        min(when($"cum" * 10 >= $"total" * 9, $"n_chars"))
+          .as("p90_weighted"))
+      .orderBy($"source")
+  }
+
   /** Numerically-stable (Welford/Chan) variance as a typed Aggregator —
     * the §2.13 custom-UDAF surface. Compared against the built-in
     * var_samp; round(…,4) absorbs the differing accumulation orders. */
@@ -663,6 +700,7 @@ object Aggregates {
     "q_agg_collect_sorted" -> aggCollectSorted,
     "q_agg_hll" -> aggHll,
     "q_agg_percentile" -> aggPercentile,
+    "q_agg_weighted_percentile" -> aggWeightedPercentile,
     "q_agg_histogram" -> aggHistogram,
     "q_agg_hll_rollup" -> aggHllRollup,
     "q_agg_mode" -> aggMode

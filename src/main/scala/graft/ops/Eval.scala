@@ -208,8 +208,49 @@ object Eval {
       .toDF("step", "vec_id", "relevance", "max_sim_selected", "mmr_score")
   }
 
+  /** CONFUSION-MATRIX evaluation of the linear quality classifier
+    * ([[Quality.classifierScores]]) at its `score_int > 0` operating
+    * point against the `lang = 'en'` ground truth: tp/fp/fn/tn plus
+    * precision / recall / F1 / accuracy — the at-threshold companion
+    * to [[Quality.statsAuc]]'s threshold-free ranking metric, and the
+    * eval report every curation gate publishes before its labels are
+    * allowed to drop data.
+    *
+    * Determinism: the matrix is four conditional counts (exact longs)
+    * in ONE fused aggregate; each metric divides exact longs (same
+    * IEEE divide both engines) and is Det.r4-rounded; zero
+    * denominators yield NULL on both sides (nullif twin in the
+    * oracle).
+    *
+    * Scale posture: inference is row-local (scan-speed fold, zero
+    * shuffles); the whole eval is a single partial-agged scalar
+    * aggregate — 500 docs or 100 TB, one 4-long record crosses the
+    * wire per partition. */
+  def evalConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Quality.classifierScores(spark, sfDir)
+      .select($"label".as("pred"), ($"lang" === "en").as("truth"))
+      .agg(
+        count(when($"pred" && $"truth", 1)).cast("long").as("tp"),
+        count(when($"pred" && !$"truth", 1)).cast("long").as("fp"),
+        count(when(!$"pred" && $"truth", 1)).cast("long").as("fn"),
+        count(when(!$"pred" && !$"truth", 1)).cast("long").as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        when($"tp" + $"fp" > 0,
+          Det.r4($"tp".cast("double") / ($"tp" + $"fp"))).as("precision"),
+        when($"tp" + $"fn" > 0,
+          Det.r4($"tp".cast("double") / ($"tp" + $"fn"))).as("recall"),
+        when(lit(2L) * $"tp" + $"fp" + $"fn" > 0,
+          Det.r4((lit(2L) * $"tp").cast("double")
+            / (lit(2L) * $"tp" + $"fp" + $"fn"))).as("f1"),
+        when($"tp" + $"fp" + $"fn" + $"tn" > 0,
+          Det.r4(($"tp" + $"tn").cast("double")
+            / ($"tp" + $"fp" + $"fn" + $"tn"))).as("accuracy"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_recall_ann" -> evalRecallAnn,
+    "q_eval_confusion" -> evalConfusion,
     "q_sim_rerank_mmr" -> simRerankMmr)
 }

@@ -2771,6 +2771,55 @@ object LlmOps {
       .orderBy($"node")
   }
 
+  /** LABEL-PROPAGATION community detection over the kNN graph — the
+    * fourth graph-curation signal (PageRank = importance, triangles /
+    * clustering = cohesion, connected components = reachability, THIS
+    * = community structure): LPA finds DENSE semantic neighborhoods
+    * inside a connected component, the granularity diversity-aware
+    * sampling and topic-balanced mixing actually want (a CC label
+    * merges everything touching, however loosely).
+    *
+    * Three SYNCHRONOUS rounds of the deterministic LPA variant: every
+    * node adopts the MODE of its neighbors' labels, ties broken to
+    * the smallest label, isolated nodes keep their own; labels start
+    * as node ids. Synchronous + total-order tie-break makes the fixed
+    * round count bit-deterministic (async LPA is visit-order
+    * dependent — useless under a differential gate). Output is the
+    * community census (label, size, representative).
+    *
+    * Scale posture: per round exactly one equi join (neighbor list ⋈
+    * labels on the neighbor key — both sides hash-partition on it)
+    * and two partial-agged groupBys ((node, lbl) vote census, then
+    * the per-node argmax via ONE max_by aggregate on the (cnt, −lbl)
+    * struct order — no rank window); label state is one long per
+    * node, lineage truncated per round (pagerank discipline). Three
+    * rounds ⇒ three bounded jobs at any corpus size. */
+  def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables.truncate(knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id").as("lo"),
+        greatest($"vec_id", $"nbr_id").as("hi"))
+      .distinct())
+    val nbrs = und.select($"lo".as("node"), $"hi".as("nbr"))
+      .union(und.select($"hi".as("node"), $"lo".as("nbr")))
+    val nodes = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id".as("node"))
+    var labels = nodes.select($"node", $"node".as("lbl"))
+    for (_ <- 1 to 3) {
+      val upd = nbrs
+        .join(labels.select($"node".as("nbr"), $"lbl"), "nbr")
+        .groupBy($"node", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"node")
+        .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("new_lbl"))
+      labels = Tables.truncate(
+        labels.join(upd, Seq("node"), "left")
+          .select($"node", coalesce($"new_lbl", $"lbl").as("lbl")))
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("rep"))
+      .orderBy($"community")
+  }
+
   /** PERCEPTUAL image hash (aHash) dedup — the near-dup rung between
     * [[dedupBinaryExact]]'s byte-identical dedup and embedding
     * near-dup: each decoded raster downscales to the ≤8×8 box (the
@@ -3213,6 +3262,57 @@ object LlmOps {
           / count(when($"half" === "hi", 1))).as("mean_hi"))
       .withColumn("drift", abs($"mean_lo" - $"mean_hi"))
       .orderBy($"dim")
+  }
+
+  /** EMBEDDING WHITENING (per-dimension z-score) — the feature
+    * normalization pass run before cosine/PQ indexing when dimensions
+    * carry wildly different variance (anisotropic embeddings degrade
+    * both LSH bucketing and PQ codebooks): every vector is re-emitted
+    * with each dimension centered on the corpus mean and scaled by
+    * the corpus standard deviation.
+    *
+    * Determinism: per-dim moments come from the quantized-long census
+    * ([[embedDimDrift]]'s idiom — floor(x·10⁴) longs), so Σq and Σq²
+    * are EXACT integer sums with no float accumulation order; mean /
+    * variance / the per-element (q−μ)/σ are then identical IEEE
+    * doubles in both engines, Det.r4-rounded per element. Zero- (or
+    * negative-after-rounding-) variance dims emit 0.0. The norm is a
+    * SEQUENTIAL fold over the assembled array in pos order (aggregate
+    * here, list_sum there — the q_embed_centroids precedent).
+    *
+    * Scale posture: one posexplode census partial-aggs map-side to 64
+    * rows (Σq² fits a long up to ~10⁹ vectors at this quantization;
+    * past that the same census runs in decimal — one cast); the
+    * 64-row stats table broadcasts back onto the exploded stream; the
+    * re-assembly groupBy(vec_id) is one key-hash shuffle whose state
+    * is exactly one 64-float vector per key. No corpus-wide window,
+    * no driver collect. */
+  def embedWhiten(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos",
+        floor($"x".cast("double") * 10000).cast("long").as("qv"))
+    val stats = q.groupBy($"pos")
+      .agg(count(lit(1)).as("n"), sum($"qv").as("s1"),
+        sum($"qv" * $"qv").as("s2"))
+      .select($"pos",
+        ($"s1".cast("double") / $"n").as("mu"),
+        sqrt(greatest(
+          ($"s2".cast("double") / $"n")
+            - ($"s1".cast("double") / $"n") * ($"s1".cast("double") / $"n"),
+          lit(0.0))).as("sd"))
+    q.join(broadcast(stats), "pos")
+      .select($"vec_id", $"pos",
+        when($"sd" > 0, Det.r4(($"qv" - $"mu") / $"sd"))
+          .otherwise(0.0).as("w"))
+      .groupBy($"vec_id")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"w"))),
+        c => c("w")).as("whitened"))
+      .select($"vec_id", $"whitened",
+        Det.r4(sqrt(aggregate($"whitened", lit(0.0),
+          (a, x) => a + x * x))).as("wnorm"))
+      .orderBy($"vec_id")
   }
 
   /** kNN LABEL PREDICTION + accuracy — the embedding-quality eval a
@@ -3787,6 +3887,8 @@ object LlmOps {
     "q_mix_epochs" -> mixEpochs,
     "q_dedup_url" -> dedupUrl,
     "q_graph_clustering" -> graphClustering,
+    "q_graph_label_prop" -> graphLabelProp,
+    "q_embed_whiten" -> embedWhiten,
     "q_multimodal_phash" -> multimodalPhash,
     "q_dedup_bloom_screen" -> dedupBloomScreen,
     "q_text_novelty" -> textNovelty,

@@ -356,20 +356,70 @@ object Quality {
     * inference into the engine instead of a sidecar service. */
   def classifyLinear(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    classifierScores(spark, sfDir)
+      .select($"doc_id", $"n_tokens", $"score_int", $"score", $"label")
+      .orderBy($"doc_id")
+  }
+
+  /** The shared classifier-inference pass behind [[classifyLinear]],
+    * [[statsAuc]] and [[Eval.evalConfusion]]: per-document hashed
+    * linear score (exact integer fold — see [[classifyLinear]]),
+    * normalized score, thresholded label, plus `lang` as the
+    * evaluation ground truth. Unordered; row-local; zero shuffles. */
+  private[graft] def classifierScores(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val weightExpr =
       "(((cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint) % 64)" +
         " * 2654435761) % 201) - 100"
     Tables(spark, sfDir, "documents")
-      .select($"doc_id",
+      .select($"doc_id", $"lang",
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .select($"doc_id", size($"toks").as("n_tokens"),
+      .select($"doc_id", $"lang", size($"toks").as("n_tokens"),
         expr(s"aggregate(toks, cast(0 as bigint)," +
           s" (acc, t) -> acc + ($weightExpr))").as("score_int"))
-      .select($"doc_id", $"n_tokens", $"score_int",
+      .select($"doc_id", $"lang", $"n_tokens", $"score_int",
         ($"score_int".cast("double") / greatest($"n_tokens", lit(1)))
           .as("score"),
         ($"score_int" > 0).as("label"))
-      .orderBy($"doc_id")
+  }
+
+  /** ROC AUC of the [[classifierScores]] ranking against the `lang =
+    * 'en'` ground truth — the threshold-free discrimination metric a
+    * curation pipeline reports for every quality scorer before
+    * picking an operating point ([[Eval.evalConfusion]] is the
+    * at-threshold twin). Computed by the grouped rank-sum identity
+    * with exact tie handling: census the corpus per DISTINCT score,
+    * run ONE global cumulative sum of negatives in score order, and
+    * fold AUC = Σ n_pos(s)·(cum_neg_below(s) + n_neg(s)/2) / (P·N) —
+    * kept in integers as Σ n_pos·(2·cum_neg_incl − n_neg) / (2·P·N),
+    * so the only float op is the final division (identical IEEE
+    * divide both engines; Det.r4 on top).
+    *
+    * Scale posture: the census partial-aggs map-side to one row per
+    * distinct score; the running total uses [[TwoPass.cumsum]] (range
+    * partition + per-partition fold + P-row offset broadcast), never
+    * a corpus-wide `sum() OVER (ORDER BY …)` single-task window; the
+    * final fold is a partial-agged scalar. Ties across documents
+    * collapse into one census row, so tie handling is exact, not
+    * rank-average-approximated. */
+  def statsAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val census = classifierScores(spark, sfDir)
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy($"score")
+      .agg(sum($"pos").as("n_pos"), sum(lit(1L) - $"pos").as("n_neg"))
+    TwoPass.cumsum(census, "score", Seq("n_neg"))
+      .agg(sum($"n_pos").cast("long").as("n_pos"),
+        sum($"n_neg").cast("long").as("n_neg"),
+        sum($"n_pos" * (lit(2L) * $"cum_n_neg" - $"n_neg"))
+          .cast("long").as("num2"))
+      .select($"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          Det.r4($"num2".cast("double")
+            / (lit(2.0) * ($"n_pos" * $"n_neg").cast("double"))))
+          .as("auc"))
   }
 
   /** LEXICON SAFETY FILTER — the blocklist gate every curation
@@ -941,6 +991,7 @@ object Quality {
     "q_profile_columns" -> profileColumns,
     "q_stats_drift_psi" -> statsDriftPsi,
     "q_classify_linear" -> classifyLinear,
+    "q_stats_auc" -> statsAuc,
     "q_quality_lexicon" -> qualityLexicon,
     "q_fingerprint_incremental" -> fingerprintIncremental,
     "q_quality_constraints" -> qualityConstraints,

@@ -4868,10 +4868,171 @@ object OracleSql {
         |ORDER BY event_id""".stripMargin
   )
 
+  /** Shared classifier-inference CTE (the q_classify_linear hash
+    * arithmetic, carrying lang as the eval ground truth). */
+  private val classifierCte: String =
+    """tk AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens,
+      |    cast(coalesce(list_sum(list_transform(toks, t ->
+      |      ((('0x' || substr(md5(t), 1, 12))::BIGINT % 64)
+      |        * 2654435761) % 201 - 100)), 0) as bigint) AS score_int
+      |  FROM tk)""".stripMargin
+
+  // synchronous LPA, 3 rounds UNROLLED as chained CTEs (the pagerank
+  // discipline): same kNN edge derivation as q_knn_graph_bucketed,
+  // mode-of-neighbor-labels with (cnt DESC, lbl ASC) tie-break — the
+  // exact twin of Spark's max_by on the (cnt, -lbl) struct order
+  private def labelPropSql: String = {
+    val steps = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT nb.node, l${i - 1}.lbl, count(*) AS cnt
+         |  FROM nb JOIN l${i - 1} ON nb.nbr = l${i - 1}.node
+         |  GROUP BY 1, 2),
+         |u$i AS (
+         |  SELECT node, lbl AS new_lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$i) t WHERE rn = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.node, coalesce(u$i.new_lbl, l${i - 1}.lbl) AS lbl
+         |  FROM l${i - 1} LEFT JOIN u$i ON l${i - 1}.node = u$i.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+       |           FROM embeddings),
+       |j AS (
+       |  SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id, $dotSql AS sim
+       |  FROM b a JOIN b q ON a.bucket = q.bucket
+       |  WHERE a.vec_id <> q.vec_id),
+       |rnk AS (SELECT vec_id, nbr_id,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM j),
+       |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS lo,
+       |    greatest(vec_id, nbr_id) AS hi
+       |  FROM rnk WHERE rk <= 3),
+       |nb AS (SELECT lo AS node, hi AS nbr FROM und
+       |       UNION ALL SELECT hi, lo FROM und),
+       |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
+       |$steps
+       |SELECT lbl AS community, cast(count(*) as bigint) AS n_members,
+       |  min(node) AS rep
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private val round12: Map[String, String] = Map(
+    // grouped rank-sum AUC: census per DISTINCT score, cumulative
+    // negatives in score order, Σ n_pos·(2·cum_incl − n_neg) / (2·P·N)
+    // — all integers until the one final IEEE divide (Det.r4 twin)
+    "q_stats_auc" ->
+      s"""WITH $classifierCte,
+         |sc AS (
+         |  SELECT cast(score_int as double) / greatest(n_tokens, 1)
+         |      AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM s),
+         |cen AS (SELECT score, sum(pos) AS n_pos, sum(1 - pos) AS n_neg
+         |        FROM sc GROUP BY 1),
+         |c2 AS (SELECT n_pos, n_neg,
+         |    sum(n_neg) OVER (ORDER BY score) AS cum
+         |  FROM cen),
+         |t AS (SELECT cast(sum(n_pos) as bigint) AS n_pos,
+         |    cast(sum(n_neg) as bigint) AS n_neg,
+         |    cast(sum(n_pos * (2 * cum - n_neg)) as bigint) AS num2
+         |  FROM c2)
+         |SELECT n_pos, n_neg,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round(cast(num2 as double)
+         |      / (2.0 * cast(n_pos * n_neg as double)), 4) END AS auc
+         |FROM t""".stripMargin,
+
+    // at-threshold confusion matrix + derived metrics of the same
+    // classifier; zero denominators are NULL on both engines
+    "q_eval_confusion" ->
+      s"""WITH $classifierCte,
+         |m AS (SELECT
+         |    cast(count(CASE WHEN score_int > 0 AND lang = 'en'
+         |      THEN 1 END) as bigint) AS tp,
+         |    cast(count(CASE WHEN score_int > 0 AND lang <> 'en'
+         |      THEN 1 END) as bigint) AS fp,
+         |    cast(count(CASE WHEN score_int <= 0 AND lang = 'en'
+         |      THEN 1 END) as bigint) AS fn,
+         |    cast(count(CASE WHEN score_int <= 0 AND lang <> 'en'
+         |      THEN 1 END) as bigint) AS tn
+         |  FROM s)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(cast(tp as double) / (tp + fp), 4) END AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(cast(tp as double) / (tp + fn), 4) END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    round(cast(2 * tp as double) / (2 * tp + fp + fn), 4)
+         |    END AS f1,
+         |  CASE WHEN tp + fp + fn + tn > 0 THEN
+         |    round(cast(tp + tn as double) / (tp + fp + fn + tn), 4)
+         |    END AS accuracy
+         |FROM m""".stripMargin,
+
+    "q_graph_label_prop" -> labelPropSql,
+
+    // per-dim moments from the quantized-long census (exact integer
+    // sums), then identical IEEE (q−μ)/σ per element, round(…,4);
+    // the norm is the sequential pos-order fold (list_sum twin of
+    // Spark's aggregate — the q_embed_centroids precedent)
+    "q_embed_whiten" ->
+      """WITH q AS (
+        |  SELECT vec_id, i - 1 AS pos,
+        |    cast(floor(cast(embedding[i] as double) * 10000) as bigint)
+        |      AS qv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |st AS (SELECT pos, count(*) AS n, sum(qv) AS s1,
+        |    sum(qv * qv) AS s2
+        |  FROM q GROUP BY pos),
+        |mu AS (SELECT pos,
+        |    cast(s1 as double) / n AS mu,
+        |    sqrt(greatest(cast(s2 as double) / n
+        |      - (cast(s1 as double) / n) * (cast(s1 as double) / n),
+        |      0.0)) AS sd
+        |  FROM st),
+        |w AS (SELECT vec_id, q.pos,
+        |    CASE WHEN sd > 0 THEN round((qv - mu) / sd, 4)
+        |         ELSE 0.0 END AS w
+        |  FROM q JOIN mu ON q.pos = mu.pos),
+        |a AS (SELECT vec_id, list(w ORDER BY pos) AS whitened
+        |      FROM w GROUP BY vec_id)
+        |SELECT vec_id, whitened,
+        |  round(sqrt(list_sum(list_transform(whitened, x -> x * x))), 4)
+        |    AS wnorm
+        |FROM a ORDER BY vec_id""".stripMargin,
+
+    // volume-weighted length percentiles: integer census + partition-
+    // bounded cumulative sums + cross-multiplied threshold picks —
+    // no float anywhere
+    "q_agg_weighted_percentile" ->
+      """WITH census AS (
+        |  SELECT source, n_chars, cast(sum(n_chars) as bigint) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY source) AS total
+        |  FROM census)
+        |SELECT source, cast(max(total) as bigint) AS total_chars,
+        |  min(CASE WHEN cum * 2 >= total THEN n_chars END)
+        |    AS p50_weighted,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END)
+        |    AS p90_weighted
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
     analytics ++ layout ++ round7 ++ round8 ++ round9 ++ round10 ++
-    round11 ++ round11b ++ round11c ++ generators ++ scalars ++
-    streaming ++ llm ++ Map(
+    round11 ++ round11b ++ round11c ++ round12 ++ generators ++
+    scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)
     "q_cdc_apply" ->

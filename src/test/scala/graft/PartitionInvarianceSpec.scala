@@ -141,7 +141,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_agg_important_stock",
     // wave I: margin-grid effect size, weekday census decomposition,
     // text-line sink+source+parse chain
-    "q_stats_cramers_v", "q_ts_seasonal", "q_sink_text_roundtrip")
+    "q_stats_cramers_v", "q_ts_seasonal", "q_sink_text_roundtrip",
+    // round 13: TwoPass AUC cumsum over a score census, fused-scalar
+    // confusion counts, 3-round synchronous LPA (join+argmax per
+    // round), quantized-census whitening + ordered reassembly,
+    // partition-bounded weighted-percentile cumsums
+    "q_stats_auc", "q_eval_confusion", "q_graph_label_prop",
+    "q_embed_whiten", "q_agg_weighted_percentile")
 
   private lazy val alt = {
     val s = spark.newSession()
