@@ -2771,6 +2771,67 @@ object LlmOps {
       .orderBy($"node")
   }
 
+  /** DOMINANT PRINCIPAL COMPONENT of the embedding corpus via POWER
+    * ITERATION — the anisotropy diagnostic run next to [[embedWhiten]]
+    * (a single direction hogging corpus variance degrades cosine
+    * retrieval and LSH bucketing; the standard repair projects it out
+    * — "all-but-the-top"): covariance from the quantized-long census,
+    * 4 power-iteration rounds, output = the unit top component per
+    * dimension.
+    *
+    * Determinism: the covariance moments Σq_i·q_j / Σq_i are EXACT
+    * long sums (no float order anywhere in the heavy pass); C_ij and
+    * every iteration step are then identical IEEE doubles, with each
+    * matrix·vector row folded SEQUENTIALLY in j order (array_sort +
+    * aggregate here, list(… ORDER BY j) + list_sum there); each round
+    * rescales by max|w| (a 1-row broadcast, and a deterministic max
+    * of bit-identical doubles); the all-ones start fixes the sign.
+    *
+    * Scale posture: the only corpus-scale pass is the (vec-local)
+    * 64×64 self-join → (i,j) partial agg — each task accumulates one
+    * dense 4096-cell state map-side, so the shuffle moves
+    * O(partitions·d²) rows, never O(corpus·d²); the 4 iterations run
+    * on the 64-row vector against the 4096-row C (metadata scale).
+    * At higher d the same census shape feeds a sparse/blocked C. */
+  def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .select($"vec_id", $"pos",
+        floor($"x".cast("double") * 10000).cast("long").as("qv"))
+    val a = q.select($"vec_id", $"pos".as("i"), $"qv".as("qi"))
+    val b = q.select($"vec_id", $"pos".as("j"), $"qv".as("qj"))
+    val moments = a.join(b, "vec_id")
+      .groupBy($"i", $"j")
+      .agg(sum($"qi" * $"qj").as("sij"), count(lit(1)).as("nn"))
+    val sums = q.groupBy($"pos").agg(sum($"qv").as("s"))
+    val cov = moments
+      .join(sums.select($"pos".as("i"), $"s".as("si")), "i")
+      .join(sums.select($"pos".as("j"), $"s".as("sj")), "j")
+      .select($"i", $"j",
+        ($"sij".cast("double") / $"nn"
+          - ($"si".cast("double") / $"nn") * ($"sj".cast("double") / $"nn"))
+          .as("c"))
+    var v = spark.range(64).select($"id".cast("int").as("j"),
+      lit(1.0).as("vj"))
+    for (_ <- 1 to 4) {
+      val w = cov.join(v, "j")
+        .select($"i", struct($"j", ($"c" * $"vj").as("term")).as("s"))
+        .groupBy($"i")
+        .agg(aggregate(array_sort(collect_list($"s")), lit(0.0),
+          (acc, x) => acc + x("term")).as("wi"))
+      val mx = w.agg(max(abs($"wi")).as("m"))
+      v = w.crossJoin(broadcast(mx))
+        .select($"i".as("j"), ($"wi" / $"m").as("vj"))
+    }
+    val norm = v.agg(sqrt(aggregate(
+      array_sort(collect_list(struct($"j", ($"vj" * $"vj").as("t")))),
+      lit(0.0), (acc, x) => acc + x("t"))).as("nrm"))
+    v.crossJoin(broadcast(norm))
+      .select(($"j" + 1).as("dim"), Det.r4($"vj" / $"nrm").as("loading"))
+      .orderBy($"dim")
+  }
+
   /** LABEL-PROPAGATION community detection over the kNN graph — the
     * fourth graph-curation signal (PageRank = importance, triangles /
     * clustering = cohesion, connected components = reachability, THIS
@@ -3889,6 +3950,7 @@ object LlmOps {
     "q_graph_clustering" -> graphClustering,
     "q_graph_label_prop" -> graphLabelProp,
     "q_embed_whiten" -> embedWhiten,
+    "q_embed_pca_power" -> embedPcaPower,
     "q_multimodal_phash" -> multimodalPhash,
     "q_dedup_bloom_screen" -> dedupBloomScreen,
     "q_text_novelty" -> textNovelty,

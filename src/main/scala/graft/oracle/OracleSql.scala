@@ -4924,7 +4924,46 @@ object OracleSql {
        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // power iteration, 4 rounds UNROLLED as chained CTEs (the pagerank
+  // discipline): exact-long covariance moments, per-row mat·vec folds
+  // sequential in j order (list_sum of list(… ORDER BY j) — the twin
+  // of Spark's array_sort + aggregate), 1-row max-rescale per round
+  private def pcaPowerSql: String = {
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (
+         |  SELECT cv.i, list_sum(list(cv.c * v.vj ORDER BY cv.j)) AS wi
+         |  FROM cv JOIN v${i - 1} v ON cv.j = v.j GROUP BY cv.i),
+         |m$i AS (SELECT max(abs(wi)) AS m FROM w$i),
+         |v$i AS (SELECT i AS j, wi / m AS vj FROM w$i CROSS JOIN m$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, i - 1 AS pos,
+       |    cast(floor(cast(embedding[i] as double) * 10000) as bigint)
+       |      AS qv
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+       |mo AS (
+       |  SELECT a.pos AS i, b.pos AS j, sum(a.qv * b.qv) AS sij,
+       |    count(*) AS nn
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |su AS (SELECT pos, sum(qv) AS s FROM q GROUP BY pos),
+       |cv AS (
+       |  SELECT mo.i, mo.j,
+       |    cast(sij as double) / nn
+       |      - (cast(x.s as double) / nn) * (cast(y.s as double) / nn)
+       |      AS c
+       |  FROM mo JOIN su x ON mo.i = x.pos JOIN su y ON mo.j = y.pos),
+       |v0 AS (SELECT cast(i as int) AS j, 1.0 AS vj FROM range(0, 64) t(i)),
+       |$steps,
+       |nrm AS (SELECT sqrt(list_sum(list(vj * vj ORDER BY j))) AS nrm
+       |        FROM v4)
+       |SELECT j + 1 AS dim, round(vj / nrm, 4) AS loading
+       |FROM v4 CROSS JOIN nrm ORDER BY dim""".stripMargin
+  }
+
   private val round12: Map[String, String] = Map(
+    "q_embed_pca_power" -> pcaPowerSql,
     // grouped rank-sum AUC: census per DISTINCT score, cumulative
     // negatives in score order, Σ n_pos·(2·cum_incl − n_neg) / (2·P·N)
     // — all integers until the one final IEEE divide (Det.r4 twin)
@@ -5008,6 +5047,17 @@ object OracleSql {
         |  round(sqrt(list_sum(list_transform(whitened, x -> x * x))), 4)
         |    AS wnorm
         |FROM a ORDER BY vec_id""".stripMargin,
+
+    // the GC detects exactly the planted orphan fixture (doc_id %
+    // 499), with n_bytes = the landed 'orphan <id>\n' byte count;
+    // deletion itself is pinned in the suite (files gone after the
+    // run, replanted + redetected identically on a re-run)
+    "q_files_gc" ->
+      """SELECT 'orphan_' || doc_id || '.txt' AS rel_path,
+        |  cast(length('orphan ' || doc_id) + 1 as bigint) AS n_bytes,
+        |  true AS deleted
+        |FROM documents WHERE doc_id % 499 = 0
+        |ORDER BY rel_path""".stripMargin,
 
     // volume-weighted length percentiles: integer census + partition-
     // bounded cumulative sums + cross-multiplied threshold picks —

@@ -527,17 +527,24 @@ object Sources {
     * recomputes sha256(text || '\n') from the source table — a sync
     * that silently dropped, truncated, or cross-wired a file cannot
     * hash-match. */
+  /** The deterministic sync catalog shared by [[filesMaterialize]]
+    * (which lands it) and [[filesGc]] (whose orphan detection treats
+    * its rel_paths as the ONLY legitimate tree contents): every 83rd
+    * doc, plus phantom entries for ids the corpus does not carry. */
+  private def filesCatalog(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter($"doc_id" % 83 === 0).select($"doc_id")
+      .unionAll(docs.filter($"doc_id" % 997 === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id")))
+      .withColumn("rel_path", concat(lit("doc_"), $"doc_id", lit(".txt")))
+  }
+
   def filesMaterialize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = filesLandDir(sfDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val docs = graft.Tables(spark, sfDir, "documents")
-    // catalog: every 83rd doc, plus phantom entries for ids the corpus
-    // does not carry (deterministic in both engines)
-    val catalog = docs.filter($"doc_id" % 83 === 0).select($"doc_id")
-      .unionAll(docs.filter($"doc_id" % 997 === 0)
-        .select(($"doc_id" + 10000000L).as("doc_id")))
-      .withColumn("rel_path", concat(lit("doc_"), $"doc_id", lit(".txt")))
+    val catalog = filesCatalog(docs)
     catalog.join(docs.select($"doc_id", $"text"), Seq("doc_id"), "left")
       .select($"doc_id", $"rel_path", $"text")
       .as[(Long, String, String)]
@@ -568,9 +575,84 @@ object Sources {
       .orderBy($"doc_id")
   }
 
+  /** ORPHAN-FILE GARBAGE COLLECTION — the maintenance half of the
+    * sync surface [pub: desdb sync wrappers; the cleanup every
+    * catalog-driven mirror eventually needs]: files present under the
+    * landing root that NO catalog row accounts for are detected and
+    * deleted, and the deletion manifest is the operator's output.
+    * Completes the file lifecycle: [[filesMaterialize]] lands and
+    * repairs, THIS removes what the catalog no longer lists (the
+    * VACUUM-orphans act of every table format).
+    *
+    * Fixture: the op first ensures the synced tree exists (the
+    * materialize pass, idempotent resume — zero rewrites on an intact
+    * tree), then plants deterministic orphans executor-side
+    * (`orphan_<id>.txt` for every doc_id % 499 == 0 — the stand-in
+    * for files a stale sync left behind), so each run detects and
+    * deletes the same set and the key replays bit-identically.
+    *
+    * Spark-first shape: the tree is listed by the `binaryFile` source
+    * with a pathGlobFilter (path + length only — content is PRUNED
+    * from the read schema, so listing a petabyte tree reads zero
+    * payload bytes); legitimacy is ONE left-anti equi join of the
+    * listing against the catalog's rel_paths (both key-hash
+    * partition; at scale neither side is assumed broadcast-able);
+    * deletion runs inside `mapPartitions` on the orphan stream
+    * (executor-side java.nio here, the Hadoop FS API on HDFS/S3 —
+    * 1000 executors delete 1000 partitions of orphans concurrently).
+    * Deletes are idempotent (a retry that finds the file already
+    * gone still reports deleted), and n_bytes comes from the listing
+    * SNAPSHOT, so the manifest is stable under task retries. */
+  def filesGc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = filesLandDir(sfDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // 1. the synced tree (idempotent; also repairs any damage)
+    filesMaterialize(spark, sfDir).count()
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // 2. plant the deterministic orphan fixture executor-side
+    docs.filter($"doc_id" % 499 === 0).select($"doc_id").as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val bytes = s"orphan $id\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val target = java.nio.file.Paths.get(dir, s"orphan_$id.txt")
+          val tmp = java.nio.file.Paths.get(dir, s"orphan_$id.txt.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    // 3. listing snapshot (path + length only) anti-joined against
+    //    the catalog's legitimate rel_paths
+    val listed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt").load(dir)
+      .select(element_at(split($"path", "/"), -1).as("rel_path"),
+        $"length".as("n_bytes"))
+    // truncate pins the detection result BEFORE any deletion: the
+    // final orderBy's range sampler re-executes its child, and a
+    // re-scan of the binaryFile listing after the delete pass would
+    // hit vanished files — the checkpointed orphan list is what both
+    // executions read
+    val orphans = graft.Tables.truncate(listed.join(
+      filesCatalog(docs).select($"rel_path"), Seq("rel_path"), "left_anti"))
+    // 4. delete + manifest (idempotent per row — a re-executed task
+    //    finding the file already gone still reports deleted)
+    orphans.as[(String, Long)]
+      .mapPartitions(_.map { case (rel, n) =>
+        val target = java.nio.file.Paths.get(dir, rel)
+        java.nio.file.Files.deleteIfExists(target)
+        (rel, n, !java.nio.file.Files.exists(target))
+      })
+      .toDF("rel_path", "n_bytes", "deleted")
+      .orderBy($"rel_path")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_wide_prune" -> scanWidePrune,
     "q_files_materialize" -> filesMaterialize,
+    "q_files_gc" -> filesGc,
     "q_delete_compact" -> deleteCompact,
     "q_describe_schema" -> describeSchema,
     "q_source_badrecords" -> sourceBadRecords,

@@ -163,6 +163,73 @@ class OpsRound15Spec extends SparkSpec {
     }
   }
 
+  // ---- q_embed_pca_power ---------------------------------------------------
+
+  test("power-iteration PC replays exactly and captures max variance") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val n = emb.length
+    val d = emb.head._2.length
+    val q = emb.map(_._2.map(x => math.floor(x.toDouble * 10000).toLong))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact-long covariance moments, then the same 4 rounds
+    val s = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val sij = q.map(v => v(i) * v(j)).sum
+      sij.toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n)
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 4) {
+      // fold in ascending j order — the op's declared fold order
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + cov(i)(j) * v(j)))
+      val m = w.map(math.abs).max
+      v = w.map(_ / m)
+    }
+    val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    val expected = v.map(x => r4(x / nrm))
+    val got = ops.LlmOps.embedPcaPower(spark, sfDir)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq === expected.toSeq)
+    // the found direction carries more variance than any single axis
+    // (the whole point of the diagnostic): vᵀCv >= max_i C_ii
+    val u = v.map(_ / nrm)
+    val rayleigh = (0 until d).map(i =>
+      u(i) * (0 until d).map(j => cov(i)(j) * u(j)).sum).sum
+    val maxAxis = (0 until d).map(i => cov(i)(i)).max
+    assert(rayleigh >= maxAxis * 0.999,
+      s"rayleigh $rayleigh < max axis variance $maxAxis")
+  }
+
+  // ---- q_files_gc ----------------------------------------------------------
+
+  test("gc deletes exactly the planted orphans and re-runs identically") {
+    val dir = sources.Sources.filesLandDir(sfDir)
+    val run1 = sources.Sources.filesGc(spark, sfDir)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(run1.nonEmpty)
+    // every reported orphan is the planted fixture, marked deleted,
+    // and actually gone from disk
+    run1.foreach { case (rel, n, deleted) =>
+      assert(rel.startsWith("orphan_") && rel.endsWith(".txt"), rel)
+      val id = rel.stripPrefix("orphan_").stripSuffix(".txt").toLong
+      assert(id % 499 === 0L)
+      assert(n === s"orphan $id\n".getBytes("UTF-8").length.toLong)
+      assert(deleted)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, rel)))
+    }
+    // catalog-listed files survive the GC
+    val survivors = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(p => !p.contains("orphan_")))
+    // idempotent replay: the fixture replants, the manifest repeats
+    val run2 = sources.Sources.filesGc(spark, sfDir)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(run2 === run1)
+  }
+
   // ---- q_agg_weighted_percentile -------------------------------------------
 
   test("weighted percentiles replay: smallest length covering the mass") {

@@ -147,7 +147,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round), quantized-census whitening + ordered reassembly,
     // partition-bounded weighted-percentile cumsums
     "q_stats_auc", "q_eval_confusion", "q_graph_label_prop",
-    "q_embed_whiten", "q_agg_weighted_percentile")
+    "q_embed_whiten", "q_agg_weighted_percentile",
+    // round 13 wave 2: d²-state covariance census + ordered mat·vec
+    // folds (the sorted-array fold must not care where rows started)
+    "q_embed_pca_power")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -53,7 +53,8 @@ class PlanSweepSpec extends SparkSpec {
     "q_agg_important_stock", // 1-row broadcast decimal-threshold gate
     "q_stats_cramers_v", // domain-bounded margin grid + 1-row N crossJoin
     "q_ts_seasonal",     // 1-row broadcast global-mean crossJoin
-    "q_dedup_ngram_capped" // 1-row broadcast max-df threshold crossJoin
+    "q_dedup_ngram_capped", // 1-row broadcast max-df threshold crossJoin
+    "q_embed_pca_power"  // 1-row broadcast rescale-max / norm crossJoins
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
