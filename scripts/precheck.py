@@ -32,6 +32,27 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # scale-probe controls (all inert unless set — the driver's own
+    # invocation passes nothing): PRECHECK_MEMORY_LIMIT caps DuckDB and
+    # spills to disk instead of OOMing the host on derived 10x corpora;
+    # PRECHECK_TIMEOUT_S interrupts a single runaway ORACLE (DuckDB
+    # re-deriving an uncapped pair space the engine indexes around) and
+    # records it as SKIP, not FAIL — the engine result is unaffected;
+    # PRECHECK_RESUME_LOG skips keys a prior partial run already passed.
+    mem = os.environ.get("PRECHECK_MEMORY_LIMIT")
+    if mem:
+        tmp = os.path.join(out_dir, "_duck_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tmp}'")
+    timeout_s = float(os.environ.get("PRECHECK_TIMEOUT_S", "0") or 0)
+    already_ok = set()
+    resume = os.environ.get("PRECHECK_RESUME_LOG")
+    if resume and os.path.exists(resume):
+        with open(resume) as f:
+            for line in f:
+                if line.startswith("  OK   "):
+                    already_ok.add(line.split()[1])
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
@@ -44,9 +65,13 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     failures = []
     for name in sorted(oracle):
+        if name in already_ok:
+            n_pass += 1
+            print(f"  OK   {name} (resumed from prior log)")
+            continue
         res_dir = os.path.join(out_dir, name)
         files = sorted(glob.glob(os.path.join(res_dir, "*.parquet")))
         if not files:
@@ -69,7 +94,21 @@ def main(sf_dir, out_dir):
                            f"— cast to BIGINT/DOUBLE in the oracle SQL"))
                 n_fail += 1
                 continue
-            duck_df = con.execute(oracle[name]).fetchdf()
+            if timeout_s > 0:
+                import threading
+                timer = threading.Timer(timeout_s, con.interrupt)
+                timer.start()
+                try:
+                    duck_df = con.execute(oracle[name]).fetchdf()
+                except (duckdb.InterruptException, RuntimeError) as e:
+                    print(f"  SKIP {name}: oracle exceeded {timeout_s:.0f}s "
+                          f"({type(e).__name__})")
+                    n_skip += 1
+                    continue
+                finally:
+                    timer.cancel()
+            else:
+                duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             failures.append((name, f"exec error: {e}"))
             n_fail += 1
@@ -118,7 +157,8 @@ def main(sf_dir, out_dir):
 
     for name, why in failures:
         print(f"  FAIL {name}: {why}")
-    print(f"precheck: {n_pass} pass, {n_fail} fail")
+    skip_note = f", {n_skip} skip (oracle timeout)" if n_skip else ""
+    print(f"precheck: {n_pass} pass, {n_fail} fail{skip_note}")
     sys.exit(1 if n_fail else 0)
 
 
