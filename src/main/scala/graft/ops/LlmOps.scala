@@ -2795,23 +2795,36 @@ object LlmOps {
     * At higher d the same census shape feeds a sparse/blocked C. */
   def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val q = Tables(spark, sfDir, "embeddings")
-      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
-      .select($"vec_id", $"pos",
-        floor($"x".cast("double") * 10000).cast("long").as("qv"))
-    val a = q.select($"vec_id", $"pos".as("i"), $"qv".as("qi"))
-    val b = q.select($"vec_id", $"pos".as("j"), $"qv".as("qj"))
-    val moments = a.join(b, "vec_id")
+    val qarr = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x ->" +
+          " cast(floor(cast(x as double) * 10000) as bigint))").as("qv"))
+    // outer products are generated ROW-LOCALLY (a flat primitive long
+    // array per row — no struct allocation, (i,j) recovered from the
+    // flattened index) instead of a vec_id self-join — zero join
+    // shuffles; the hash agg partial-collapses each task's stream to
+    // its dense d² state, so only O(partitions·d²) rows reach the
+    // exchange
+    val moments = qarr.select(posexplode(expr(
+      "flatten(transform(qv, x -> transform(qv, y -> x * y)))"))
+      .as(Seq("idx", "p")))
+      .select(expr("idx DIV 64").cast("int").as("i"),
+        pmod($"idx", lit(64)).cast("int").as("j"), $"p")
       .groupBy($"i", $"j")
-      .agg(sum($"qi" * $"qj").as("sij"), count(lit(1)).as("nn"))
-    val sums = q.groupBy($"pos").agg(sum($"qv").as("s"))
-    val cov = moments
+      .agg(sum($"p").as("sij"), count(lit(1)).as("nn"))
+    val sums = qarr
+      .select(posexplode($"qv").as(Seq("pos", "qv")))
+      .groupBy($"pos").agg(sum($"qv").as("s"))
+    // truncate pins the d²-row covariance ONCE (pagerank discipline):
+    // without it each iteration's plan re-nests — and re-executes —
+    // the full census lineage (measured 3.3 s → ~1 s at sf0.1)
+    val cov = Tables.truncate(moments
       .join(sums.select($"pos".as("i"), $"s".as("si")), "i")
       .join(sums.select($"pos".as("j"), $"s".as("sj")), "j")
       .select($"i", $"j",
         ($"sij".cast("double") / $"nn"
           - ($"si".cast("double") / $"nn") * ($"sj".cast("double") / $"nn"))
-          .as("c"))
+          .as("c")))
     var v = spark.range(64).select($"id".cast("int").as("j"),
       lit(1.0).as("vj"))
     for (_ <- 1 to 4) {
@@ -2821,8 +2834,11 @@ object LlmOps {
         .agg(aggregate(array_sort(collect_list($"s")), lit(0.0),
           (acc, x) => acc + x("term")).as("wi"))
       val mx = w.agg(max(abs($"wi")).as("m"))
-      v = w.crossJoin(broadcast(mx))
-        .select($"i".as("j"), ($"wi" / $"m").as("vj"))
+      // per-round truncate: the 64-row state is trivially cheap to pin
+      // and keeps the final plan from nesting all four rounds (and the
+      // norm pass from re-executing them)
+      v = Tables.truncate(w.crossJoin(broadcast(mx))
+        .select($"i".as("j"), ($"wi" / $"m").as("vj")))
     }
     val norm = v.agg(sqrt(aggregate(
       array_sort(collect_list(struct($"j", ($"vj" * $"vj").as("t")))),
