@@ -469,4 +469,44 @@ class PlanSpec extends SparkSpec {
     assert("Bucketed: true".r.findAllIn(plan).size === 2,
       s"both scans should be bucketed:\n${plan.take(1500)}")
   }
+
+  test("weighted percentiles: both windows share one source exchange") {
+    val plan = finalSection(finalPlan(
+      Aggregates.aggWeightedPercentile(spark, sfDir)))
+    // cumulative + total windows both partition by source — they must
+    // STACK on one shared source-only exchange; the census groupBy
+    // keeps its own (source, n_chars) exchange (hashing on a superset
+    // does NOT satisfy a subset-key window requirement)
+    assert("Window".r.findAllIn(plan).size === 2, plan.take(1200))
+    assert(
+      "hashpartitioning\\(source#\\d+, \\d+\\)".r.findAllIn(plan).size === 1,
+      s"expected 1 shared source-only exchange:\n${plan.take(1500)}")
+    assert(
+      "hashpartitioning\\(source#\\d+, n_chars".r.findAllIn(plan).size === 1,
+      s"expected the census exchange on (source, n_chars):\n" +
+        plan.take(1500))
+  }
+
+  test("auc: census is partial-agged; the only window is the P-row offsets") {
+    val plan = finalSection(finalPlan(
+      graft.ops.Quality.statsAuc(spark, sfDir)))
+    // the distinct-score census must combine map-side, and the global
+    // cumsum must ride TwoPass (partition-count offsets window), not a
+    // corpus-wide `ORDER BY score` window over the census rows
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+    assert("Window".r.findAllIn(plan).size === 1,
+      s"expected only TwoPass's P-row offsets window:\n${plan.take(1500)}")
+    assert(plan.contains("MapPartitions"),
+      s"expected TwoPass's partition-local fold:\n${plan.take(1200)}")
+  }
+
+  test("whiten: the 64-row dim stats broadcast back onto the stream") {
+    val plan = finalSection(finalPlan(
+      LlmOps.embedWhiten(spark, sfDir)))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the stats side broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"64-row stats must never shuffle the exploded stream:\n" +
+        plan.take(1200))
+  }
 }
