@@ -46,11 +46,26 @@ def main(sf_dir, out_dir):
         con.execute(f"SET memory_limit='{mem}'")
         con.execute(f"SET temp_directory='{tmp}'")
     timeout_s = float(os.environ.get("PRECHECK_TIMEOUT_S", "0") or 0)
+    # every run prints an out_dir identity stamp (oracle_sql.json
+    # mtime+size) as its first line, so a log redirect of this run can
+    # later be offered as PRECHECK_RESUME_LOG and checked for staleness
+    st = os.stat(os.path.join(out_dir, "oracle_sql.json"))
+    stamp = f"# outdir-stamp {st.st_mtime_ns}:{st.st_size}"
+    print(stamp)
     already_ok = set()
     resume = os.environ.get("PRECHECK_RESUME_LOG")
     if resume and os.path.exists(resume):
         with open(resume) as f:
-            for line in f:
+            lines = f.readlines()
+        stamped = next((l.strip() for l in lines
+                        if l.startswith("# outdir-stamp")), None)
+        if stamped != stamp:
+            # a stale log (different Verify run, or pre-stamp legacy)
+            # must not mask a regression — refuse to resume from it
+            print(f"  resume log ignored: outdir stamp mismatch "
+                  f"({stamped!r} != {stamp!r})")
+        else:
+            for line in lines:
                 if line.startswith("  OK   "):
                     already_ok.add(line.split()[1])
     for t in TABLES:
@@ -94,19 +109,62 @@ def main(sf_dir, out_dir):
                            f"— cast to BIGINT/DOUBLE in the oracle SQL"))
                 n_fail += 1
                 continue
+            # lint: reject ARRAY/LIST/STRUCT/MAP output columns on EITHER
+            # side — the driver's comparer sorts result frames with pandas
+            # and dies on unhashable ndarray cells (q_embed_whiten, round
+            # 9). Serialize nested values (int-quantized array_join or
+            # long-form rows) before declaring the key.
+            spark_desc = con.execute(
+                "DESCRIBE SELECT * FROM read_parquet(?)", [files]).fetchall()
+            nested = [(side, c, t)
+                      for side, d in (("spark", spark_desc), ("oracle", desc))
+                      for c, t, *_ in d
+                      if "[]" in t or t.upper().startswith(("STRUCT", "MAP("))]
+            if nested:
+                failures.append(
+                    (name, f"nested output column (driver comparer cannot "
+                           f"sort it): {nested} — serialize to string or "
+                           f"emit long-form rows"))
+                n_fail += 1
+                continue
             if timeout_s > 0:
                 import threading
-                timer = threading.Timer(timeout_s, con.interrupt)
+                import time
+                fired = threading.Event()
+
+                def _interrupt():
+                    fired.set()
+                    con.interrupt()
+                timer = threading.Timer(timeout_s, _interrupt)
+                t0 = time.monotonic()
                 timer.start()
                 try:
                     duck_df = con.execute(oracle[name]).fetchdf()
-                except (duckdb.InterruptException, RuntimeError) as e:
-                    print(f"  SKIP {name}: oracle exceeded {timeout_s:.0f}s "
-                          f"({type(e).__name__})")
+                except duckdb.InterruptException:
+                    print(f"  SKIP {name}: oracle exceeded {timeout_s:.0f}s")
                     n_skip += 1
                     continue
+                except RuntimeError as e:
+                    # only classify as a timeout SKIP when the timer
+                    # plausibly fired — a fast RuntimeError is a genuine
+                    # oracle failure and must FAIL, not weaken the gate
+                    if fired.is_set() or \
+                            time.monotonic() - t0 >= timeout_s * 0.95:
+                        print(f"  SKIP {name}: oracle exceeded "
+                              f"{timeout_s:.0f}s ({type(e).__name__})")
+                        n_skip += 1
+                        continue
+                    raise
                 finally:
                     timer.cancel()
+                    if fired.is_set():
+                        # the interrupt may have landed AFTER fetchdf
+                        # returned — drain it so the next key's query
+                        # isn't spuriously interrupted
+                        try:
+                            con.execute("SELECT 1").fetchall()
+                        except duckdb.InterruptException:
+                            pass
             else:
                 duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:

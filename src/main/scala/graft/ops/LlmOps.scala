@@ -44,9 +44,11 @@ object LlmOps {
           |       i -> array_join(slice(toks, i, 3), ' '))
           |  ELSE array() END""".stripMargin + ")")).as("shingle"))
 
-  /** Exact Jaccard over shingle sets for a given candidate pair set
-    * (doc_a, doc_b) — candidates join the inverted index, never n². */
-  private def jaccardFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
+  /** Exact overlap census over FULL shingle sets for a given candidate
+    * pair set: (doc_a, doc_b, common, na, nb) — candidates join the
+    * inverted index, never n². Shared verification stage of the
+    * Jaccard and containment miners. */
+  private def overlapFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -57,6 +59,12 @@ object LlmOps {
         .withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "nb"), "doc_b")
+  }
+
+  /** Exact Jaccard over shingle sets for a given candidate pair set
+    * (doc_a, doc_b) — candidates join the inverted index, never n². */
+  private def jaccardFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    overlapFor(candidates, sh)
       .select(col("doc_a"), col("doc_b"),
         Det.r4(col("common") / (col("na") + col("nb") - col("common")))
           .as("jaccard"))
@@ -93,15 +101,21 @@ object LlmOps {
       .orderBy($"user_id", $"event_type")
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.6, candidates via the
-    * shingle inverted index — a SINGLE self-join pass: the same join
-    * that discovers a pair also counts its common shingles (map-side
-    * partial aggregation collapses the pair stream before the shuffle).
-    * Fastest shape when no shingle is corpus-frequent; for corpora with
-    * heavy-hitter shingles see [[dedupJaccardPrefix]], the same result
-    * through a prefix-filtered set-similarity join. */
+  /** Near-dup pairs by exact n-gram Jaccard ≥ 0.6. Round-10: the
+    * MAXDF-capped candidate path ([[dedupNgramCappedFrom]]) is now the
+    * DEFAULT for this key — the round-9 x10 measurement showed the
+    * uncapped inverted-index self-join's candidate mass (Σdf²) growing
+    * superlinearly (tail α 2.31), i.e. the uncapped shape does not
+    * finish at 100 TB. Candidates come from cap-kept shingles plus the
+    * exact-duplicate rescue; VERIFICATION is exact Jaccard over the
+    * FULL shingle sets, so every emitted similarity is exact. The
+    * uncapped single-pass formulation survives as
+    * [[dedupNgramJaccardFromShingles]] — the Profile blow-up probe and
+    * the recall-loss differential in OpsRound14Spec, not a declared
+    * key. */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    dedupNgramJaccardFromShingles(shingleIndex(spark, sfDir))
+    dedupNgramCappedFrom(shingleIndex(spark, sfDir),
+      Tables(spark, sfDir, "documents"))
 
   /** The MEMOIZED full-corpus shingle inverted index — computed once
     * per (session, corpus) and materialized to parquet ([[Memo]]);
@@ -114,16 +128,72 @@ object LlmOps {
       shingleDf(Tables(spark, sfDir, "documents"))
     }
 
-  /** Shingle inverted-index candidate pass shared by the Jaccard /
-    * containment / edit-distance dedups: ONE self-join on shingle
+  /** Shingle inverted-index candidate pass — ONE self-join on shingle
     * (only docs SHARING a shingle ever pair), ordered pairs, common
-    * count partial-agged map-side. */
+    * count partial-agged map-side. Candidate mass is Σdf², so feed it
+    * the CAPPED stream ([[cappedShingles]]) unless the caller is a
+    * deliberate blow-up probe. */
   private def shinglePairCounts(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     sh.select($"doc_id".as("doc_a"), $"shingle")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
+  }
+
+  /** The MAXDF-capped shingle stream — the DEFAULT candidate source of
+    * every exact near-dup miner since round 10: shingles whose df
+    * exceeds max(5, 0.1% of the corpus) are dropped from CANDIDATE
+    * GENERATION only (they pair everything with everything while
+    * carrying almost no similarity signal), bounding any single
+    * shingle's candidate contribution at (0.001·N)² instead of df².
+    * The threshold is a broadcast 1-row aggregate, never a driver
+    * value; at 100 TB the df census is one partial-agged pass over the
+    * maintained shingle index. */
+  private def cappedShingles(sh: DataFrame, docs: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val thr = docs.agg(greatest(lit(5.0), count(lit(1)) * 0.001).as("maxdf"))
+    sh.join(df.crossJoin(broadcast(thr))
+      .filter($"df" <= $"maxdf").select($"shingle"), "shingle")
+  }
+
+  /** EXACT-DUPLICATE rescue candidates: every pair of docs with
+    * identical text. Closes the cap's one real recall hole — a doc
+    * replicated more often than the df cap has ALL-head shingles (its
+    * own copies push every shingle's df past the threshold), so the
+    * capped index alone would miss literal duplicates. This pass is
+    * OUTPUT-BOUNDED, not df²-bounded: identical pairs are in the
+    * answer at any threshold, so any correct pair REPORT pays this
+    * cardinality anyway. Joining on xxhash64(text) keeps full texts
+    * off the shuffle; a hash collision only adds a false CANDIDATE,
+    * which exact verification then rejects. */
+  private def exactDupCandidates(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val h = docs.select($"doc_id", xxhash64($"text").as("h"))
+    h.select($"doc_id".as("doc_a"), $"h")
+      .join(h.select($"doc_id".as("doc_b"), $"h"), "h")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** The round-10 default candidate set for exact near-dup mining:
+    * cap-kept shingle co-occurrence ∪ exact-duplicate rescue,
+    * distinct. The (explicit) recall tradeoff left: pairs of
+    * NON-identical docs whose entire overlap is capped head shingles
+    * — at J ≥ 0.6 a pair shares most of its union, tail included, so
+    * such pairs do not occur in practice (OpsRound14Spec measures
+    * zero recall loss on the corpus; the adversarial construction
+    * that loses them is in the same spec, deliberately). */
+  private def cappedCandidates(sh: DataFrame, docs: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val kept = cappedShingles(sh, docs)
+    kept.select($"doc_id".as("doc_a"), $"shingle")
+      .join(kept.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .unionAll(exactDupCandidates(docs))
+      .distinct()
   }
 
   /** Core over an arbitrary documents relation — also driven by the
@@ -133,7 +203,11 @@ object LlmOps {
     dedupNgramJaccardFromShingles(
       shingleDf(docs).transform(graft.Tables.truncate))
 
-  /** Same pass over a prebuilt (doc_id, shingle) index relation. */
+  /** The UNCAPPED single-pass formulation (the same join that
+    * discovers a pair also counts its common shingles). Round-10:
+    * no longer any declared key's path — retained as the Profile
+    * blow-up probe and the recall-loss reference the capped default
+    * is differentially tested against (OpsRound14Spec). */
   private[graft] def dedupNgramJaccardFromShingles(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
@@ -148,23 +222,17 @@ object LlmOps {
   }
 
   /** MAXDF-capped inverted-index near-dup mine — the stop-shingle rung
-    * the round-9 scale measurement motivates (SCALE.md "Measured scale
+    * the round-9 scale measurement motivated (SCALE.md "Measured scale
     * growth": the exact miners grow superlinearly because candidate
-    * mass is Σdf² and HEAD-shingle df grows with the corpus). Standard
-    * web-scale mitigation: shingles whose df exceeds max(5, 0.1% of
-    * the corpus) are dropped from CANDIDATE GENERATION only — they
-    * pair everything with everything while carrying almost no
-    * similarity signal. Verification still computes exact Jaccard
-    * over the FULL shingle sets, so every emitted similarity is
-    * exact; the (explicit) recall tradeoff is pairs whose ENTIRE
-    * overlap is capped head shingles — at J ≥ 0.6 a pair shares most
-    * of its union, tail included, so such pairs do not occur in
-    * practice. The DuckDB oracle implements the SAME capped candidate
-    * rule, so the key is hash-verified, not rows-only. The threshold
-    * is a broadcast 1-row aggregate, never a driver value; at 100 TB
-    * the df census is one partial-agged pass over the maintained
-    * shingle index and the cap bounds any single shingle's candidate
-    * contribution at (0.001·N)² instead of df². */
+    * mass is Σdf² and HEAD-shingle df grows with the corpus). Since
+    * round 10 this capped rule IS the default candidate path of every
+    * exact miner ([[cappedCandidates]]), so this key and
+    * `q_dedup_ngram_jaccard` coincide by construction — this one stays
+    * declared as the explicitly-named rung the mitigation history and
+    * the OpsRound14Spec adversarial probes hang off. Verification
+    * computes exact Jaccard over the FULL shingle sets; the DuckDB
+    * oracle implements the SAME capped candidate rule, so the key is
+    * hash-verified, not rows-only. */
   def dedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame =
     dedupNgramCappedFrom(shingleIndex(spark, sfDir),
       Tables(spark, sfDir, "documents"))
@@ -178,15 +246,7 @@ object LlmOps {
   private def dedupNgramCappedFrom(sh: DataFrame, docs: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    val thr = docs.agg(greatest(lit(5.0), count(lit(1)) * 0.001).as("maxdf"))
-    val kept = sh.join(df.crossJoin(broadcast(thr))
-      .filter($"df" <= $"maxdf").select($"shingle"), "shingle")
-    val candidates = kept.select($"doc_id".as("doc_a"), $"shingle")
-      .join(kept.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
-    jaccardFor(candidates, sh)
+    jaccardFor(cappedCandidates(sh, docs), sh)
       .filter($"jaccard" >= 0.6)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -286,17 +346,25 @@ object LlmOps {
     * Jaccard and the standard doc-inside-doc detector — a short
     * document fully quoted inside a long one scores containment ≈ 1
     * while its Jaccard (diluted by the long doc's extra shingles)
-    * stays below any dedup threshold. Same single-pass inverted-index
-    * candidate generation as [[dedupNgramJaccardOn]]: only docs
-    * SHARING a shingle ever pair, the pair stream partial-aggs
-    * map-side, no n² space exists. */
+    * stays below any dedup threshold.
+    *
+    * Round-10 candidate generation: the MAXDF cap + exact-dup rescue
+    * ([[cappedCandidates]]) — the round-9 x10 measurement put the
+    * UNCAPPED containment miner at tail α 2.66, the worst of the exact
+    * miners precisely because no PPJoin-style length filter applies to
+    * an asymmetric measure (a tiny doc can be contained in any huge
+    * one). Verification computes the overlap census over the FULL
+    * shingle sets, so every emitted containment is exact. Residual
+    * recall tradeoff is containment-specific and documented: a short
+    * NON-identical doc quoted verbatim in many hosts can have all its
+    * shingles pushed past the df cap by its own popularity — the
+    * exact-dup rescue covers the identical-copy case, and a corpus
+    * where the quoted-fragment case matters should mine containment
+    * from the MinHash candidate rung instead. */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleIndex(spark, sfDir)
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    shinglePairCounts(sh)
-      .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-      .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+    overlapFor(cappedCandidates(sh, Tables(spark, sfDir, "documents")), sh)
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / least($"na", $"nb")).as("containment"))
       .filter($"containment" >= 0.7)
@@ -307,8 +375,11 @@ object LlmOps {
     * second-stage check real pipelines run when token-set similarity
     * is too coarse (shingle sets are insensitive to within-token
     * typos and reorderings; edit distance is not). Candidates come
-    * from the shingle inverted index (≥ 5 shared 3-gram shingles AND
-    * lengths within the relative threshold — dist ≤ d requires
+    * from the MAXDF-capped shingle inverted index (≥ 5 shared CAP-KEPT
+    * 3-gram shingles — round-10 default, uncapped tail α was 2.35 at
+    * x10 — ∪ the exact-dup rescue, which also admits identical docs
+    * too short to carry 5 shingles) AND lengths within the relative
+    * threshold (dist ≤ d requires
     * |len_a − len_b| ≤ d, so the length gate is lossless); a naive
     * length-bucket blocking was measured at ~10⁹ banded-DP cell ops
     * at sf0.1 — candidate generation MUST be content-based, which is
@@ -333,9 +404,11 @@ object LlmOps {
       .as[Option[Int]].collect()(0).getOrElse(0)
     val band = math.max(1, math.ceil(maxLen * 0.05).toInt)
     val sh = shingleIndex(spark, sfDir)
-    val cand = shinglePairCounts(sh)
+    val cand = shinglePairCounts(cappedShingles(sh, docs))
       .filter($"common" >= 5)
       .select($"doc_a", $"doc_b")
+      .unionAll(exactDupCandidates(docs))
+      .distinct()
     val t = docs.select($"doc_id", $"text", length($"text").as("len"))
     cand
       .join(t.select($"doc_id".as("doc_a"), $"text".as("ta"),
@@ -641,7 +714,13 @@ object LlmOps {
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     Memo.parquet(spark, sfDir, "cluster-labels") {
       import spark.implicits._
-      val pairs = dedupNgramJaccardFromShingles(shingleIndex(spark, sfDir))
+      // round-10: edges come from the CAPPED candidate rule (the same
+      // pair set the declared q_dedup_ngram_jaccard key emits, minus
+      // its presentation sort — scale-safe candidate mass)
+      val sh = shingleIndex(spark, sfDir)
+      val pairs = jaccardFor(
+          cappedCandidates(sh, Tables(spark, sfDir, "documents")), sh)
+        .filter($"jaccard" >= 0.6)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val nodes = Tables(spark, sfDir, "documents").select($"doc_id".as("id"))
       Graph.connectedComponents(nodes, pairs)
@@ -3357,6 +3436,14 @@ object LlmOps {
     * SEQUENTIAL fold over the assembled array in pos order (aggregate
     * here, list_sum there — the q_embed_centroids precedent).
     *
+    * Output shape: the whitened vector is serialized as `whitened_q`,
+    * a comma-joined string of round(w·10⁴) INTEGERS — never a raw
+    * array column (the verification harness's comparer cannot sort
+    * array cells; SURVEY §7.6). Integer serialization sidesteps
+    * cross-engine float-to-string formatting entirely, and since the
+    * r4-rounded w is bit-identical in both engines, round(w·10⁴) can
+    * never land on a .5 tie — the two engines' rounding modes agree.
+    *
     * Scale posture: one posexplode census partial-aggs map-side to 64
     * rows (Σq² fits a long up to ~10⁹ vectors at this quantization;
     * past that the same census runs in decimal — one cast); the
@@ -3385,9 +3472,12 @@ object LlmOps {
           .otherwise(0.0).as("w"))
       .groupBy($"vec_id")
       .agg(transform(array_sort(collect_list(struct($"pos", $"w"))),
-        c => c("w")).as("whitened"))
-      .select($"vec_id", $"whitened",
-        Det.r4(sqrt(aggregate($"whitened", lit(0.0),
+        c => c("w")).as("wvec"))
+      .select($"vec_id",
+        array_join(transform($"wvec",
+          x => round(x * 10000).cast("long").cast("string")), ",")
+          .as("whitened_q"),
+        Det.r4(sqrt(aggregate($"wvec", lit(0.0),
           (a, x) => a + x * x))).as("wnorm"))
       .orderBy($"vec_id")
   }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Declarative data-quality constraint suite — the validation gate a
   * corpus passes before training (the Deequ/expectations pattern):
@@ -410,11 +410,18 @@ object Quality {
         when($"lang" === "en", 1L).otherwise(0L).as("pos"))
       .groupBy($"score")
       .agg(sum($"pos").as("n_pos"), sum(lit(1L) - $"pos").as("n_neg"))
+    // num2 accumulates in DECIMAL(38,0), mirroring the oracle's
+    // int128 intermediate: at census scale the per-term product
+    // n_pos·(2·cum_neg − n_neg) approaches P·2N ≈ 1e26 ≫ Long.Max,
+    // where a long sum would wrap silently while DuckDB's HUGEINT
+    // doesn't — an engine divergence this cast removes (theoretical
+    // at tested SFs, real at 100 TB)
     TwoPass.cumsum(census, "score", Seq("n_neg"))
       .agg(sum($"n_pos").cast("long").as("n_pos"),
         sum($"n_neg").cast("long").as("n_neg"),
-        sum($"n_pos" * (lit(2L) * $"cum_n_neg" - $"n_neg"))
-          .cast("long").as("num2"))
+        sum($"n_pos".cast(DecimalType(38, 0))
+            * (lit(2L) * $"cum_n_neg" - $"n_neg").cast(DecimalType(38, 0)))
+          .as("num2"))
       .select($"n_pos", $"n_neg",
         when($"n_pos" > 0 && $"n_neg" > 0,
           Det.r4($"num2".cast("double")

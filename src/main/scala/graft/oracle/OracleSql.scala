@@ -762,6 +762,54 @@ object OracleSql {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
       |  FROM tk)""".stripMargin
 
+  // ——— round-10 MAXDF-capped candidate generation (the DEFAULT path of
+  // every exact near-dup miner; mirrors LlmOps.cappedCandidates exactly):
+  // shingles with df > max(5, 0.1% of corpus) are dropped from CANDIDATE
+  // generation only; the exact-duplicate rescue readmits identical-text
+  // pairs (whose own copy count pushes every shingle past the cap);
+  // verification always recounts over the FULL shingle stream `sh`. ———
+  private val cappedKeptCte: String =
+    """sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      |nd AS (SELECT greatest(5.0, count(*) * 0.001) AS maxdf
+      |       FROM documents),
+      |kept AS (
+      |  SELECT sh.doc_id, sh.shingle FROM sh
+      |  JOIN sdf ON sh.shingle = sdf.shingle CROSS JOIN nd
+      |  WHERE sdf.df <= nd.maxdf)""".stripMargin
+
+  private val rescueSelect: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM documents a JOIN documents b
+      |      ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin
+
+  private val cappedCandCte: String =
+    s"""$cappedKeptCte,
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM kept a JOIN kept b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    $rescueSelect) u)""".stripMargin
+
+  // exact-Jaccard verification of `cand` over the FULL shingle stream;
+  // exposes `jp(doc_a, doc_b, jaccard)` at the 0.6 threshold
+  private val cappedJaccardCte: String =
+    """sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |cm AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS common
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+      |  FROM cm p JOIN sz x ON p.doc_a = x.doc_id
+      |  JOIN sz y ON p.doc_b = y.doc_id
+      |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6)"""
+      .stripMargin
+
   private val dotSql: String =
     "round(list_sum(list_transform(range(1, 65), " +
       "i -> cast(a.embedding[i] as double) * cast(q.embedding[i] as double))), 4)"
@@ -818,53 +866,30 @@ object OracleSql {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
+    // round-10: the MAXDF cap + exact-dup rescue is the DEFAULT
+    // candidate path of the mainline miner (same rule as the engine's
+    // LlmOps.cappedCandidates); verification over FULL shingle sets
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
-         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
-         |JOIN sz y ON p.doc_b = y.doc_id
-         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |$cappedCandCte,
+         |$cappedJaccardCte
+         |SELECT doc_a, doc_b, jaccard FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // the MAXDF stop-shingle cap replayed exactly: candidates only
-    // from shingles with df <= max(5, 0.1% of corpus); verification
-    // over FULL shingle sets — same rule, same arithmetic
+    // the explicitly-named capped rung — coincides with
+    // q_dedup_ngram_jaccard by construction since round 10
     "q_dedup_ngram_capped" ->
       s"""WITH $shingleCte,
-         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |nd AS (SELECT greatest(5.0, count(*) * 0.001) AS maxdf
-         |       FROM documents),
-         |kept AS (
-         |  SELECT sh.doc_id, sh.shingle FROM sh
-         |  JOIN df ON sh.shingle = df.shingle CROSS JOIN nd
-         |  WHERE df.df <= nd.maxdf),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |cm AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS common
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
-         |FROM cm p JOIN sz x ON p.doc_a = x.doc_id
-         |JOIN sz y ON p.doc_b = y.doc_id
-         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |$cappedCandCte,
+         |$cappedJaccardCte
+         |SELECT doc_a, doc_b, jaccard FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Same result set as q_dedup_ngram_jaccard by construction (the
-    // prefix filter is lossless for J >= t), so the oracle is the same
-    // reference formulation.
+    // The prefix filter is LOSSLESS for J >= t, so this key keeps the
+    // uncapped exact reference formulation as its oracle (unlike the
+    // capped mainline miner, whose candidate rule is deliberately
+    // lossy-but-verified). PPJoin is itself the scale mitigation here:
+    // frequent shingles never enter the rarest-prefix candidate space.
     "q_dedup_jaccard_prefix" ->
       s"""WITH $shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -921,16 +946,23 @@ object OracleSql {
         |FROM d JOIN md ON d.label = md.label
         |ORDER BY d.vec_id""".stripMargin,
 
+    // round-10: capped candidates + exact-dup rescue (the uncapped
+    // containment miner was the worst x10 tail, α 2.66 — no length
+    // filter applies to an asymmetric measure); overlap census over
+    // the FULL shingle stream
     "q_dedup_containment" ->
       s"""WITH $shingleCte,
+         |$cappedCandCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |cm AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
          |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
+         |SELECT p.doc_a, p.doc_b,
          |  round(common / least(x.n_sh, y.n_sh), 4) AS containment
-         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
+         |FROM cm p JOIN sz x ON p.doc_a = x.doc_id
          |JOIN sz y ON p.doc_b = y.doc_id
          |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
@@ -956,11 +988,17 @@ object OracleSql {
     // (strlen == length for all rows), where the two coincide.
     "q_dedup_edit" ->
       s"""WITH $shingleCte,
-         |pairs AS (
+         |$cappedKeptCte,
+         |pc AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM kept a JOIN kept b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
-         |cand AS (SELECT doc_a, doc_b FROM pairs WHERE common >= 5)
+         |cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b FROM pc WHERE common >= 5
+         |    UNION ALL
+         |    $rescueSelect) u)
          |SELECT doc_a, doc_b,
          |  cast(levenshtein(da.text, db.text) as int) AS dist
          |FROM cand JOIN documents da ON doc_a = da.doc_id
@@ -972,21 +1010,14 @@ object OracleSql {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // edge graph = the exact shingle-Jaccard near-dup pairs (same
-    // formulation as q_dedup_ngram_jaccard), then the recursive
+    // capped formulation as q_dedup_ngram_jaccard), then the recursive
     // transitive closure — fine at oracle scale (components are
     // small cliques)
     "q_split_leakage_safe" ->
       s"""WITH RECURSIVE $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a AS src, doc_b AS dst
-         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
-         |  JOIN sz y ON p.doc_b = y.doc_id
-         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |$cappedCandCte,
+         |$cappedJaccardCte,
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
@@ -1172,21 +1203,14 @@ object OracleSql {
          |ORDER BY generation, o_orderstatus""".stripMargin,
 
     // connected components = min node id reachable in the undirected
-    // near-dup pair graph (edges = the exact shingle-Jaccard pairs of
-    // q_dedup_ngram_jaccard); recursive transitive closure is fine at
-    // oracle scale (components are small cliques)
+    // near-dup pair graph (edges = the exact capped shingle-Jaccard
+    // pairs of q_dedup_ngram_jaccard); recursive transitive closure is
+    // fine at oracle scale (components are small cliques)
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a AS src, doc_b AS dst
-         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
-         |  JOIN sz y ON p.doc_b = y.doc_id
-         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |$cappedCandCte,
+         |$cappedJaccardCte,
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
@@ -1200,16 +1224,9 @@ object OracleSql {
     // with their cluster size
     "q_dedup_cluster_keep" ->
       s"""WITH RECURSIVE $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a AS src, doc_b AS dst
-         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
-         |  JOIN sz y ON p.doc_b = y.doc_id
-         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |$cappedCandCte,
+         |$cappedJaccardCte,
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
@@ -3836,16 +3853,9 @@ object OracleSql {
     // same reach-closure labels; two shrinking rollups on top
     "q_dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shingleCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pc AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a AS src, doc_b AS dst
-         |  FROM pc p JOIN sz x ON p.doc_a = x.doc_id
-         |  JOIN sz y ON p.doc_b = y.doc_id
-         |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6),
+         |$cappedCandCte,
+         |$cappedJaccardCte,
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM jp),
          |und AS (SELECT src, dst FROM pairs
          |        UNION ALL SELECT dst, src FROM pairs),
          |reach(id, r) AS (
@@ -5041,10 +5051,13 @@ object OracleSql {
         |    CASE WHEN sd > 0 THEN round((qv - mu) / sd, 4)
         |         ELSE 0.0 END AS w
         |  FROM q JOIN mu ON q.pos = mu.pos),
-        |a AS (SELECT vec_id, list(w ORDER BY pos) AS whitened
+        |a AS (SELECT vec_id, list(w ORDER BY pos) AS wvec
         |      FROM w GROUP BY vec_id)
-        |SELECT vec_id, whitened,
-        |  round(sqrt(list_sum(list_transform(whitened, x -> x * x))), 4)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(wvec, x ->
+        |    cast(cast(round(x * 10000) as bigint) as varchar)), ',')
+        |    AS whitened_q,
+        |  round(sqrt(list_sum(list_transform(wvec, x -> x * x))), 4)
         |    AS wnorm
         |FROM a ORDER BY vec_id""".stripMargin,
 

@@ -638,14 +638,20 @@ object Sources {
     val orphans = graft.Tables.truncate(listed.join(
       filesCatalog(docs).select($"rel_path"), Seq("rel_path"), "left_anti"))
     // 4. delete + manifest (idempotent per row — a re-executed task
-    //    finding the file already gone still reports deleted)
-    orphans.as[(String, Long)]
-      .mapPartitions(_.map { case (rel, n) =>
-        val target = java.nio.file.Paths.get(dir, rel)
-        java.nio.file.Files.deleteIfExists(target)
-        (rel, n, !java.nio.file.Files.exists(target))
-      })
-      .toDF("rel_path", "n_bytes", "deleted")
+    //    finding the file already gone still reports deleted), then
+    //    truncate BEFORE the presentation sort: the orderBy's range
+    //    sampler re-executes its child, which would run the delete
+    //    stage twice — idempotence makes that benign today, but the
+    //    manifest must never depend on a row surviving re-execution
+    //    (a field derived from pre-delete state would differ)
+    graft.Tables.truncate(
+        orphans.as[(String, Long)]
+          .mapPartitions(_.map { case (rel, n) =>
+            val target = java.nio.file.Paths.get(dir, rel)
+            java.nio.file.Files.deleteIfExists(target)
+            (rel, n, !java.nio.file.Files.exists(target))
+          })
+          .toDF("rel_path", "n_bytes", "deleted"))
       .orderBy($"rel_path")
   }
 

@@ -144,11 +144,16 @@ class OpsRound15Spec extends SparkSpec {
           if (sd(d) > 0) r4((v(d) - mu(d)) / sd(d)) else 0.0 } }.toMap
     }
     val got = ops.LlmOps.embedWhiten(spark, sfDir)
-      .select($"vec_id", $"whitened", $"wnorm")
-      .as[(Long, Array[Double], Double)].collect()
+      .select($"vec_id", $"whitened_q", $"wnorm")
+      .as[(Long, String, Double)].collect()
+      .map { case (id, s, norm) =>
+        // whitened_q serializes round(w*1e4) ints — decode back to w
+        (id, s.split(',').map(_.toLong / 10000.0), norm) }
     assert(got.length === n)
     got.foreach { case (id, w, norm) =>
       assert(w.toSeq === expected(id).toSeq, s"vec $id")
+      // wnorm folds the UNSERIALIZED doubles; the 1e-4 lattice decode
+      // is exact here because r4-rounded w has no residue below 1e-4
       assert(norm === r4(math.sqrt(
         w.foldLeft(0.0)((a, x) => a + x * x))))
     }

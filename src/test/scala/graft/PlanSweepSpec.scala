@@ -54,6 +54,12 @@ class PlanSweepSpec extends SparkSpec {
     "q_stats_cramers_v", // domain-bounded margin grid + 1-row N crossJoin
     "q_ts_seasonal",     // 1-row broadcast global-mean crossJoin
     "q_dedup_ngram_capped", // 1-row broadcast max-df threshold crossJoin
+    // round-10: the MAXDF cap (1-row broadcast threshold crossJoin) is
+    // the DEFAULT candidate path of every exact miner and its
+    // downstream cluster/split consumers
+    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_edit",
+    "q_dedup_cluster", "q_dedup_cluster_keep", "q_dedup_cluster_stats",
+    "q_split_leakage_safe",
     "q_embed_pca_power"  // 1-row broadcast rescale-max / norm crossJoins
   )
 
