@@ -54,6 +54,22 @@ object Profile {
           Tables(s, dir, "documents")
             .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10 zz11 zz12"))))
       }),
+      // round-10 edit-miner stage decomposition (x10 regression hunt):
+      // candidate generation alone vs rescue alone vs the full capped
+      // candidate set — isolates whether the cost is candidates or DP
+      "x_edit_cand_capped" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val sh = graft.ops.LlmOps.shingleIndex(s, dir)
+        graft.ops.LlmOps.shinglePairCounts(
+            graft.ops.LlmOps.cappedShingles(sh, Tables(s, dir, "documents")))
+          .filter(col("common") >= 5)
+      }),
+      "x_edit_rescue" -> ((s, dir) =>
+        graft.ops.LlmOps.exactDupCandidates(Tables(s, dir, "documents"))),
+      "x_cand_capped_full" -> ((s, dir) =>
+        graft.ops.LlmOps.cappedCandidates(
+          graft.ops.LlmOps.shingleIndex(s, dir),
+          Tables(s, dir, "documents"))),
       "x_shingle_join" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import s.implicits._

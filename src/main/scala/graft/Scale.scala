@@ -157,6 +157,15 @@ object ScaleBench {
     "q_sim_cosine_topk" -> "embeddings",
     "q_sim_ann_ivf" -> "embeddings",
     "q_knn_graph_bucketed" -> "embeddings",
+    // graph family (VERDICT r9 ask #3): all consume the kNN graph,
+    // whose embedding input grows with the derived corpora — the
+    // level-synchronous/bounded-round claims get measured α here
+    "q_graph_pagerank" -> "embeddings",
+    "q_graph_bfs" -> "embeddings",
+    "q_graph_label_prop" -> "embeddings",
+    "q_graph_triangles" -> "embeddings",
+    "q_graph_clustering" -> "embeddings",
+    "q_graph_degree_stats" -> "embeddings",
     "q_sessionize_gap" -> "events",
     "q_events_funnel_windowed" -> "events")
 

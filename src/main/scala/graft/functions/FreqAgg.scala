@@ -197,6 +197,5 @@ object FreqAgg {
 
   /** Idempotently register as `freq_agg(item, k)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_agg", fromExpressions, "scala_udf")
+    Registry.ensure(spark, "freq_agg")(fromExpressions)
 }

@@ -80,8 +80,6 @@ case class MinHashAgg(
 object MinHashAgg {
   /** Idempotently register as `minhash_agg(col)` on the session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => MinHashAgg(exprs.head).toAggregateExpression(),
-      "scala_udf")
+    Registry.ensure(spark, "minhash_agg")(
+      exprs => MinHashAgg(exprs.head).toAggregateExpression())
 }

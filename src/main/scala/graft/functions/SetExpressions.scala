@@ -156,8 +156,7 @@ object SetExpressions {
 
   /** Idempotently register on the session's function registry. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_overlap_count", fromExpressions, "scala_udf")
+    Registry.ensure(spark, "array_overlap_count")(fromExpressions)
 
   /** Column-level API: distinct-overlap count of two string-array
     * columns. */

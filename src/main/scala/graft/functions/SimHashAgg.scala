@@ -75,8 +75,6 @@ case class SimHashAgg(
 
 object SimHashAgg {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_agg",
-      exprs => SimHashAgg(exprs.head).toAggregateExpression(),
-      "scala_udf")
+    Registry.ensure(spark, "simhash_agg")(
+      exprs => SimHashAgg(exprs.head).toAggregateExpression())
 }

@@ -185,6 +185,5 @@ object TopKAgg {
 
   /** Idempotently register as `topk_agg(score, id, k)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_agg", fromExpressions, "scala_udf")
+    Registry.ensure(spark, "topk_agg")(fromExpressions)
 }

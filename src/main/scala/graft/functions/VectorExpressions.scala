@@ -83,18 +83,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 object VectorExpressions {
   /** Idempotently register the expression on the session's function
-    * registry so `call_function`/SQL can resolve it. Guarded by
-    * functionExists: createOrReplaceTempFunction on an existing name
-    * logs a replacement WARN per call, and vecDot is called once per
-    * plan build — unguarded, the warning sprays every bench log. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!registry.functionExists(name)) {
-      registry.createOrReplaceTempFunction(
-        "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
-    }
-  }
+    * registry so `call_function`/SQL can resolve it (guarded — see
+    * [[Registry.ensure]]). */
+  def register(spark: SparkSession): Unit =
+    Registry.ensure(spark, "vec_dot")(
+      exprs => FloatVectorDot(exprs(0), exprs(1)))
 
   /** Column-level API: dot product of two float-array columns. */
   def vecDot(spark: SparkSession)(a: Column, b: Column): Column = {

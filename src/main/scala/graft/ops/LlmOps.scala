@@ -133,7 +133,7 @@ object LlmOps {
     * count partial-agged map-side. Candidate mass is Σdf², so feed it
     * the CAPPED stream ([[cappedShingles]]) unless the caller is a
     * deliberate blow-up probe. */
-  private def shinglePairCounts(sh: DataFrame): DataFrame = {
+  private[graft] def shinglePairCounts(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     sh.select($"doc_id".as("doc_a"), $"shingle")
       .join(sh.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
@@ -150,7 +150,7 @@ object LlmOps {
     * The threshold is a broadcast 1-row aggregate, never a driver
     * value; at 100 TB the df census is one partial-agged pass over the
     * maintained shingle index. */
-  private def cappedShingles(sh: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def cappedShingles(sh: DataFrame, docs: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val df = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val thr = docs.agg(greatest(lit(5.0), count(lit(1)) * 0.001).as("maxdf"))
@@ -168,7 +168,7 @@ object LlmOps {
     * cardinality anyway. Joining on xxhash64(text) keeps full texts
     * off the shuffle; a hash collision only adds a false CANDIDATE,
     * which exact verification then rejects. */
-  private def exactDupCandidates(docs: DataFrame): DataFrame = {
+  private[graft] def exactDupCandidates(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val h = docs.select($"doc_id", xxhash64($"text").as("h"))
     h.select($"doc_id".as("doc_a"), $"h")
@@ -185,7 +185,7 @@ object LlmOps {
     * such pairs do not occur in practice (OpsRound14Spec measures
     * zero recall loss on the corpus; the adversarial construction
     * that loses them is in the same spec, deliberately). */
-  private def cappedCandidates(sh: DataFrame, docs: DataFrame): DataFrame = {
+  private[graft] def cappedCandidates(sh: DataFrame, docs: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val kept = cappedShingles(sh, docs)
     kept.select($"doc_id".as("doc_a"), $"shingle")
@@ -409,6 +409,14 @@ object LlmOps {
       .select($"doc_a", $"doc_b")
       .unionAll(exactDupCandidates(docs))
       .distinct()
+      // pin the verify parallelism (explicit user repartition — AQE
+      // never coalesces REPARTITION_BY_NUM): the candidate stream is
+      // id pairs, a few MB even at x10, so AQE's size-based coalesce
+      // folds it to ONE partition — and the banded DP, which runs
+      // inside the broadcast-join condition downstream, would execute
+      // single-threaded (measured 131 s → ~seconds at x10; the DP is
+      // the whole cost of this key, so its parallelism IS the key's)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val t = docs.select($"doc_id", $"text", length($"text").as("len"))
     cand
       .join(t.select($"doc_id".as("doc_a"), $"text".as("ta"),
@@ -544,7 +552,19 @@ object LlmOps {
 
   /** Embedding near-dup pairs, cosine ≥ 0.4 (vectors are L2-normalized
     * — dot ≡ cosine). Brute-force baseline marked as such; the
-    * bucketed/IVF ANN paths below are the scale road. */
+    * bucketed/IVF ANN paths below are the scale road.
+    *
+    * CONTRACT — calibration corpora only (≤ ~10⁶ vectors): this key is
+    * Θ(n²) BY DECLARATION (it computes every pair's exact cosine; the
+    * x10 measurement reads tail α ≈ 1.8, SCALE.md "Measured scale
+    * growth") and exists solely to calibrate [[dedupEmbeddingAnn]]'s
+    * recall — the measured ≥0.93 recall claim is meaningless without
+    * an exact ground truth to compare against, and ground truth at
+    * calibration scale is how every published ANN benchmark works.
+    * Run it on a SAMPLE of a production corpus, never the corpus: at
+    * 10⁹ vectors the pair space is 5·10¹⁷ dot products and no
+    * candidate trick can change what the key is defined to compute.
+    * The full-corpus path is [[dedupEmbeddingAnn]]. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     embedPairs(spark, sfDir, 0.4).orderBy($"vec_a", $"vec_b")

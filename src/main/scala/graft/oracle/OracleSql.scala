@@ -810,9 +810,15 @@ object OracleSql {
       |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6)"""
       .stripMargin
 
+  // native C++ dot kernel, verified BIT-IDENTICAL (unrounded) to the
+  // interpreted list_sum(list_transform(...)) fold over every sf0.01
+  // pair — both are sequential left-to-right double accumulation after
+  // per-element float→double cast. The native form is what lets the
+  // pair-heavy twins (semantic_keep / threshold_sweep) finish the x10
+  // differential gate instead of timing out.
   private val dotSql: String =
-    "round(list_sum(list_transform(range(1, 65), " +
-      "i -> cast(a.embedding[i] as double) * cast(q.embedding[i] as double))), 4)"
+    "round(list_dot_product(" +
+      "a.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4)"
 
   private val bucketSql: String =
     "cast(list_sum(list_transform(range(1, 9), " +
