@@ -150,7 +150,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_embed_whiten", "q_agg_weighted_percentile",
     // round 13 wave 2: d²-state covariance census + ordered mat·vec
     // folds (the sorted-array fold must not care where rows started)
-    "q_embed_pca_power")
+    "q_embed_pca_power",
+    // round 14 (r10 capped default): the three re-plumbed exact miners
+    // — capped candidate union + rescue distinct + full-set verify,
+    // and the edit miner's explicit repartition before the DP — plus
+    // the capped-edge cluster keep-list, none of which may depend on
+    // where candidate rows started
+    "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram_capped",
+    "q_dedup_cluster_keep", "q_split_leakage_safe")
 
   private lazy val alt = {
     val s = spark.newSession()
