@@ -48,7 +48,7 @@ object LlmOps {
     * pair set: (doc_a, doc_b, common, na, nb) — candidates join the
     * inverted index, never n². Shared verification stage of the
     * Jaccard and containment miners. */
-  private def overlapFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def overlapFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -430,6 +430,73 @@ object LlmOps {
       .withColumn("dist", levenshtein($"ta", $"tb", band))
       .filter($"dist" >= 0 && $"dist" <= greatest($"la", $"lb") * 0.05)
       .select($"doc_a", $"doc_b", $"dist")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** LOSSLESS prefix-filtered CONTAINMENT mine — closes the capped
+    * miner's one documented recall caveat (a short non-identical doc
+    * quoted verbatim in many hosts can have every shingle pushed past
+    * the df cap by its own popularity) with an EXACT formulation, the
+    * asymmetric twin of [[dedupJaccardPrefix]]'s PPJoin rule:
+    * containment C = |A∩B|/min(|A|,|B|) ≥ t means the SHORTER doc A
+    * shares ≥ ceil(t·|A|) shingles, so under any fixed global shingle
+    * order A must share one within its first |A| − ceil(t·|A|) + 1
+    * RAREST shingles — the prefix bound applies to the min-denominator
+    * side, and only the PROBE side needs a prefix; the partner may
+    * match anywhere, so the index side keeps ALL its shingles.
+    * Candidates = shorter-doc prefixes ⨝ full index; frequent shingles
+    * never probe (prefixes are the rarest shingles), so candidate mass
+    * is Σ(prefix-df·df) over RARE shingles — no head-df² term exists.
+    * Verification recounts the overlap census over full sets, so every
+    * emitted containment is exact, and the result set EQUALS the
+    * uncapped reference by the prefix theorem — the DuckDB twin is the
+    * plain exact-containment SQL, hash-verified.
+    *
+    * Same result as [[dedupContainment]] would produce uncapped; the
+    * two keys bracket the trade: capped = cheapest candidates with a
+    * documented popular-fragment recall caveat, prefix = lossless at
+    * the cost of one rank window over the maintained shingle index. */
+  def dedupContainmentPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    dedupContainmentPrefixFromShingles(shingleIndex(spark, sfDir))
+
+  /** Core over an arbitrary documents relation — the OpsRound3Spec
+    * popular-fragment probe rebuilds the plan on an adversarial
+    * corpus through this. */
+  private[graft] def dedupContainmentPrefixOn(docs: DataFrame): DataFrame =
+    dedupContainmentPrefixFromShingles(
+      shingleDf(docs).transform(graft.Tables.truncate))
+
+  private def dedupContainmentPrefixFromShingles(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy($"doc_id")
+    // the same (frequency, shingle-hash) global total order as the
+    // Jaccard prefix join — any single consistent order satisfies the
+    // candidate rule, and exact verification below makes the result
+    // independent of the order chosen
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("h", xxhash64($"shingle"))
+      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+    val probe = ranked
+      .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.7) + 1)
+      .select($"doc_id".as("pa"), $"h", $"n_sh".as("na"))
+    val index = ranked.select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
+    // probe = the doc that must be the SHORTER of the pair (the rule
+    // binds min(|A|,|B|)); equal sizes probe from the smaller id only
+    val cand = probe.join(index, "h")
+      .filter($"na" < $"nb" || ($"na" === $"nb" && $"pa" < $"pb"))
+      // canonical (min id, max id) pair order — the declared output
+      // orientation, independent of which side probed
+      .select(least($"pa", $"pb").as("doc_a"),
+        greatest($"pa", $"pb").as("doc_b"))
+      .distinct()
+    overlapFor(cand, sh)
+      .select($"doc_a", $"doc_b",
+        Det.r4($"common" / least($"na", $"nb")).as("containment"))
+      .filter($"containment" >= 0.7)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -4088,6 +4155,7 @@ object LlmOps {
     "q_dedup_ngram_capped" -> dedupNgramCapped,
     "q_dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "q_dedup_containment" -> dedupContainment,
+    "q_dedup_containment_prefix" -> dedupContainmentPrefix,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_edit" -> dedupEdit,
     "q_dedup_cluster" -> dedupCluster,

@@ -952,6 +952,25 @@ object OracleSql {
         |FROM d JOIN md ON d.label = md.label
         |ORDER BY d.vec_id""".stripMargin,
 
+    // the LOSSLESS prefix-filtered containment join equals the plain
+    // exact-containment reference by the min-side prefix theorem, so
+    // its oracle is the uncapped formulation — hash-verified, closing
+    // the capped miner's popular-fragment recall caveat with an exact
+    // operator
+    "q_dedup_containment_prefix" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(common / least(x.n_sh, y.n_sh), 4) AS containment
+         |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
+         |JOIN sz y ON p.doc_b = y.doc_id
+         |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // round-10: capped candidates + exact-dup rescue (the uncapped
     // containment miner was the worst x10 tail, α 2.66 — no length
     // filter applies to an asymmetric measure); overlap census over

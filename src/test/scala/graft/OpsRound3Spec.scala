@@ -520,6 +520,59 @@ class OpsRound3Spec extends SparkSpec {
     assert(jac.subsetOf(got.map(t => (t._1, t._2))))
   }
 
+  test("q_dedup_containment_prefix is LOSSLESS vs the uncapped replay") {
+    // the min-side prefix theorem claims exact equality with the
+    // full uncapped reference (no cap, no rescue, no recall caveat) —
+    // assert it against the same driver-side set replay the capped
+    // key's zero-loss-on-this-corpus check uses
+    val sets = shingleSets()
+    val ids = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      common = (sets(a) & sets(b)).size
+      if common > 0
+      c = r4(common.toDouble / math.min(sets(a).size, sets(b).size))
+      if c >= 0.7
+    } yield (a, b, c)).toSet
+    val got = graft.ops.LlmOps.dedupContainmentPrefix(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "corpus has no containment pairs: vacuous")
+  }
+
+  test("containment prefix rule survives an adversarial popular fragment") {
+    // the exact case the capped default documents as its recall
+    // caveat: a short doc quoted verbatim in MANY hosts — its own
+    // popularity pushes every one of its shingles past the df cap.
+    // 12 hosts embed the same 6-token fragment plus private padding;
+    // fragment shingles have df = 13 > cap (= 5 at N = 13 docs), so
+    // the capped miner cannot pair the fragment with its hosts, while
+    // the prefix rule (probe = the SHORT doc's rarest shingles against
+    // the FULL index) must find all 12 containment-1.0 pairs.
+    val frag = "alpha beta gamma delta epsilon zeta"
+    val hosts = (0L until 12L).map(i =>
+      (100L + i, s"$frag h${i}_a h${i}_b h${i}_c h${i}_d h${i}_e"))
+    val docs = ((0L, frag) +: hosts).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val wantPairs = hosts.map(h => (0L, h._1)).toSet
+    // core-over-arbitrary-docs variants: rebuild both miners' plans
+    // on the adversarial corpus through the same private cores
+    val sh = graft.ops.LlmOps.shingleDf(docs).transform(Tables.truncate)
+    val capped = pairsOf(
+      graft.ops.LlmOps.overlapFor(
+        graft.ops.LlmOps.cappedCandidates(sh, docs), sh)
+        .select($"doc_a", $"doc_b",
+          graft.Det.r4($"common" / least($"na", $"nb")).as("containment"))
+        .filter($"containment" >= 0.7))
+    assert(capped.intersect(wantPairs).isEmpty,
+      "cap must lose the popular-fragment pairs (the documented caveat)")
+    val prefix = pairsOf(
+      graft.ops.LlmOps.dedupContainmentPrefixOn(docs))
+    assert(wantPairs.subsetOf(prefix),
+      "prefix rule must recover every popular-fragment containment pair")
+  }
+
   test("q_dedup_edit matches a driver-side banded-DP replay") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

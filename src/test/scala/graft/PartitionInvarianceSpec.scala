@@ -157,7 +157,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the capped-edge cluster keep-list, none of which may depend on
     // where candidate rows started
     "q_dedup_containment", "q_dedup_edit", "q_dedup_ngram_capped",
-    "q_dedup_cluster_keep", "q_split_leakage_safe")
+    "q_dedup_cluster_keep", "q_split_leakage_safe",
+    // round 14 wave 2: the lossless min-side prefix containment —
+    // rank windows + asymmetric probe join must not care about layout
+    "q_dedup_containment_prefix")
 
   private lazy val alt = {
     val s = spark.newSession()
