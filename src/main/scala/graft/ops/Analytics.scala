@@ -1466,7 +1466,62 @@ object Analytics {
       .orderBy($"dow")
   }
 
+  /** LINEAR INTERPOLATION of missing hourly buckets in the per-type
+    * revenue series — [[tsGapfill]]'s LOCF fill is right for state
+    * series (a price holds until re-quoted); a FLOW series (revenue,
+    * traffic) wants the line between the surrounding observations.
+    * Per event type: hourly exact-decimal revenue, a dense hour grid
+    * spanning the type's own [min, max] hour (generator explode —
+    * never a data crossJoin), and for each empty bucket the value
+    * interpolated between the nearest non-empty neighbors.
+    *
+    * Determinism: revenue quantizes to exact 1e-4 integer units
+    * (decimal sum × 10⁴ → long); the interpolation is pure integer
+    * arithmetic — `(prev·(nh−h) + next·(h−ph)) div (nh−ph)` over
+    * epoch-hour longs — so the filled series is bit-identical across
+    * engines and layouts; the presentation divide by 10⁴ is one IEEE
+    * op. Grid boundaries are actual observations, so interior gaps
+    * always have both neighbors.
+    *
+    * Scale posture: the series census partial-aggs onto the
+    * (type × hour) domain — time-bounded, never corpus-sized; the
+    * neighbor lookups are four keyed windows over that domain (the
+    * per-type partition is the series length, the thing a time-series
+    * store pages anyway); no self-join, no unbounded window. */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, sfDir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg((sum($"value".cast(org.apache.spark.sql.types
+        .DecimalType(27, 4))) * 10000).cast("long").as("q"))
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select($"event_type",
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"hh")
+    val withH = grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("hh", expr("unix_timestamp(h) div 3600"))
+    val filled = withH
+      .withColumn("pv", last($"q", ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ph", last(when($"q".isNotNull, $"hh"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv", first($"q", ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("nh", first(when($"q".isNotNull, $"hh"), ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("q_filled",
+        coalesce($"q",
+          expr("(pv * (nh - hh) + nv * (hh - ph)) div (nh - ph)")))
+    filled.select($"event_type", $"h".as("hour"),
+        ($"q_filled".cast("double") / 10000.0).as("revenue"),
+        when($"q".isNull, 1).otherwise(0).cast("int").as("interpolated"))
+      .orderBy($"event_type", $"hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_interpolate" -> tsInterpolate,
     "q_ts_seasonal" -> tsSeasonal,
     "q_events_pattern" -> eventsPattern,
     "q_events_cooccur" -> eventsCooccur,

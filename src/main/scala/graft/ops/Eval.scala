@@ -248,9 +248,177 @@ object Eval {
             / ($"tp" + $"fp" + $"fn" + $"tn"))).as("accuracy"))
   }
 
+  /** CALIBRATION TABLE (reliability diagram) of the linear quality
+    * classifier: documents bucketed into 10 equal-width confidence
+    * bins, each reporting mean predicted probability vs observed
+    * positive rate and the |gap| — the per-bin decomposition of ECE,
+    * the audit that tells a curation pipeline whether its scorer's
+    * probabilities can be thresholded literally or only ranked
+    * ([[Quality.statsAuc]] answers the ranking question; this answers
+    * the absolute-scale one).
+    *
+    * Determinism: the bin index is pure integer cross-multiplication
+    * (`(score_int + 100·n_tok) div (20·n_tok)` — score/token ∈
+    * [−100, 100] maps to bins 0..9 with the right edge clamped), so
+    * binning never touches a float. The per-doc confidence
+    * (score+100)/200 is one fixed IEEE tree on exact ints, r4-rounded
+    * — a ≤4-decimal value, so the decimal cast underneath the bin sum
+    * is exact (the Det base-column rule), and the bin mean divides
+    * that exact sum by an exact count.
+    *
+    * Scale posture: inference and binning are row-local scan work;
+    * the whole result is ONE partial-agged hash agg onto a 10-row bin
+    * domain. No windows, no joins. */
+  def evalCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val binned = Quality.classifierScores(spark, sfDir)
+      .select(($"lang" === "en").as("truth"),
+        expr("least(9L, (score_int + 100L * greatest(n_tokens, 1)) div " +
+          "(20L * greatest(n_tokens, 1)))").as("bin"),
+        Det.r4(($"score" + 100.0) / 200.0).as("conf_doc"))
+    binned
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"truth", 1)).cast("long").as("n_pos"),
+        sum($"conf_doc".cast(
+          org.apache.spark.sql.types.DecimalType(27, 4))).as("conf_sum"))
+      .select($"bin", $"n_docs", $"n_pos",
+        Det.r4($"conf_sum".cast("double") / $"n_docs").as("mean_conf"),
+        Det.r4($"n_pos".cast("double") / $"n_docs").as("pos_rate"),
+        Det.r4(abs($"conf_sum".cast("double") / $"n_docs"
+          - $"n_pos".cast("double") / $"n_docs")).as("gap"))
+      .orderBy($"bin")
+  }
+
+  /** AVERAGE PRECISION (area under the precision–recall curve, step
+    * interpolation) of the classifier ranking against the `lang='en'`
+    * truth — the class-imbalance-robust companion to
+    * [[Quality.statsAuc]]: on a corpus where positives are rare (the
+    * usual curation case), ROC AUC saturates while AP still moves.
+    * AP = Σ_thresholds P(s)·n_pos(s) / N_pos over DISTINCT scores
+    * descending, ties collapsed into one census row (the same exact
+    * tie discipline as the AUC key).
+    *
+    * Determinism: cum TP / cum (TP+FP) are exact longs from the
+    * census cumsum; each threshold's precision is one IEEE divide,
+    * r4-rounded — a ≤4-decimal value, so the n_pos-weighted sum
+    * accumulates in EXACT decimal (order-free) and only the final
+    * normalization divides again (r4).
+    *
+    * Scale posture: census partial-aggs to one row per distinct
+    * score; the descending running totals ride [[TwoPass.cumsum]]
+    * (range partition + P-row offset broadcast), never a
+    * single-task global window; the fold is a scalar agg. */
+  def evalPrAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val census = Quality.classifierScores(spark, sfDir)
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy($"score")
+      .agg(sum($"pos").as("n_pos"), count(lit(1)).as("n_all"))
+      .withColumn("neg_score", -$"score")
+    TwoPass.cumsum(census, "neg_score", Seq("n_pos", "n_all"))
+      .select($"n_pos", $"n_all",
+        Det.r4($"cum_n_pos".cast("double") / $"cum_n_all").as("prec"))
+      .agg(sum($"n_pos").cast("long").as("n_pos"),
+        (sum($"n_all") - sum($"n_pos")).cast("long").as("n_neg"),
+        sum($"n_pos" * $"prec".cast(
+          org.apache.spark.sql.types.DecimalType(27, 4))).as("ap_num"))
+      .select($"n_pos", $"n_neg",
+        when($"n_pos" > 0,
+          Det.r4($"ap_num".cast("double") / $"n_pos")).as("avg_precision"),
+        when($"n_pos" + $"n_neg" > 0,
+          Det.r4($"n_pos".cast("double") / ($"n_pos" + $"n_neg")))
+          .as("prevalence"))
+  }
+
+  /** BRIER SCORE of the classifier's probabilities against the
+    * lang='en' truth — the strictly-proper scoring rule that grades
+    * calibration AND sharpness in one number (the summary statistic
+    * of [[evalCalibration]]'s table), reported next to the no-skill
+    * reference prev·(1−prev) (the Brier of always predicting the base
+    * rate) so "0.18" has a yardstick.
+    *
+    * Determinism: the per-doc confidence is the r4'd fixed IEEE tree
+    * (a ≤4-decimal value), so (p − y)² squares EXACTLY in decimal and
+    * the corpus sum is order-free; the only post-sum float ops are
+    * two divides and one multiply under r4.
+    *
+    * Scale posture: row-local inference, ONE partial-agged scalar
+    * aggregate — per partition, one (count, count, decimal) record
+    * crosses the wire. */
+  def evalBrier(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pd = Det.r4(($"score" + 100.0) / 200.0)
+      .cast(org.apache.spark.sql.types.DecimalType(9, 4))
+    Quality.classifierScores(spark, sfDir)
+      .select(($"lang" === "en").cast("int").as("y"), pd.as("p"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"y").cast("long").as("n_pos"),
+        sum(($"p" - $"y") * ($"p" - $"y")).as("sq"))
+      .select($"n_docs", $"n_pos",
+        Det.r4($"sq".cast("double") / $"n_docs").as("brier"),
+        Det.r4(($"n_pos".cast("double") / $"n_docs")
+          * (lit(1.0) - $"n_pos".cast("double") / $"n_docs"))
+          .as("brier_baseline"))
+  }
+
+  /** CUMULATIVE GAINS / LIFT TABLE of the classifier ranking — the
+    * decile report every targeting/curation pipeline reads ("the top
+    * 20% of the ranking captures X% of the positives, lift Y×"): rank
+    * the corpus by score descending, cut into 10 population deciles,
+    * and report each decile's positive capture and cumulative lift
+    * over random. The operational companion to [[evalPrAuc]] (AP
+    * integrates this curve; the table is what a human thresholds on).
+    *
+    * Determinism: deciles cut on the distinct-score census's
+    * INCLUSIVE cumulative count by integer cross-multiplication
+    * ((cum−1)·10 div n), ties collapsing into one census cell that
+    * lands WHOLLY in one decile (never split — same whole-cell
+    * discipline as the CCNet terciles), so membership is exact;
+    * every rate divides exact longs under r4.
+    *
+    * Scale posture: census → [[TwoPass.cumsum]] → second partial agg
+    * onto the 10-row decile domain; the cumulative-over-deciles
+    * window spans 10 rows (domain, not data). */
+  def evalLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val census = Quality.classifierScores(spark, sfDir)
+      .select($"score",
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy($"score")
+      .agg(sum($"pos").as("n_pos"), count(lit(1)).as("n_all"))
+      .withColumn("neg_score", -$"score")
+    val tot = census.agg(sum($"n_all").cast("long").as("n_total"))
+    val deciles = TwoPass.cumsum(census, "neg_score", Seq("n_pos", "n_all"))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(cum_n_all - 1) * 10 div n_total"))
+      .groupBy($"decile")
+      .agg(sum($"n_all").cast("long").as("n_docs"),
+        sum($"n_pos").cast("long").as("n_pos"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    deciles
+      .withColumn("cum_docs", sum($"n_docs").over(w))
+      .withColumn("cum_pos", sum($"n_pos").over(w))
+      .withColumn("tot_docs", sum($"n_docs").over(wAll))
+      .withColumn("tot_pos", sum($"n_pos").over(wAll))
+      .select($"decile", $"n_docs", $"n_pos",
+        Det.r4($"cum_pos".cast("double") / $"tot_pos").as("capture"),
+        Det.r4(($"cum_pos".cast("double") / $"cum_docs")
+          / ($"tot_pos".cast("double") / $"tot_docs")).as("cum_lift"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_brier" -> evalBrier,
+    "q_eval_lift" -> evalLift,
     "q_eval_ndcg" -> evalNdcg,
     "q_eval_recall_ann" -> evalRecallAnn,
     "q_eval_confusion" -> evalConfusion,
+    "q_eval_calibration" -> evalCalibration,
+    "q_eval_pr_auc" -> evalPrAuc,
     "q_sim_rerank_mmr" -> simRerankMmr)
 }

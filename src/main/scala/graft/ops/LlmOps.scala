@@ -4110,7 +4110,137 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-STYLE PERPLEXITY BUCKETING — per language, split the corpus
+    * into head / middle / tail terciles of the unigram-LM
+    * negative-logprob score ([[textPerplexity]]'s signal): the
+    * quality-stratification step the CCNet pipeline (Wenzek et al.,
+    * LREC 2020) runs before keeping "head" web text for LM training.
+    * Reported per (lang, bucket): document count and mean score — the
+    * audit table that shows where the tercile cuts landed.
+    *
+    * Determinism: the score is the already-r4'd per-doc value,
+    * quantized ×10⁴ to an exact long; docs census onto (lang, score)
+    * cells, and a cell is assigned WHOLLY to the bucket its inclusive
+    * within-lang cumulative count lands in (3·cum ≤ n → head,
+    * 3·cum ≤ 2n → middle, else tail) — tie cells never split, so
+    * bucket membership is a pure integer decision.
+    *
+    * Scale posture: the census partial-aggs to one row per distinct
+    * (lang, score); the within-lang running count rides ONE
+    * [[TwoPass.cumsum]] over the lang-major composite key minus a
+    * broadcast per-lang offset (the offsets window spans the lang
+    * DOMAIN, not data); the bucket rollup is a second partial agg.
+    * No corpus-wide window, no per-lang data-sized partition. */
+  def qualityCcnet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = textPerplexity(spark, sfDir)
+      .select($"doc_id", $"avg_neg_logprob")
+      .join(Tables(spark, sfDir, "documents").select($"doc_id", $"lang"),
+        "doc_id")
+      .select($"lang",
+        round($"avg_neg_logprob" * 10000).cast("long").as("nlp"))
+    val census = scored.groupBy($"lang", $"nlp").agg(count(lit(1)).as("n"))
+      .withColumn("sk",
+        concat($"lang", lit("|"), lpad($"nlp".cast("string"), 12, "0")))
+    val wl = Window.orderBy($"lang")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = census.groupBy($"lang").agg(sum($"n").as("n_lang"))
+      .withColumn("off", coalesce(sum($"n_lang").over(wl), lit(0L)))
+    TwoPass.cumsum(census, "sk", Seq("n"))
+      .join(broadcast(off), "lang")
+      .withColumn("cum_in_lang", $"cum_n" - $"off")
+      .withColumn("bucket",
+        when($"cum_in_lang" * 3 <= $"n_lang", "head")
+          .when($"cum_in_lang" * 3 <= $"n_lang" * 2, "middle")
+          .otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(sum($"n").cast("long").as("n_docs"),
+        sum($"nlp" * $"n").cast("long").as("s"))
+      .select($"lang", $"bucket", $"n_docs",
+        Det.r4($"s".cast("double") / (lit(10000.0) * $"n_docs"))
+          .as("mean_neg_logprob"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  /** FEATURE-HASHING collision census (the hashing-trick / HashingTF
+    * audit): every token maps to one of 64 buckets through a PORTABLE
+    * hash (md5 hex prefix — the same engine-agnostic idiom as the
+    * linear classifier's token weights), and the census reports each
+    * bucket's total term frequency, document frequency, and distinct
+    * vocabulary load — the table you read before choosing a feature
+    * dimension, because it shows how unevenly the vocabulary folds
+    * into the buckets (collision skew is what degrades a hashed
+    * model).
+    *
+    * Scale posture: hashing is row-local scan work; the census lands
+    * on the 64-row bucket domain. The exact distinct counts expand to
+    * (bucket, key) partial aggregates whose dedup shuffle is
+    * vocabulary/corpus-key-bounded per bucket — the standard
+    * multi-distinct plan, chosen here because the audit wants exact
+    * loads (the sketched variants live in `q_agg_hll`). */
+  def textHashingTrick(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = spread(Tables(spark, sfDir, "documents"))
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(token), 1, 8), 16, 10) as bigint) % 64"))
+    toks
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("total_tf"),
+        countDistinct($"doc_id").as("n_docs"),
+        countDistinct($"token").as("n_types"))
+      .orderBy($"bucket")
+  }
+
+  /** ADAMIC–ADAR link prediction over the kNN graph — the
+    * hub-discounted companion to [[graphJaccardNeighbors]]: a shared
+    * neighbor contributes 1/ln(indegree), so evidence through a
+    * promiscuous hub counts less (Adamic & Adar 2003). The top-20
+    * non-adjacent candidate links, the same report shape as the
+    * Jaccard key.
+    *
+    * Determinism: each hub's weight is quantized ONCE to integer
+    * micro-units (⌊10⁶/ln(deg)⌋ — the floor guard absorbs any libm
+    * ulp wobble unless the quotient lands exactly on an integer,
+    * measure-zero in practice; hubs with indegree < 2 carry no
+    * information and are excluded, which also removes ln(1) = 0);
+    * scores then SUM exactly in longs, and the ranking tiebreaks
+    * (score desc, a, b) on exact values only.
+    *
+    * Scale posture: identical candidate generation to the Jaccard
+    * key — pairs arise ONLY through shared hubs (equi join on the hub
+    * id, Σdeg² candidate mass, the bucketed-kNN bound), never a
+    * corpus² join; the hub-weight join is hub-keyed BEFORE the pair
+    * grouping so weights never fan out; adjacency exclusion is a
+    * left-anti join. */
+  def graphAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = knnGraphBucketed(spark, sfDir).select($"vec_id", $"nbr_id")
+    val hubs = e.groupBy($"nbr_id".as("h")).agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 2)
+      .withColumn("w",
+        floor(lit(1000000.0) / log($"deg".cast("double"))).cast("long"))
+    val co = e.select($"nbr_id".as("h"), $"vec_id".as("a"))
+      .join(e.select($"nbr_id".as("h"), $"vec_id".as("b")), "h")
+      .filter($"a" < $"b")
+      .join(hubs, "h")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"), sum($"w").as("aa_int"))
+    val adj = e.select(least($"vec_id", $"nbr_id").as("a"),
+      greatest($"vec_id", $"nbr_id").as("b")).distinct()
+    co.join(adj, Seq("a", "b"), "left_anti")
+      .select($"a".as("vec_a"), $"b".as("vec_b"), $"common", $"aa_int",
+        ($"aa_int".cast("double") / 1000000.0).as("adamic_adar"))
+      .orderBy($"aa_int".desc, $"vec_a", $"vec_b")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_ccnet" -> qualityCcnet,
+    "q_text_hashing_trick" -> textHashingTrick,
+    "q_graph_adamic_adar" -> graphAdamicAdar,
     "q_dedup_paragraph" -> dedupParagraph,
     "q_text_readability" -> textReadability,
     "q_quality_dsir" -> qualityDsir,

@@ -874,6 +874,126 @@ object Quality {
         .as("rho_spearman"))
   }
 
+  /** KENDALL'S τ-b rank correlation between quantity and price band —
+    * the concordance twin of [[statsSpearman]] (τ is the metric to
+    * report when the pair count, not the rank difference, is the
+    * story; it is also the one robust to the heavy ties a banded
+    * domain produces). Computed WITHOUT any pair join: census the
+    * corpus onto the bounded (quantity, price-band) grid, densify the
+    * grid (distinct quantities × the band range — generator explode,
+    * not a data crossJoin), and count dominances with three KEYED
+    * windows over the ≤|Q|·|B|-cell grid:
+    * cumx(x,y) = Σ_{x'<x} n(x',y), then concordant-below
+    * Σ_{y'<y} cumx and discordant-above Σ_{y'>y} cumx. Every pair of
+    * cells with x1<x2, y1≠y2 is counted exactly once, at the
+    * larger-x cell. Ties enter only the τ-b denominator through the
+    * marginal censuses: τ-b = (C−D) / √((n0−n1)(n0−n2)) with
+    * n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x/y marginals.
+    *
+    * Determinism: every count folds in DECIMAL(38,0) (pair counts
+    * square the corpus size — long wraps at ~10⁹·10⁹ while DuckDB's
+    * HUGEINT doesn't); the only float ops are one √ (IEEE correctly
+    * rounded — identical everywhere) and one divide, under r4.
+    *
+    * Scale posture: the census partial-aggs map-side onto the
+    * value-domain grid (quantity ≤ 50 distinct, band range bounded by
+    * the price domain — never corpus-sized); the windows partition by
+    * grid axes, so no partition exceeds the axis domain; the fold is
+    * one scalar agg. The corpus is scanned twice (cell census +
+    * marginals derive from it), shuffled never. */
+  def statsKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val cells = Tables(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("long").as("qv"),
+        floor($"l_extendedprice" / 1000).cast("long").as("pb"))
+      .groupBy($"qv", $"pb").agg(count(lit(1)).as("n"))
+    val bounds = cells.agg(min($"pb").as("lo"), max($"pb").as("hi"))
+    val grid = cells.select($"qv").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"qv", explode(sequence($"lo", $"hi")).as("pb"))
+    val dense = grid.join(cells, Seq("qv", "pb"), "left")
+      .select($"qv", $"pb", coalesce($"n", lit(0L)).as("n"))
+    val wx = Window.partitionBy($"pb").orderBy($"qv")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyBelow = Window.partitionBy($"qv").orderBy($"pb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wyAbove = Window.partitionBy($"qv").orderBy($"pb")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val dom = dense
+      .withColumn("cumx", coalesce(sum($"n").over(wx), lit(0L)))
+      .withColumn("below", coalesce(sum($"cumx").over(wyBelow), lit(0L)))
+      .withColumn("above", coalesce(sum($"cumx").over(wyAbove), lit(0L)))
+      .agg(sum($"n").as("n"),
+        sum($"n".cast(d38) * $"below").as("c"),
+        sum($"n".cast(d38) * $"above").as("d"))
+    // ties kept DOUBLED (Σ t(t−1), not /2) so no division ever touches
+    // a decimal: τ-b = 2(C−D) / √((n(n−1) − Σtx(tx−1))(n(n−1) − Σty(ty−1)))
+    def tieSum(marg: DataFrame): DataFrame = marg
+      .agg(sum($"t".cast(d38) * ($"t" - 1)).cast(d38).as("ties"))
+    val tx = tieSum(cells.groupBy($"qv").agg(sum($"n").as("t")))
+    val ty = tieSum(cells.groupBy($"pb").agg(sum($"n").as("t")))
+    dom
+      .crossJoin(broadcast(tx.select($"ties".as("n1"))))
+      .crossJoin(broadcast(ty.select($"ties".as("n2"))))
+      .select($"n".cast("long").as("n"),
+        $"c".cast("long").as("n_concordant"),
+        $"d".cast("long").as("n_discordant"),
+        Det.r4(lit(2.0) * ($"c" - $"d").cast(DoubleType)
+          / sqrt((($"n".cast(d38) * ($"n" - 1)).cast(d38) - $"n1")
+              .cast(DoubleType)
+            * (($"n".cast(d38) * ($"n" - 1)).cast(d38) - $"n2")
+              .cast(DoubleType))).as("tau_b"))
+  }
+
+  /** KRUSKAL–WALLIS H (rank-based one-way ANOVA) of quantity across
+    * the three return-flag populations — the k-group generalization
+    * of [[statsMannWhitney]], the distribution-free "did these groups
+    * come from the same population?" gate run before trusting a
+    * per-group difference. Same pooled-census discipline: one value
+    * census with per-group counts, ONE [[TwoPass.cumsum]] for the
+    * pooled doubled midranks (2·cum − n + 1 — integer, tie-exact),
+    * per-group doubled rank sums Σ n_g·dr folded exactly in
+    * DECIMAL(38,0), then H = 12/(n(n+1))·Σ D_g²/(4n_g) − 3(n+1) and
+    * the tie correction 1 − Σ(t³−t)/(n³−n) as ONE fixed double tree
+    * (r4) — group sums are exact, so both engines divide identical
+    * doubles.
+    *
+    * Scale posture: census partial-aggs onto the ≤50-value quantity
+    * domain; the cumsum is domain-bounded; the fold is a scalar agg.
+    * Corpus scanned once, shuffled never beyond the census. */
+  def statsKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val census = Tables(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("long").as("qv"), $"l_returnflag")
+      .groupBy($"qv")
+      .agg(count(when($"l_returnflag" === "A", 1)).as("na"),
+        count(when($"l_returnflag" === "N", 1)).as("nn"),
+        count(when($"l_returnflag" === "R", 1)).as("nr"))
+      .withColumn("dn", $"na" + $"nn" + $"nr")
+    val agg = TwoPass.cumsum(census, "qv", Seq("dn"))
+      .withColumn("dr", lit(2L) * $"cum_dn" - $"dn" + 1)
+      .agg(sum($"na").cast("long").as("n_a"),
+        sum($"nn").cast("long").as("n_n"),
+        sum($"nr").cast("long").as("n_r"),
+        sum($"na".cast(d38) * $"dr").as("sa"),
+        sum($"nn".cast(d38) * $"dr").as("sn"),
+        sum($"nr".cast(d38) * $"dr").as("sr"),
+        sum($"dn".cast(d38) * $"dn" * $"dn" - $"dn").as("tie3"))
+    val n = ($"n_a" + $"n_n" + $"n_r").cast(DoubleType)
+    def term(s: Column, ng: Column): Column =
+      s.cast(DoubleType) * s.cast(DoubleType) /
+        (lit(4.0) * ng.cast(DoubleType))
+    val h = lit(12.0) / (n * (n + 1)) *
+      (term($"sa", $"n_a") + term($"sn", $"n_n") + term($"sr", $"n_r")) -
+      lit(3.0) * (n + 1)
+    val tieCorr = lit(1.0) - $"tie3".cast(DoubleType) / (n * n * n - n)
+    agg.select($"n_a", $"n_n", $"n_r",
+      Det.r4(h).as("h"), Det.r4(h / tieCorr).as("h_tie_adj"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN INDEX of revenue concentration across
     * customer nations — the market-concentration census (10 000 ·
     * Σ share² in the antitrust convention; 1/HHI is the "effective
@@ -983,6 +1103,8 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_cramers_v" -> statsCramersV,
     "q_stats_spearman" -> statsSpearman,
+    "q_stats_kendall" -> statsKendall,
+    "q_stats_kruskal" -> statsKruskal,
     "q_stats_hhi" -> statsHhi,
     "q_stats_moments" -> statsMoments,
     "q_stats_ttest" -> statsTtest,

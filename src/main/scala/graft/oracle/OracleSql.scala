@@ -5117,9 +5117,326 @@ object OracleSql {
         |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 
+  /** Round-10-session wave A: rank correlation, classifier calibration
+    * + PR-AUC, CCNet perplexity terciles, feature hashing, Adamic–Adar
+    * link prediction, linear gap interpolation. */
+  private val round13: Map[String, String] = Map(
+
+    // bounded-domain dominance census: identical grid + three keyed
+    // windows; ties kept doubled so only HUGEINT/decimal integers flow
+    "q_stats_kendall" ->
+      """WITH cells AS (
+        |  SELECT cast(l_quantity as bigint) AS qv,
+        |    cast(floor(l_extendedprice / 1000) as bigint) AS pb,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |bounds AS (SELECT min(pb) AS lo, max(pb) AS hi FROM cells),
+        |grid AS (
+        |  SELECT q.qv, g.pb
+        |  FROM (SELECT DISTINCT qv FROM cells) q
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS pb) g),
+        |dense AS (
+        |  SELECT g.qv, g.pb, coalesce(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN cells c ON g.qv = c.qv AND g.pb = c.pb),
+        |cx AS (SELECT qv, pb, n,
+        |    coalesce(sum(n) OVER (PARTITION BY pb ORDER BY qv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumx
+        |  FROM dense),
+        |dom AS (SELECT qv, pb, n,
+        |    coalesce(sum(cumx) OVER (PARTITION BY qv ORDER BY pb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below,
+        |    coalesce(sum(cumx) OVER (PARTITION BY qv ORDER BY pb
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS above
+        |  FROM cx),
+        |agg AS (SELECT cast(sum(n) as hugeint) AS n,
+        |    sum(cast(n as hugeint) * below) AS c,
+        |    sum(cast(n as hugeint) * above) AS d
+        |  FROM dom),
+        |t1 AS (SELECT cast(sum(cast(t as hugeint) * (t - 1)) as hugeint)
+        |    AS n1
+        |  FROM (SELECT qv, sum(n) AS t FROM cells GROUP BY 1)),
+        |t2 AS (SELECT cast(sum(cast(t as hugeint) * (t - 1)) as hugeint)
+        |    AS n2
+        |  FROM (SELECT pb, sum(n) AS t FROM cells GROUP BY 1))
+        |SELECT cast(n as bigint) AS n,
+        |  cast(c as bigint) AS n_concordant,
+        |  cast(d as bigint) AS n_discordant,
+        |  round(2.0 * cast(c - d as double) / sqrt(
+        |    cast(n * (n - 1) - n1 as double)
+        |    * cast(n * (n - 1) - n2 as double)), 4) AS tau_b
+        |FROM agg, t1, t2""".stripMargin,
+
+    // pooled doubled midranks off one running census sum; group rank
+    // sums exact in HUGEINT; ONE fixed double tree for H + tie factor
+    "q_stats_kruskal" ->
+      """WITH census AS (
+        |  SELECT cast(l_quantity as bigint) AS qv,
+        |    count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS na,
+        |    count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS nn,
+        |    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS nr
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT na, nn, nr, na + nn + nr AS dn,
+        |    sum(na + nn + nr) OVER (ORDER BY qv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census),
+        |a AS (SELECT
+        |    cast(sum(na) as bigint) AS n_a,
+        |    cast(sum(nn) as bigint) AS n_n,
+        |    cast(sum(nr) as bigint) AS n_r,
+        |    sum(cast(na as hugeint) * (2 * cum - dn + 1)) AS sa,
+        |    sum(cast(nn as hugeint) * (2 * cum - dn + 1)) AS sn,
+        |    sum(cast(nr as hugeint) * (2 * cum - dn + 1)) AS sr,
+        |    sum(cast(dn as hugeint) * dn * dn - dn) AS tie3
+        |  FROM c),
+        |hh AS (SELECT n_a, n_n, n_r,
+        |    12.0 / (nd * (nd + 1)) * (
+        |      cast(sa as double) * cast(sa as double)
+        |        / (4.0 * cast(n_a as double))
+        |      + cast(sn as double) * cast(sn as double)
+        |        / (4.0 * cast(n_n as double))
+        |      + cast(sr as double) * cast(sr as double)
+        |        / (4.0 * cast(n_r as double)))
+        |      - 3.0 * (nd + 1) AS h,
+        |    1.0 - cast(tie3 as double) / (nd * nd * nd - nd) AS corr
+        |  FROM (SELECT *, cast(n_a + n_n + n_r as double) AS nd FROM a))
+        |SELECT n_a, n_n, n_r, round(h, 4) AS h,
+        |  round(h / corr, 4) AS h_tie_adj
+        |FROM hh""".stripMargin,
+
+    // r4'd confidence re-cast to exact decimal so (p−y)² sums order-free
+    "q_eval_brier" ->
+      s"""WITH $classifierCte,
+         |b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    cast(round((cast(score_int as double)
+         |      / greatest(n_tokens, 1) + 100.0) / 200.0, 4)
+         |      as decimal(9,4)) AS p
+         |  FROM s)
+         |SELECT count(*) AS n_docs, cast(sum(y) as bigint) AS n_pos,
+         |  round(cast(sum((p - y) * (p - y)) as double) / count(*), 4)
+         |    AS brier,
+         |  round((cast(sum(y) as double) / count(*))
+         |    * (1.0 - cast(sum(y) as double) / count(*)), 4)
+         |    AS brier_baseline
+         |FROM b""".stripMargin,
+
+    // whole-cell population deciles off the descending census cumsum;
+    // capture/lift divide exact longs
+    "q_eval_lift" ->
+      s"""WITH $classifierCte,
+         |sc AS (SELECT
+         |    cast(score_int as double) / greatest(n_tokens, 1) AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM s),
+         |census AS (SELECT score, cast(sum(pos) as bigint) AS n_pos,
+         |    count(*) AS n_all
+         |  FROM sc GROUP BY score),
+         |tot AS (SELECT cast(sum(n_all) as bigint) AS n_total
+         |  FROM census),
+         |c AS (SELECT n_pos, n_all,
+         |    sum(n_all) OVER (ORDER BY score DESC) AS cum_all
+         |  FROM census),
+         |d AS (SELECT
+         |    cast((cum_all - 1) * 10 // n_total as bigint) AS decile,
+         |    n_pos, n_all
+         |  FROM c CROSS JOIN tot),
+         |g AS (SELECT decile, cast(sum(n_all) as bigint) AS n_docs,
+         |    cast(sum(n_pos) as bigint) AS n_pos
+         |  FROM d GROUP BY 1),
+         |f AS (SELECT decile, n_docs, n_pos,
+         |    sum(n_docs) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_docs,
+         |    sum(n_pos) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_pos,
+         |    sum(n_docs) OVER () AS tot_docs,
+         |    sum(n_pos) OVER () AS tot_pos
+         |  FROM g)
+         |SELECT decile, n_docs, n_pos,
+         |  round(cast(cum_pos as double) / tot_pos, 4) AS capture,
+         |  round((cast(cum_pos as double) / cum_docs)
+         |    / (cast(tot_pos as double) / tot_docs), 4) AS cum_lift
+         |FROM f ORDER BY decile""".stripMargin,
+
+    // integer cross-multiplied bin + exact-decimal confidence sums
+    "q_eval_calibration" ->
+      s"""WITH $classifierCte,
+         |b AS (SELECT
+         |    least(9, (score_int + 100 * greatest(n_tokens, 1))
+         |      // (20 * greatest(n_tokens, 1))) AS bin,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         |    round((cast(score_int as double)
+         |      / greatest(n_tokens, 1) + 100.0) / 200.0, 4) AS conf_doc
+         |  FROM s)
+         |SELECT bin, count(*) AS n_docs,
+         |  cast(sum(pos) as bigint) AS n_pos,
+         |  round(cast(sum(cast(conf_doc as decimal(27,4))) as double)
+         |    / count(*), 4) AS mean_conf,
+         |  round(cast(sum(pos) as double) / count(*), 4) AS pos_rate,
+         |  round(abs(
+         |    cast(sum(cast(conf_doc as decimal(27,4))) as double)
+         |      / count(*)
+         |    - cast(sum(pos) as double) / count(*)), 4) AS gap
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // distinct-score census, descending running totals, r4'd precision
+    // re-cast to exact decimal before the weighted fold
+    "q_eval_pr_auc" ->
+      s"""WITH $classifierCte,
+         |sc AS (SELECT
+         |    cast(score_int as double) / greatest(n_tokens, 1) AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM s),
+         |census AS (SELECT score, cast(sum(pos) as bigint) AS n_pos,
+         |    count(*) AS n_all
+         |  FROM sc GROUP BY score),
+         |c AS (SELECT n_pos, n_all,
+         |    sum(n_pos) OVER (ORDER BY score DESC) AS cum_pos,
+         |    sum(n_all) OVER (ORDER BY score DESC) AS cum_all
+         |  FROM census)
+         |SELECT cast(sum(n_pos) as bigint) AS n_pos,
+         |  cast(sum(n_all) - sum(n_pos) as bigint) AS n_neg,
+         |  CASE WHEN sum(n_pos) > 0 THEN
+         |    round(cast(sum(n_pos * cast(
+         |      round(cast(cum_pos as double) / cum_all, 4)
+         |      as decimal(27,4))) as double) / sum(n_pos), 4)
+         |    END AS avg_precision,
+         |  CASE WHEN sum(n_all) > 0 THEN
+         |    round(cast(sum(n_pos) as double) / sum(n_all), 4)
+         |    END AS prevalence
+         |FROM c""".stripMargin,
+
+    // per-doc r4'd neg-logprob quantized to an exact long, census per
+    // (lang, score), whole-cell tercile assignment on inclusive cums
+    "q_quality_ccnet" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |tk AS (SELECT doc_id, pos, token FROM raw WHERE token <> ''),
+        |tot AS (SELECT count(*) AS total FROM tk),
+        |pr AS (
+        |  SELECT token, -ln(cast(count(*) as double) / total) AS nlp
+        |  FROM tk CROSS JOIN tot GROUP BY token, total),
+        |d AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    list_sum(list(nlp ORDER BY pos)) AS sum_nlp
+        |  FROM tk JOIN pr USING (token)
+        |  GROUP BY doc_id),
+        |nl AS (SELECT doc_id,
+        |    cast(round(round(sum_nlp / dl, 4) * 10000) as bigint) AS nlp
+        |  FROM d),
+        |sc AS (SELECT doc.lang, nl.nlp
+        |  FROM nl JOIN documents doc USING (doc_id)),
+        |census AS (SELECT lang, nlp, count(*) AS n
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (SELECT lang, nlp, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY nlp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS n_lang
+        |  FROM census),
+        |b AS (SELECT lang,
+        |    CASE WHEN cum * 3 <= n_lang THEN 'head'
+        |         WHEN cum * 3 <= n_lang * 2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    nlp, n
+        |  FROM c)
+        |SELECT lang, bucket, cast(sum(n) as bigint) AS n_docs,
+        |  round(cast(sum(nlp * n) as double) / (10000.0 * sum(n)), 4)
+        |    AS mean_neg_logprob
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // portable md5-prefix bucket; exact distinct loads per bucket
+    "q_text_hashing_trick" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM raw WHERE token <> '')
+        |SELECT bucket, count(*) AS total_tf,
+        |  cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+        |  cast(count(DISTINCT token) as bigint) AS n_types
+        |FROM t2 GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same kNN edges as the jaccard twin; hub weights floor-quantized
+    // to integer micro-units before the exact sum
+    "q_graph_adamic_adar" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id,
+         |    $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |rnk AS (SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |e AS (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 3),
+         |hw AS (SELECT nbr_id AS h,
+         |    cast(floor(1000000.0 / ln(count(*))) as bigint) AS w
+         |  FROM e GROUP BY 1 HAVING count(*) >= 2),
+         |co AS (SELECT e1.vec_id AS a, e2.vec_id AS b2,
+         |    count(*) AS common, cast(sum(w) as bigint) AS aa_int
+         |  FROM e e1 JOIN e e2 ON e1.nbr_id = e2.nbr_id
+         |                      AND e1.vec_id < e2.vec_id
+         |  JOIN hw ON hw.h = e1.nbr_id
+         |  GROUP BY 1, 2),
+         |adj AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+         |    greatest(vec_id, nbr_id) AS b2 FROM e)
+         |SELECT co.a AS vec_a, co.b2 AS vec_b, common, aa_int,
+         |  cast(aa_int as double) / 1000000.0 AS adamic_adar
+         |FROM co
+         |WHERE NOT EXISTS (SELECT 1 FROM adj
+         |                  WHERE adj.a = co.a AND adj.b2 = co.b2)
+         |ORDER BY aa_int DESC, vec_a, vec_b
+         |LIMIT 20""".stripMargin,
+
+    // exact 1e-4-unit series, per-type dense hour grid, pure-integer
+    // linear interpolation between nearest observations
+    "q_ts_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    cast(sum(cast(value as decimal(27,4))) * 10000 as bigint)
+        |      AS q
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |j AS (SELECT g.event_type, g.h, hourly.q,
+        |    epoch(g.h)::BIGINT // 3600 AS hh
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.event_type = hourly.event_type AND g.h = hourly.h),
+        |f AS (SELECT event_type, h, q, hh,
+        |    last_value(q IGNORE NULLS) OVER w1 AS pv,
+        |    last_value(CASE WHEN q IS NOT NULL THEN hh END IGNORE NULLS)
+        |      OVER w1 AS ph,
+        |    first_value(q IGNORE NULLS) OVER w2 AS nv,
+        |    first_value(CASE WHEN q IS NOT NULL THEN hh END IGNORE NULLS)
+        |      OVER w2 AS nh
+        |  FROM j
+        |  WINDOW w1 AS (PARTITION BY event_type ORDER BY hh
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY event_type ORDER BY hh
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, h AS hour,
+        |  cast(coalesce(q,
+        |    (pv * (nh - hh) + nv * (hh - ph)) // (nh - ph)) as double)
+        |    / 10000.0 AS revenue,
+        |  CASE WHEN q IS NULL THEN 1 ELSE 0 END AS interpolated
+        |FROM f ORDER BY event_type, hour""".stripMargin
+  )
+
   val all: Map[String, String] = relational ++ aggregates ++ windows ++
     analytics ++ layout ++ round7 ++ round8 ++ round9 ++ round10 ++
-    round11 ++ round11b ++ round11c ++ round12 ++ generators ++
+    round11 ++ round11b ++ round11c ++ round12 ++ round13 ++ generators ++
     scalars ++ streaming ++ llm ++ Map(
     // latest-wins CDC apply: same synthesized changelog, window + full
     // outer join formulation (the Spark side's exact twin)

@@ -160,7 +160,17 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_dedup_cluster_keep", "q_split_leakage_safe",
     // round 14 wave 2: the lossless min-side prefix containment —
     // rank windows + asymmetric probe join must not care about layout
-    "q_dedup_containment_prefix")
+    "q_dedup_containment_prefix",
+    // round 15 (r10 wave A): dominance windows over the banded grid,
+    // TwoPass descending precision fold, per-lang tercile cut off a
+    // composite-key TwoPass cumsum, ignore-nulls neighbor windows,
+    // hub-weighted pair mining — each moves data on derived keys
+    // whose grouping must not depend on the initial layout
+    "q_stats_kendall", "q_eval_pr_auc", "q_quality_ccnet",
+    "q_ts_interpolate", "q_graph_adamic_adar",
+    // wave B: pooled-midrank TwoPass fold, decile rollup off the
+    // descending census cumsum
+    "q_stats_kruskal", "q_eval_lift")
 
   private lazy val alt = {
     val s = spark.newSession()

@@ -60,7 +60,12 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_edit",
     "q_dedup_cluster", "q_dedup_cluster_keep", "q_dedup_cluster_stats",
     "q_split_leakage_safe",
-    "q_embed_pca_power"  // 1-row broadcast rescale-max / norm crossJoins
+    "q_embed_pca_power", // 1-row broadcast rescale-max / norm crossJoins
+    // round-10 wave A: 1-row broadcast band-bounds + doubled-tie
+    // crossJoins over a domain-bounded grid
+    "q_stats_kendall",
+    "q_quality_ccnet",   // inherits the perplexity twin's 1-row total
+    "q_eval_lift"        // 1-row broadcast population-total crossJoin
   )
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
