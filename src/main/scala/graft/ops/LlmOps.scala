@@ -4237,7 +4237,52 @@ object LlmOps {
       .limit(20)
   }
 
+  /** DEGREE ASSORTATIVITY of the kNN graph (Newman 2002) — do
+    * high-degree vectors neighbor other high-degree vectors? The
+    * one-number structure audit read next to
+    * [[graphDegreeStats]]/[[graphClustering]] before trusting
+    * graph-based curation: strong disassortativity (hub-and-spoke)
+    * means CC-based dedup clusters are star-shaped and a hub removal
+    * changes everything; assortative graphs fragment gracefully.
+    * Computed as the Pearson correlation of TOTAL degrees across
+    * edge endpoints, each undirected edge contributing both
+    * orientations so the endpoint marginals are symmetric by
+    * construction (one Σx/Σx²/Σxy triple instead of four).
+    *
+    * Determinism: degrees are exact integer counts; the moment sums
+    * fold in DECIMAL(38,0) (degree products × edge count outgrow
+    * longs at corpus scale); r = one fixed double tree, r4.
+    *
+    * Scale posture: symmetrize → two degree-keyed equi joins (edges ⋈
+    * degrees on each endpoint — hash-partitioned, never a pair
+    * blowup) → ONE partial-agged scalar fold. */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val und = knnGraphBucketed(spark, sfDir)
+      .select(least($"vec_id", $"nbr_id").as("a"),
+        greatest($"vec_id", $"nbr_id").as("b")).distinct()
+    val both = und.unionByName(
+      und.select($"b".as("a"), $"a".as("b")))
+    val deg = both.groupBy($"a".as("node")).agg(count(lit(1)).as("deg"))
+    val agg = both
+      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+      .agg(count(lit(1)).as("m2"),
+        sum($"da".cast(d38)).as("sx"),
+        sum($"da".cast(d38) * $"da").as("sxx"),
+        sum($"da".cast(d38) * $"db").as("sxy"))
+    val m = $"m2".cast(DoubleType)
+    val sx = $"sx".cast(DoubleType)
+    val sxx = $"sxx".cast(DoubleType)
+    val sxy = $"sxy".cast(DoubleType)
+    agg.select(($"m2" / 2).cast("long").as("n_edges"),
+      Det.r4((m * sxy - sx * sx) / (m * sxx - sx * sx))
+        .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_assortativity" -> graphAssortativity,
     "q_quality_ccnet" -> qualityCcnet,
     "q_text_hashing_trick" -> textHashingTrick,
     "q_graph_adamic_adar" -> graphAdamicAdar,

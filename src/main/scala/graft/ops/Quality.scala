@@ -994,6 +994,40 @@ object Quality {
       Det.r4(h).as("h"), Det.r4(h / tieCorr).as("h_tie_adj"))
   }
 
+  /** COHEN'S κ agreement between two independent curation gates —
+    * the linear classifier's `score_int > 0` label and the Gopher
+    * word-count rule (token count ∈ [20, 90]) — the chance-corrected
+    * inter-rater statistic a pipeline reports before treating two
+    * cheap gates as redundant (raw agreement flatters whenever both
+    * gates mostly say "keep"). Full 2×2 census surfaced alongside
+    * observed/expected agreement and κ.
+    *
+    * Determinism: both gates are row-local integer decisions; the
+    * census is one fused conditional-count aggregate; po/pe/κ are one
+    * fixed double tree over exact longs, r4.
+    *
+    * Scale posture: scan-speed inference, ONE partial-agged scalar
+    * agg — a 4-long record per partition crosses the wire. */
+  def statsCohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val agg = classifierScores(spark, sfDir)
+      .select(($"score_int" > 0).as("a"),
+        ($"n_tokens" >= 20 && $"n_tokens" <= 90).as("b"))
+      .agg(count(when($"a" && $"b", 1)).cast("long").as("n11"),
+        count(when($"a" && !$"b", 1)).cast("long").as("n10"),
+        count(when(!$"a" && $"b", 1)).cast("long").as("n01"),
+        count(when(!$"a" && !$"b", 1)).cast("long").as("n00"))
+    val n = ($"n11" + $"n10" + $"n01" + $"n00").cast(DoubleType)
+    val po = ($"n11" + $"n00").cast(DoubleType) / n
+    val pe = (($"n11" + $"n10").cast(DoubleType)
+        * ($"n11" + $"n01").cast(DoubleType)
+      + ($"n01" + $"n00").cast(DoubleType)
+        * ($"n10" + $"n00").cast(DoubleType)) / (n * n)
+    agg.select($"n11", $"n10", $"n01", $"n00",
+      Det.r4(po).as("po"), Det.r4(pe).as("pe"),
+      Det.r4((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN INDEX of revenue concentration across
     * customer nations — the market-concentration census (10 000 ·
     * Σ share² in the antitrust convention; 1/HHI is the "effective
@@ -1105,6 +1139,7 @@ object Quality {
     "q_stats_spearman" -> statsSpearman,
     "q_stats_kendall" -> statsKendall,
     "q_stats_kruskal" -> statsKruskal,
+    "q_stats_cohens_kappa" -> statsCohensKappa,
     "q_stats_hhi" -> statsHhi,
     "q_stats_moments" -> statsMoments,
     "q_stats_ttest" -> statsTtest,

@@ -667,6 +667,57 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** NEAREST as-of join — each purchase joins its temporally CLOSEST
+    * click in EITHER direction (pandas merge_asof direction='nearest'
+    * — the variant a sensor-fusion or attribution pipeline wants when
+    * the causal direction is unknown), completing the as-of family
+    * (backward / forward / tolerance / native). Still ONE user_id
+    * exchange and ONE sort: both candidate timestamps come from two
+    * FRAMES over the same window ordering (backward max includes
+    * equal-ts clicks — they sort before purchases — so a tie is
+    * distance 0 backward; forward min is strictly after), then the
+    * winner is a map-side exact-integer-microsecond comparison, ties
+    * to the earlier click.
+    *
+    * Determinism: distances are exact long micros; the tie rule is
+    * total; no floats anywhere. Scale posture: per-key window state
+    * is one running max + one running min — O(1), layout-free. */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("click_ts"),
+        lit(null).cast(LongType).as("p_event_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(null).cast(TimestampType).as("click_ts"),
+        $"event_id".as("p_event_id"))
+    val tagged = clicks.withColumn("src", lit(0))
+      .unionByName(purchases.withColumn("src", lit(1)))
+    val order = Window.partitionBy($"user_id").orderBy($"ts", $"src")
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dBack = unix_micros($"ts") - unix_micros($"prev_click_ts")
+    val dFwd = unix_micros($"next_click_ts") - unix_micros($"ts")
+    tagged
+      .withColumn("prev_click_ts", max($"click_ts").over(back))
+      .withColumn("next_click_ts", min($"click_ts").over(fwd))
+      .filter($"p_event_id".isNotNull)
+      .select($"p_event_id".as("event_id"), $"user_id", $"ts",
+        when($"prev_click_ts".isNotNull &&
+            ($"next_click_ts".isNull || dBack <= dFwd),
+          $"prev_click_ts").otherwise($"next_click_ts")
+          .as("nearest_click_ts"),
+        when($"prev_click_ts".isNotNull &&
+            ($"next_click_ts".isNull || dBack <= dFwd), dBack)
+          .otherwise(dFwd).as("distance_us"),
+        when($"prev_click_ts".isNull && $"next_click_ts".isNull, "none")
+          .when($"next_click_ts".isNull, "backward")
+          .when($"prev_click_ts".isNull, "forward")
+          .when(dBack <= dFwd, "backward").otherwise("forward")
+          .as("direction"))
+      .orderBy($"event_id")
+  }
+
   /** As-of join with a STALENESS TOLERANCE — the feature-store
     * point-in-time contract: a purchase joins its latest prior click
     * only if that click is ≤ 10 minutes old, else NULL (serving a
@@ -1686,6 +1737,7 @@ object Relational {
     "q_join_range_interval" -> joinRangeInterval,
     "q_join_interval_bucketed" -> joinIntervalBucketed,
     "q_join_asof" -> joinAsof,
+    "q_join_asof_nearest" -> joinAsofNearest,
     "q_join_asof_forward" -> joinAsofForward,
     "q_join_asof_tolerance" -> joinAsofTolerance,
     "q_join_asof_native" -> joinAsofNative,

@@ -5170,6 +5170,107 @@ object OracleSql {
         |    * cast(n * (n - 1) - n2 as double)), 4) AS tau_b
         |FROM agg, t1, t2""".stripMargin,
 
+    // nearest as-of: same union+window shape, two frames over one
+    // ordering, winner by exact integer micros (ties to backward)
+    "q_join_asof_nearest" ->
+      """WITH c AS (SELECT user_id, ts, ts AS click_ts,
+        |    CAST(NULL AS BIGINT) AS p_event_id, 0 AS src
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS click_ts,
+        |    event_id AS p_event_id, 1 AS src
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+        |w AS (SELECT user_id, ts, p_event_id,
+        |    max(click_ts) OVER (PARTITION BY user_id ORDER BY ts, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prev_click_ts,
+        |    min(click_ts) OVER (PARTITION BY user_id ORDER BY ts, src
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_click_ts
+        |  FROM t),
+        |d AS (SELECT *,
+        |    epoch_us(ts) - epoch_us(prev_click_ts) AS d_back,
+        |    epoch_us(next_click_ts) - epoch_us(ts) AS d_fwd
+        |  FROM w WHERE p_event_id IS NOT NULL)
+        |SELECT p_event_id AS event_id, user_id, ts,
+        |  CASE WHEN prev_click_ts IS NOT NULL
+        |      AND (next_click_ts IS NULL OR d_back <= d_fwd)
+        |    THEN prev_click_ts ELSE next_click_ts END
+        |    AS nearest_click_ts,
+        |  CASE WHEN prev_click_ts IS NOT NULL
+        |      AND (next_click_ts IS NULL OR d_back <= d_fwd)
+        |    THEN d_back ELSE d_fwd END AS distance_us,
+        |  CASE WHEN prev_click_ts IS NULL AND next_click_ts IS NULL
+        |      THEN 'none'
+        |    WHEN next_click_ts IS NULL THEN 'backward'
+        |    WHEN prev_click_ts IS NULL THEN 'forward'
+        |    WHEN d_back <= d_fwd THEN 'backward'
+        |    ELSE 'forward' END AS direction
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    // chance-corrected 2×2 agreement; fused census, one double tree
+    "q_stats_cohens_kappa" ->
+      s"""WITH $classifierCte,
+         |m AS (SELECT
+         |    cast(count(CASE WHEN score_int > 0
+         |      AND n_tokens BETWEEN 20 AND 90 THEN 1 END) as bigint)
+         |      AS n11,
+         |    cast(count(CASE WHEN score_int > 0
+         |      AND n_tokens NOT BETWEEN 20 AND 90 THEN 1 END) as bigint)
+         |      AS n10,
+         |    cast(count(CASE WHEN score_int <= 0
+         |      AND n_tokens BETWEEN 20 AND 90 THEN 1 END) as bigint)
+         |      AS n01,
+         |    cast(count(CASE WHEN score_int <= 0
+         |      AND n_tokens NOT BETWEEN 20 AND 90 THEN 1 END) as bigint)
+         |      AS n00
+         |  FROM s),
+         |k AS (SELECT n11, n10, n01, n00,
+         |    cast(n11 + n00 as double) / nd AS po,
+         |    (cast(n11 + n10 as double) * cast(n11 + n01 as double)
+         |     + cast(n01 + n00 as double) * cast(n10 + n00 as double))
+         |      / (nd * nd) AS pe
+         |  FROM (SELECT *,
+         |      cast(n11 + n10 + n01 + n00 as double) AS nd FROM m))
+         |SELECT n11, n10, n01, n00, round(po, 4) AS po,
+         |  round(pe, 4) AS pe,
+         |  round((po - pe) / (1.0 - pe), 4) AS kappa
+         |FROM k""".stripMargin,
+
+    // symmetrized edges ⋈ total degrees; exact decimal moment sums,
+    // Pearson over both orientations (marginals symmetric)
+    "q_graph_assortativity" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |           FROM embeddings),
+         |j AS (SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id,
+         |    $dotSql AS sim
+         |  FROM b a JOIN b q ON a.bucket = q.bucket
+         |  WHERE a.vec_id <> q.vec_id),
+         |rnk AS (SELECT vec_id, nbr_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr_id) AS rk
+         |  FROM j),
+         |e AS (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 3),
+         |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS a,
+         |    greatest(vec_id, nbr_id) AS b2 FROM e),
+         |sym AS (SELECT a, b2 FROM und
+         |  UNION ALL SELECT b2 AS a, a AS b2 FROM und),
+         |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |agg AS (SELECT count(*) AS m2,
+         |    sum(cast(da.deg as hugeint)) AS sx,
+         |    sum(cast(da.deg as hugeint) * da.deg) AS sxx,
+         |    sum(cast(da.deg as hugeint) * db.deg) AS sxy
+         |  FROM sym
+         |  JOIN deg da ON da.node = sym.a
+         |  JOIN deg db ON db.node = sym.b2)
+         |SELECT cast(m2 / 2 as bigint) AS n_edges,
+         |  round((cast(m2 as double) * cast(sxy as double)
+         |      - cast(sx as double) * cast(sx as double))
+         |    / (cast(m2 as double) * cast(sxx as double)
+         |      - cast(sx as double) * cast(sx as double)), 4)
+         |    AS assortativity
+         |FROM agg""".stripMargin,
+
     // pooled doubled midranks off one running census sum; group rank
     // sums exact in HUGEINT; ONE fixed double tree for H + tie factor
     "q_stats_kruskal" ->

@@ -285,6 +285,83 @@ class OpsRound16Spec extends SparkSpec {
     assert(got.toSeq === top)
   }
 
+  // ---- q_join_asof_nearest ---------------------------------------------------
+
+  test("nearest as-of picks the closer side, ties backward") {
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val clicksByUser = ev.filter(_._4 == "click")
+      .groupBy(_._2).view.mapValues(_.map(_._3).sorted)
+      .toMap
+    val expected = ev.filter(_._4 == "purchase").sortBy(_._1).map {
+      case (id, u, t, _) =>
+        val cs = clicksByUser.getOrElse(u, Array.empty[Long])
+        val prev = cs.filter(_ <= t).lastOption
+        val next = cs.find(_ > t)
+        val (nearest, dist, dir) = (prev, next) match {
+          case (None, None) => (None, None, "none")
+          case (Some(p), None) => (Some(p), Some(t - p), "backward")
+          case (None, Some(nx)) => (Some(nx), Some(nx - t), "forward")
+          case (Some(p), Some(nx)) =>
+            if (t - p <= nx - t) (Some(p), Some(t - p), "backward")
+            else (Some(nx), Some(nx - t), "forward")
+        }
+        (id, nearest, dist, dir)
+    }
+    val got = ops.Relational.joinAsofNearest(spark, sfDir)
+      .select($"event_id", unix_micros($"nearest_click_ts"),
+        $"distance_us", $"direction")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  // ---- q_stats_cohens_kappa ----------------------------------------------------
+
+  test("cohen's kappa matches the 2x2 replay") {
+    val docs = ops.Quality.classifierScores(spark, sfDir)
+      .select(($"score_int" > 0).as("a"),
+        ($"n_tokens" >= 20 && $"n_tokens" <= 90).as("b"))
+      .as[(Boolean, Boolean)].collect()
+    val n11 = docs.count(d => d._1 && d._2).toLong
+    val n10 = docs.count(d => d._1 && !d._2).toLong
+    val n01 = docs.count(d => !d._1 && d._2).toLong
+    val n00 = docs.count(d => !d._1 && !d._2).toLong
+    val n = docs.length.toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01).toDouble
+      + (n01 + n00) * (n10 + n00).toDouble) / (n * n)
+    val row = ops.Quality.statsCohensKappa(spark, sfDir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) === ((n11, n10, n01, n00)))
+    assert(math.abs(row.getDouble(6) - (po - pe) / (1.0 - pe)) < 2e-4)
+    assert(row.getDouble(6) >= -1.0 && row.getDouble(6) <= 1.0)
+  }
+
+  // ---- q_graph_assortativity ---------------------------------------------------
+
+  test("assortativity matches the symmetrized-edge Pearson replay") {
+    val e = ops.LlmOps.knnGraphBucketed(spark, sfDir)
+      .select($"vec_id", $"nbr_id").as[(Long, Long)].collect()
+    val und = e.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val both = und ++ und.map(p => (p._2, p._1))
+    val deg = both.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = both.length.toDouble
+    val sx = both.map(p => deg(p._1)).sum.toDouble
+    val sxx = both.map(p => deg(p._1) * deg(p._1)).sum.toDouble
+    val sxy = both.map(p => deg(p._1) * deg(p._2)).sum.toDouble
+    val r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    val row = ops.LlmOps.graphAssortativity(spark, sfDir).collect().head
+    assert(row.getLong(0) === und.length.toLong)
+    assert(math.abs(row.getDouble(1) - r) < 2e-4)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
   // ---- q_ts_interpolate ------------------------------------------------------
 
   test("interpolation preserves observations and fills gaps linearly") {

@@ -170,7 +170,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_ts_interpolate", "q_graph_adamic_adar",
     // wave B: pooled-midrank TwoPass fold, decile rollup off the
     // descending census cumsum
-    "q_stats_kruskal", "q_eval_lift")
+    "q_stats_kruskal", "q_eval_lift",
+    // wave C: two-frame nearest window, symmetrized degree joins
+    "q_join_asof_nearest", "q_graph_assortativity")
 
   private lazy val alt = {
     val s = spark.newSession()
