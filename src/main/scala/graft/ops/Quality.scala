@@ -994,6 +994,69 @@ object Quality {
       Det.r4(h).as("h"), Det.r4(h / tieCorr).as("h_tie_adj"))
   }
 
+  /** BROWN–FORSYTHE test (Levene with group MEDIANS) for variance
+    * homogeneity of quantity across the return-flag groups — the
+    * robust "can I even pool these variances?" gate run before any
+    * pooled-variance inference ([[statsTtest]] and ANOVA both assume
+    * it). Group medians come EXACTLY off the domain census (doubled
+    * two-middle-values form, so even counts never divide); absolute
+    * deviations Z = |2x − med2| are pure integers, their group sums
+    * exact, and W's between/within sums-of-squares expand to one
+    * fixed double tree over those integers (the doubling cancels in
+    * the ratio), r4.
+    *
+    * Scale posture: one census partial-agg onto the ≤50-value
+    * quantity domain per flag; medians from domain-bounded keyed
+    * cumsum windows; one scalar fold. No row-level second pass — the
+    * census IS the data. */
+  def statsLevene(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val census = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag".as("flag"), $"l_quantity".cast("long").as("qv"))
+      .groupBy($"flag", $"qv").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"flag").orderBy($"qv")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = census.groupBy($"flag").agg(sum($"n").as("n_g"))
+    val cum = census.join(broadcast(tot), "flag")
+      .withColumn("cum", sum($"n").over(w))
+    // doubled median = value at ⌈n/2⌉ + value at ⌊n/2⌋+1 (equal when odd)
+    val med = cum.groupBy($"flag")
+      .agg(min(when($"cum" * 2 >= $"n_g", $"qv")).as("m_lo"),
+        min(when($"cum" * 2 > $"n_g", $"qv")).as("m_hi"))
+      .select($"flag", ($"m_lo" + $"m_hi").as("med2"))
+    val z = census.join(broadcast(med), "flag")
+      .select($"flag", $"n", abs(lit(2) * $"qv" - $"med2").as("z"))
+    // per-flag sums pivoted into ONE row so every double op below is a
+    // FIXED tree over exact integers (a sum() over the 3 group rows
+    // would add doubles in engine-chosen order — the kruskal rule)
+    def forFlag(f: String, c: Column): Column = sum(when($"flag" === f, c))
+    val agg = z.agg(
+      forFlag("A", $"n").cast("long").as("na"),
+      forFlag("N", $"n").cast("long").as("nn"),
+      forFlag("R", $"n").cast("long").as("nr"),
+      forFlag("A", $"n" * $"z").cast("long").as("sza"),
+      forFlag("N", $"n" * $"z").cast("long").as("szn"),
+      forFlag("R", $"n" * $"z").cast("long").as("szr"),
+      forFlag("A", $"n".cast(d38) * $"z" * $"z").as("szza"),
+      forFlag("N", $"n".cast(d38) * $"z" * $"z").as("szzn"),
+      forFlag("R", $"n".cast(d38) * $"z" * $"z").as("szzr"))
+    // between = Σ sz²/n − (Σsz)²/N ; within = Σ(szz − sz²/n);
+    // W = ((N−k)/(k−1)) · between / within — one double tree
+    def d(c: Column): Column = c.cast(DoubleType)
+    val b1 = d($"sza") * d($"sza") / d($"na") +
+      d($"szn") * d($"szn") / d($"nn") + d($"szr") * d($"szr") / d($"nr")
+    val within = (d($"szza") - d($"sza") * d($"sza") / d($"na")) +
+      (d($"szzn") - d($"szn") * d($"szn") / d($"nn")) +
+      (d($"szzr") - d($"szr") * d($"szr") / d($"nr"))
+    val szt = d($"sza") + d($"szn") + d($"szr")
+    val n = d($"na") + d($"nn") + d($"nr")
+    agg.select(($"na" + $"nn" + $"nr").as("n"), lit(3).as("k"),
+      Det.r4(((n - 3.0) / 2.0) * ((b1 - szt * szt / n) / within))
+        .as("w_bf"))
+  }
+
   /** COHEN'S κ agreement between two independent curation gates —
     * the linear classifier's `score_int > 0` label and the Gopher
     * word-count rule (token count ∈ [20, 90]) — the chance-corrected
@@ -1140,6 +1203,7 @@ object Quality {
     "q_stats_kendall" -> statsKendall,
     "q_stats_kruskal" -> statsKruskal,
     "q_stats_cohens_kappa" -> statsCohensKappa,
+    "q_stats_levene" -> statsLevene,
     "q_stats_hhi" -> statsHhi,
     "q_stats_moments" -> statsMoments,
     "q_stats_ttest" -> statsTtest,

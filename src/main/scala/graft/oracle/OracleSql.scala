@@ -5117,10 +5117,148 @@ object OracleSql {
         |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 
+  /** Six unrolled synchronous k-core peel rounds (k = 4) over the
+    * symmetrized kNN edges — the pagerank/LPA unrolling discipline. */
+  private def kcoreSql: String = {
+    val rounds = (1 to 6).map { i =>
+      val p = if (i == 1) "e0" else s"e${i - 1}"
+      s"""k$i AS (SELECT src AS node FROM $p
+         |  GROUP BY src HAVING count(*) >= 4),
+         |e$i AS (SELECT e.src, e.dst FROM $p e
+         |  JOIN k$i a ON e.src = a.node
+         |  JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+       |           FROM embeddings),
+       |j AS (SELECT a.vec_id AS vec_id, q.vec_id AS nbr_id,
+       |    $dotSql AS sim
+       |  FROM b a JOIN b q ON a.bucket = q.bucket
+       |  WHERE a.vec_id <> q.vec_id),
+       |rnk AS (SELECT vec_id, nbr_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM j),
+       |e AS (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 5),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT vec_id AS src, nbr_id AS dst FROM e
+       |  UNION ALL SELECT nbr_id AS src, vec_id AS dst FROM e)),
+       |$rounds
+       |SELECT src AS node, count(*) AS core_deg
+       |FROM e6 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Round-10-session wave A: rank correlation, classifier calibration
     * + PR-AUC, CCNet perplexity terciles, feature hashing, Adamic–Adar
     * link prediction, linear gap interpolation. */
   private val round13: Map[String, String] = Map(
+
+    "q_graph_kcore" -> kcoreSql,
+
+    // banded pigeonhole candidates over the DISTINCT phash vocabulary,
+    // exact positional Hamming verify (1..3)
+    "q_dedup_phash_hamming" ->
+      s"""WITH $mmShapeCte,
+         |r AS (SELECT doc_id, w, h, g,
+         |  CASE WHEN greatest(w,h) <= 8 THEN w
+         |       ELSE (w*8)//greatest(w,h) END AS ow,
+         |  CASE WHEN greatest(w,h) <= 8 THEN h
+         |       ELSE (h*8)//greatest(w,h) END AS oh
+         |  FROM m),
+         |x AS (SELECT *,
+         |  list_sum(list_transform(range(0, ow), i -> (i*w)//ow)) AS sx,
+         |  list_sum(list_transform(range(0, oh), j -> (j*h)//oh)) AS sy
+         |  FROM r),
+         |p AS (SELECT doc_id,
+         |  ow || 'x' || oh || ':' ||
+         |  array_to_string(list_transform(range(0, ow*oh), k ->
+         |    CASE WHEN (((k % ow) * w) // ow + ((k // ow) * h) // oh)
+         |           * (ow*oh) > oh * sx + ow * sy
+         |    THEN '1' ELSE '0' END), '') AS phash
+         |  FROM x),
+         |v AS (SELECT phash, min(doc_id) AS keep_id,
+         |    count(*) AS n_images,
+         |    string_split(phash, ':')[1] AS dim,
+         |    substr(phash, instr(phash, ':') + 1) AS bits,
+         |    length(substr(phash, instr(phash, ':') + 1)) AS blen
+         |  FROM p GROUP BY phash),
+         |bd AS (SELECT phash, keep_id, n_images, dim, bits, blen,
+         |    unnest(range(0, 4)) AS bi
+         |  FROM v),
+         |b2 AS (SELECT phash, keep_id, n_images, dim, bits, bi,
+         |    substr(bits, (bi * blen) // 4 + 1,
+         |      ((bi + 1) * blen) // 4 - (bi * blen) // 4) AS band
+         |  FROM bd),
+         |cand AS (SELECT DISTINCT a.keep_id AS keep_a,
+         |    b.keep_id AS keep_b, a.n_images AS n_a, b.n_images AS n_b,
+         |    a.bits AS ba, b.bits AS bb
+         |  FROM b2 a JOIN b2 b ON a.dim = b.dim AND a.bi = b.bi
+         |    AND a.band = b.band AND a.keep_id < b.keep_id),
+         |hm AS (SELECT keep_a, keep_b, n_a, n_b,
+         |    cast(list_sum(list_transform(range(1, length(ba) + 1), i ->
+         |      CASE WHEN substr(ba, i, 1) <> substr(bb, i, 1)
+         |        THEN 1 ELSE 0 END)) as int) AS hamming
+         |  FROM cand)
+         |SELECT keep_a, keep_b, hamming, n_a, n_b
+         |FROM hm WHERE hamming BETWEEN 1 AND 3
+         |ORDER BY hamming, keep_a, keep_b""".stripMargin,
+
+    // Brown–Forsythe: exact doubled group medians off the domain
+    // census, integer deviation sums, ONE fixed double tree (the
+    // per-group sums pivot into one row — no engine-ordered double sum)
+    "q_stats_levene" ->
+      """WITH census AS (
+        |  SELECT l_returnflag AS flag, cast(l_quantity as bigint) AS qv,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT flag, sum(n) AS n_g FROM census GROUP BY 1),
+        |cum AS (SELECT c.flag, qv, n, n_g,
+        |    sum(n) OVER (PARTITION BY c.flag ORDER BY qv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM census c JOIN tot USING (flag)),
+        |med AS (SELECT flag,
+        |    min(CASE WHEN cum * 2 >= n_g THEN qv END)
+        |      + min(CASE WHEN cum * 2 > n_g THEN qv END) AS med2
+        |  FROM cum GROUP BY 1),
+        |z AS (SELECT c.flag, n, abs(2 * qv - med2) AS z
+        |  FROM census c JOIN med USING (flag)),
+        |a AS (SELECT
+        |    cast(sum(CASE WHEN flag = 'A' THEN n END) as bigint) AS na,
+        |    cast(sum(CASE WHEN flag = 'N' THEN n END) as bigint) AS nn,
+        |    cast(sum(CASE WHEN flag = 'R' THEN n END) as bigint) AS nr,
+        |    cast(sum(CASE WHEN flag = 'A' THEN n * z END) as bigint)
+        |      AS sza,
+        |    cast(sum(CASE WHEN flag = 'N' THEN n * z END) as bigint)
+        |      AS szn,
+        |    cast(sum(CASE WHEN flag = 'R' THEN n * z END) as bigint)
+        |      AS szr,
+        |    sum(CASE WHEN flag = 'A' THEN cast(n as hugeint) * z * z END)
+        |      AS szza,
+        |    sum(CASE WHEN flag = 'N' THEN cast(n as hugeint) * z * z END)
+        |      AS szzn,
+        |    sum(CASE WHEN flag = 'R' THEN cast(n as hugeint) * z * z END)
+        |      AS szzr
+        |  FROM z),
+        |f AS (SELECT na, nn, nr,
+        |    cast(sza as double) * cast(sza as double) / cast(na as double)
+        |      + cast(szn as double) * cast(szn as double)
+        |        / cast(nn as double)
+        |      + cast(szr as double) * cast(szr as double)
+        |        / cast(nr as double) AS b1,
+        |    (cast(szza as double) - cast(sza as double)
+        |        * cast(sza as double) / cast(na as double))
+        |      + (cast(szzn as double) - cast(szn as double)
+        |        * cast(szn as double) / cast(nn as double))
+        |      + (cast(szzr as double) - cast(szr as double)
+        |        * cast(szr as double) / cast(nr as double)) AS within,
+        |    cast(sza as double) + cast(szn as double)
+        |      + cast(szr as double) AS szt,
+        |    cast(na as double) + cast(nn as double) + cast(nr as double)
+        |      AS nd
+        |  FROM a)
+        |SELECT na + nn + nr AS n, 3 AS k,
+        |  round(((nd - 3.0) / 2.0) * ((b1 - szt * szt / nd) / within), 4)
+        |    AS w_bf
+        |FROM f""".stripMargin,
 
     // bounded-domain dominance census: identical grid + three keyed
     // windows; ties kept doubled so only HUGEINT/decimal integers flow

@@ -362,6 +362,101 @@ class OpsRound16Spec extends SparkSpec {
     assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
   }
 
+  // ---- q_dedup_phash_hamming -------------------------------------------------
+
+  test("phash hamming pairs are exactly the brute-force near set") {
+    val vocab = ops.LlmOps.multimodalPhash(spark, sfDir)
+      .select($"phash", $"keep_id", $"n_images")
+      .as[(String, Long, Long)].collect()
+    def split(p: String) = {
+      val i = p.indexOf(':'); (p.substring(0, i), p.substring(i + 1))
+    }
+    // brute-force ground truth over the distinct-hash vocabulary
+    val expected = (for {
+      a <- vocab; b <- vocab
+      if a._2 < b._2
+      (da, ba) = split(a._1); (db, bb) = split(b._1)
+      if da == db
+      h = ba.zip(bb).count { case (x, y) => x != y }
+      if h >= 1 && h <= 3
+    } yield (a._2, b._2, h, a._3, b._3))
+      .sortBy { case (ka, kb, h, _, _) => (h, ka, kb) }
+    val got = ops.LlmOps.dedupPhashHamming(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty)  // the fixture exercises the near band
+  }
+
+  // ---- q_graph_kcore ---------------------------------------------------------
+
+  test("6-round k-core equals true fixpoint peeling") {
+    // rebuild the op's own top-5 edge derivation imperatively
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bucket(e: Array[Float]): Long =
+      (0 until 8).map(i => if (e(i) > 0) 1L << i else 0L).sum
+    def r4d(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val byBucket = emb.groupBy(v => bucket(v._2))
+    val edges = emb.flatMap { case (id, e) =>
+      byBucket(bucket(e)).filter(_._1 != id)
+        .map { case (nid, ne) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i).toDouble * ne(i).toDouble; i += 1 }
+          (nid, r4d(s))
+        }
+        .sortBy { case (nid, sim) => (-sim, nid) }
+        .take(5).map(p => (id, p._1))
+    }
+    var cur = edges.flatMap(p => Seq((p._1, p._2), (p._2, p._1))).distinct
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      rounds += 1
+      val keep = cur.groupBy(_._1).collect {
+        case (n, g) if g.size >= 4 => n }.toSet
+      val nxt = cur.filter(p => keep(p._1) && keep(p._2))
+      stable = nxt.length == cur.length
+      cur = nxt
+    }
+    assert(rounds <= 6, s"fixpoint took $rounds rounds — raise the bound")
+    val expected = cur.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val got = ops.LlmOps.graphKcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  // ---- q_stats_levene --------------------------------------------------------
+
+  test("brown-forsythe W matches the integer-median replay") {
+    val pts = Tables(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long"))
+      .as[(String, Long)].collect()
+    val groups = pts.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def med2(xs: Array[Long]): Long =
+      xs((xs.length + 1) / 2 - 1) + xs(xs.length / 2 + 1 - 1)
+    val z = groups.map { case (f, xs) =>
+      val m2 = med2(xs); (f, xs.map(x => math.abs(2 * x - m2))) }
+    val ordered = Seq("A", "N", "R").map(z(_))
+    val ns = ordered.map(_.length.toLong)
+    val szs = ordered.map(_.sum)
+    val szzs = ordered.map(_.map(v => BigInt(v) * v).sum)
+    val b1 = (szs, ns).zipped.map((s, n) =>
+      s.toDouble * s.toDouble / n.toDouble).sum
+    val within = (szzs, szs, ns).zipped.map((zz, s, n) =>
+      zz.toDouble - s.toDouble * s.toDouble / n.toDouble).sum
+    val szt = szs.map(_.toDouble).sum
+    val n = ns.sum.toDouble
+    val w = ((n - 3.0) / 2.0) * ((b1 - szt * szt / n) / within)
+    val row = ops.Quality.statsLevene(spark, sfDir).collect().head
+    assert(row.getLong(0) === ns.sum)
+    assert(math.abs(row.getDouble(2) - w) < 2e-4)
+  }
+
   // ---- q_ts_interpolate ------------------------------------------------------
 
   test("interpolation preserves observations and fills gaps linearly") {

@@ -172,7 +172,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // descending census cumsum
     "q_stats_kruskal", "q_eval_lift",
     // wave C: two-frame nearest window, symmetrized degree joins
-    "q_join_asof_nearest", "q_graph_assortativity")
+    "q_join_asof_nearest", "q_graph_assortativity",
+    // wave D: banded vocabulary self-join, 6-round peel cascade,
+    // domain-census medians
+    "q_dedup_phash_hamming", "q_graph_kcore", "q_stats_levene")
 
   private lazy val alt = {
     val s = spark.newSession()
