@@ -167,7 +167,17 @@ object ScaleBench {
     "q_graph_clustering" -> "embeddings",
     "q_graph_degree_stats" -> "embeddings",
     "q_sessionize_gap" -> "events",
-    "q_events_funnel_windowed" -> "events")
+    "q_events_funnel_windowed" -> "events",
+    // round-10 wave A-D keys whose inputs grow in the derived corpora:
+    // the perplexity-join terciles, the multi-distinct hashing census,
+    // the banded image-hash miner, the peel cascade + hub-weighted
+    // link prediction on the kNN graph, the hour-grid interpolation
+    "q_quality_ccnet" -> "documents",
+    "q_text_hashing_trick" -> "documents",
+    "q_dedup_phash_hamming" -> "documents",
+    "q_graph_kcore" -> "embeddings",
+    "q_graph_adamic_adar" -> "embeddings",
+    "q_ts_interpolate" -> "events")
 
   /** Shared-artifact builders, run untimed per corpus (their cost is
     * reported as that corpus's memo_sec — itself a growth number). */
