@@ -38,6 +38,7 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quiet()
     // untimed warmup: run EVERY query once at the smallest SF so JIT +
     // first-codegen + first-broadcast cost never lands inside a
     // measured rep (each query is only measured once). NonFatal only:

@@ -36,6 +36,7 @@ object Omits {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quiet()
     import spark.implicits._
     import graft.ops._
 

@@ -308,6 +308,7 @@ object Profile {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quiet()
     try {
       val fn = adhoc.getOrElse(key, SparkEntry.queries(key))
       // a probe builder may mutate session conf (x_overlap_builtin

@@ -57,6 +57,7 @@ object ScaleGen {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quiet()
     import spark.implicits._
 
     val outPath = java.nio.file.Paths.get(out)
@@ -205,6 +206,7 @@ object ScaleBench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    HarnessLog.quiet()
 
     // JIT/codegen warmup on the smallest SF, untimed (Bench protocol)
     val w = "/root/testdata/sf0.001"

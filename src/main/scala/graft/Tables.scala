@@ -52,10 +52,8 @@ object Tables {
             if (cleanupRegistered.add(cp)) {
               val hadoopConf = sc.hadoopConfiguration
               Runtime.getRuntime.addShutdownHook(new Thread(() => {
-                try {
-                  val p = new org.apache.hadoop.fs.Path(cp)
-                  p.getFileSystem(hadoopConf).delete(p, true)
-                } catch { case _: Throwable => () }
+                try reclaimCheckpoint(cp, hadoopConf)
+                catch { case _: Throwable => () }
               }))
             }
           }
@@ -67,6 +65,17 @@ object Tables {
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete one run's UUID checkpoint subdir — the body of the
+    * shutdown hook [[truncate]] registers, factored out so the suite
+    * can assert the durable-checkpoint path actually RECLAIMS what a
+    * multi-round loop wrote (OpsRound17Spec) instead of trusting a
+    * hook that only fires at JVM exit. */
+  private[graft] def reclaimCheckpoint(cp: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(cp)
+    p.getFileSystem(hadoopConf).delete(p, true)
+  }
 
   /** [[truncate]] with a FUSED row count: counts rows whose boolean
     * column `flag` is true during the (eager) checkpoint

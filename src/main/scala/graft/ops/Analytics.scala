@@ -1477,8 +1477,10 @@ object Analytics {
     *
     * Determinism: revenue quantizes to exact 1e-4 integer units
     * (decimal sum × 10⁴ → long); the interpolation is pure integer
-    * arithmetic — `(prev·(nh−h) + next·(h−ph)) div (nh−ph)` over
-    * epoch-hour longs — so the filled series is bit-identical across
+    * arithmetic — `floor((prev·(nh−h) + next·(h−ph)) / (nh−ph))` over
+    * epoch-hour longs, the floor built from pmod so it matches
+    * DuckDB's flooring `//` on NEGATIVE flows (refunds) too — so the
+    * filled series is bit-identical across
     * engines and layouts; the presentation divide by 10⁴ is one IEEE
     * op. Grid boundaries are actual observations, so interior gaps
     * always have both neighbors.
@@ -1511,9 +1513,16 @@ object Analytics {
         .over(w.rowsBetween(1, Window.unboundedFollowing)))
       .withColumn("nh", first(when($"q".isNotNull, $"hh"), ignoreNulls = true)
         .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      // exact FLOOR division: DuckDB's `//` floors while Spark's `div`
+      // truncates toward zero — identical on the shipped non-negative
+      // revenue series, but a corpus with refunds (negative flows)
+      // would diverge on interpolated values. gap = nh − ph > 0, so
+      // num − pmod(num, gap) is exactly gap·floor(num/gap) in long
+      // arithmetic and the truncating div of that multiple IS floor.
+      .withColumn("num", expr("pv * (nh - hh) + nv * (hh - ph)"))
       .withColumn("q_filled",
         coalesce($"q",
-          expr("(pv * (nh - hh) + nv * (hh - ph)) div (nh - ph)")))
+          expr("(num - pmod(num, nh - ph)) div (nh - ph)")))
     filled.select($"event_type", $"h".as("hour"),
         ($"q_filled".cast("double") / 10000.0).as("revenue"),
         when($"q".isNull, 1).otherwise(0).cast("int").as("interpolated"))

@@ -4141,8 +4141,21 @@ object LlmOps {
       .select($"lang",
         round($"avg_neg_logprob" * 10000).cast("long").as("nlp"))
     val census = scored.groupBy($"lang", $"nlp").agg(count(lit(1)).as("n"))
+      // composite (lang, nlp) ordering key for the ONE global cumsum.
+      // U+0001 sorts below every legal lang character, so a lang that
+      // is a prefix of another ('zh' vs 'zh-tw') can never interleave
+      // the way a printable delimiter like '|' (> '-') would; the sign
+      // digit + bias keep lpad order-preserving even for NEGATIVE
+      // scores, so the key's lexicographic order equals the
+      // (lang, nlp) numeric order for ALL inputs, not just the shipped
+      // corpora's 2-letter codes and non-negative neg-logprobs
       .withColumn("sk",
-        concat($"lang", lit("|"), lpad($"nlp".cast("string"), 12, "0")))
+        concat($"lang", lit("\u0001"),
+          when($"nlp" >= 0,
+            concat(lit("1"), lpad($"nlp".cast("string"), 14, "0")))
+            .otherwise(concat(lit("0"),
+              lpad(($"nlp" + lit(100000000000000L)).cast("string"),
+                14, "0")))))
     val wl = Window.orderBy($"lang")
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = census.groupBy($"lang").agg(sum($"n").as("n_lang"))
@@ -4343,9 +4356,12 @@ object LlmOps {
     * rounds, unrolled identically in the DuckDB twin (the
     * pagerank/LPA discipline — no engine recursion semantics to
     * align). Six is ≥ the measured fixpoint depth on the target
-    * corpora (the suite REPLAYS true peeling to fixpoint and asserts
-    * equality, so a corpus needing a 7th round fails loudly in test,
-    * not silently in production).
+    * corpora, and the op GUARDS its own convergence: after round 6 it
+    * asserts the surviving min degree is ≥ 4 (⟺ a 7th peel removes
+    * nothing), so a deeper corpus fails loudly AT RUN TIME instead of
+    * hash-matching a mutually under-peeled oracle — peel depth, unlike
+    * a fixed iteration count, grows with the corpus. The suite also
+    * replays true peeling to fixpoint and asserts equality.
     *
     * Scale posture: each round is one degree agg + two semi joins,
     * all hash-partitioned on node ids; lineage truncated per round so
@@ -4379,6 +4395,19 @@ object LlmOps {
         .join(keep.select($"node".as("dst")), "dst")
         .select($"src", $"dst"))
     }
+    // convergence guard: unlike fixed-iteration pagerank, PEEL DEPTH
+    // grows with the corpus, and the DuckDB twin unrolls the same 6
+    // rounds — so an under-peeled corpus would hash-MATCH a wrong
+    // oracle at untested scales. A 7th peel must remove nothing: the
+    // surviving min degree ≥ 4 is that statement, checked on the
+    // already-checkpointed edge set (one k-row agg, driver reads ONE
+    // scalar — whitelisted in LintSpec).
+    val minDeg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+      .agg(min($"d")).as[Option[Long]].collect()(0)
+    require(minDeg.forall(_ >= 4L),
+      s"k-core peel did not converge in 6 rounds (min surviving degree" +
+        s" $minDeg < 4) — raise the unrolled round count in BOTH the" +
+        s" engine and the DuckDB twin")
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy($"node")
   }

@@ -903,11 +903,20 @@ object Quality {
     * marginals derive from it), shuffled never. */
   def statsKendall(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    statsKendallOn(Tables(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("long").as("qv"),
+        floor($"l_extendedprice" / 1000).cast("long").as("pb")))
+  }
+
+  /** Grid core over an arbitrary (qv, pb) long-pair relation — the
+    * monotone-fixture probe in OpsRound16Spec drives the SAME plan on
+    * constructed inputs (all-concordant ⇒ τ = 1, reversed ⇒ −1). */
+  private[graft] def statsKendallOn(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val d38 = DecimalType(38, 0)
-    val cells = Tables(spark, sfDir, "lineitem")
-      .select($"l_quantity".cast("long").as("qv"),
-        floor($"l_extendedprice" / 1000).cast("long").as("pb"))
+    val cells = pts
       .groupBy($"qv", $"pb").agg(count(lit(1)).as("n"))
     val bounds = cells.agg(min($"pb").as("lo"), max($"pb").as("hi"))
     val grid = cells.select($"qv").distinct()

@@ -46,10 +46,23 @@ class OpsRound16Spec extends SparkSpec {
   }
 
   test("kendall is ±1 on perfectly monotone toy inputs") {
-    // grid machinery must reduce to the textbook value when every
-    // pair is concordant (prices rise with quantity) — validated via
-    // the replay identity on the real corpus above; here assert the
-    // declared result is inside [-1, 1] and ties shrink |τ|
+    // the grid machinery must reduce to the textbook value when every
+    // pair is concordant / discordant: 20 tie-free points with pb a
+    // strictly increasing (then decreasing) function of qv
+    val up = (1L to 20L).map(q => (q, 2 * q)).toDF("qv", "pb")
+    val upRow = ops.Quality.statsKendallOn(up).collect().head
+    assert(upRow.getLong(0) === 20L)
+    assert(upRow.getLong(1) === 190L) // all C(20,2) pairs concordant
+    assert(upRow.getLong(2) === 0L)
+    assert(upRow.getDouble(3) === 1.0)
+    val down = (1L to 20L).map(q => (q, -2 * q)).toDF("qv", "pb")
+    val downRow = ops.Quality.statsKendallOn(down).collect().head
+    assert(downRow.getLong(1) === 0L)
+    assert(downRow.getLong(2) === 190L)
+    assert(downRow.getDouble(3) === -1.0)
+  }
+
+  test("kendall on the corpus stays in [-1, 1] and ties shrink C+D") {
     val row = ops.Quality.statsKendall(spark, sfDir).collect().head
     val tau = row.getDouble(3)
     assert(tau >= -1.0 && tau <= 1.0)
