@@ -178,7 +178,15 @@ object ScaleBench {
     "q_dedup_phash_hamming" -> "documents",
     "q_graph_kcore" -> "embeddings",
     "q_graph_adamic_adar" -> "embeddings",
-    "q_ts_interpolate" -> "events")
+    "q_ts_interpolate" -> "events",
+    // round-11 (VERDICT r10 ask #4): the remaining growing-input keys
+    // ≥1 s at sf0.1 that had no measured α — the screened containment
+    // prefix join (the round-10 scale-weak key, now behind the
+    // df ≤ max(64, 1%·N) index screen), the composite-key crossfield
+    // miner, and degree assortativity over the kNN graph
+    "q_dedup_containment_prefix" -> "documents",
+    "q_dedup_crossfield" -> "documents",
+    "q_graph_assortativity" -> "embeddings")
 
   /** Shared-artifact builders, run untimed per corpus (their cost is
     * reported as that corpus's memo_sec — itself a growth number). */

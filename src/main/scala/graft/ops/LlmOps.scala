@@ -433,57 +433,69 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** LOSSLESS prefix-filtered CONTAINMENT mine — closes the capped
-    * miner's one documented recall caveat (a short non-identical doc
-    * quoted verbatim in many hosts can have every shingle pushed past
-    * the df cap by its own popularity) with an EXACT formulation, the
-    * asymmetric twin of [[dedupJaccardPrefix]]'s PPJoin rule:
-    * containment C = |A∩B|/min(|A|,|B|) ≥ t means the SHORTER doc A
-    * shares ≥ ceil(t·|A|) shingles, so under any fixed global shingle
-    * order A must share one within its first |A| − ceil(t·|A|) + 1
-    * RAREST shingles — the prefix bound applies to the min-denominator
-    * side, and only the PROBE side needs a prefix; the partner may
-    * match anywhere, so the index side keeps ALL its shingles.
-    * Candidates = shorter-doc prefixes ⨝ full index; frequent shingles
-    * never probe (prefixes are the rarest shingles), so candidate mass
-    * is Σ(prefix-df·df) over RARE shingles — no head-df² term exists.
-    * Verification recounts the overlap census over full sets, so every
-    * emitted containment is exact, and the result set EQUALS the
-    * uncapped reference by the prefix theorem — the DuckDB twin is the
-    * plain exact-containment SQL, hash-verified.
+  /** Prefix-filtered CONTAINMENT mine behind a DF SCREEN — the
+    * round-11 DEFAULT for this key (VERDICT r10 #1: the round-10
+    * lossless form was the one measured scale-weak key, tail α ≈ 2.1,
+    * 289 s at x10, because its index side kept ALL shingles and the
+    * candidate mass Σ(prefix-df·df) re-grows on head-heavy corpora).
     *
-    * Same result as [[dedupContainment]] would produce uncapped; the
-    * two keys bracket the trade: capped = cheapest candidates with a
-    * documented popular-fragment recall caveat, prefix = lossless at
-    * the cost of one rank window over the maintained shingle index. */
+    * The candidate rule is the asymmetric twin of
+    * [[dedupJaccardPrefix]]'s PPJoin rule: containment
+    * C = |A∩B|/min(|A|,|B|) ≥ t means the SHORTER doc A shares
+    * ≥ ceil(t·|A|) shingles, so under any fixed global shingle order A
+    * must share one within its first |A| − ceil(t·|A|) + 1 RAREST
+    * shingles — only the PROBE side needs a prefix. Round-11 adds the
+    * screen: the INDEX side keeps only shingles with
+    * df ≤ max(64, 1% · N_docs) — an order-free cap 10× more generous
+    * than [[cappedShingles]]' (so every popular-fragment pair the
+    * capped miner documents as its caveat is still caught up to 1%
+    * popularity) that bounds candidate mass at cap · Σ(prefix-df),
+    * LINEAR in the corpus, because every Σ(prefix-df·df) term with
+    * df > cap vanishes. The exact-duplicate rescue
+    * ([[exactDupCandidates]]) re-admits identical docs whose shingles
+    * are all above the cap. Verification recounts the overlap census
+    * over FULL shingle sets, so every emitted containment is exact.
+    *
+    * Recall contract: a containment pair is missed only when EVERY
+    * shared shingle in the shorter doc's prefix has df above the cap
+    * and the texts are not identical — a short non-identical doc
+    * quoted verbatim in MORE than max(64, 1%·N) hosts. The DuckDB twin
+    * stays the PLAIN exact-containment SQL, so the hash gate measures
+    * the screen's recall directly (green = zero loss at that scale;
+    * OpsRound3Spec constructs both the ≤cap case the screen must catch
+    * and the >cap case it documents as lost), and the measured
+    * recall-vs-lossless at x3/x10 is recorded in SCALE.md. The
+    * LOSSLESS formulation survives as
+    * [[dedupContainmentPrefixLossless]] — the declared exactness rung
+    * for moderate corpora (same oracle, no screen, superlinear tail by
+    * design). */
   def dedupContainmentPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    dedupContainmentPrefixFromShingles(shingleIndex(spark, sfDir))
+    dedupContainmentPrefixScreened(shingleIndex(spark, sfDir),
+      Tables(spark, sfDir, "documents"))
 
   /** Core over an arbitrary documents relation — the OpsRound3Spec
-    * popular-fragment probe rebuilds the plan on an adversarial
-    * corpus through this. */
+    * popular-fragment probes rebuild the plan on adversarial corpora
+    * through this. */
   private[graft] def dedupContainmentPrefixOn(docs: DataFrame): DataFrame =
-    dedupContainmentPrefixFromShingles(
-      shingleDf(docs).transform(graft.Tables.truncate))
+    dedupContainmentPrefixScreened(
+      shingleDf(docs).transform(graft.Tables.truncate), docs)
 
-  private def dedupContainmentPrefixFromShingles(sh: DataFrame): DataFrame = {
+  private[graft] def dedupContainmentPrefixScreened(sh: DataFrame,
+      docs: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
-    val wDoc = Window.partitionBy($"doc_id")
-    // the same (frequency, shingle-hash) global total order as the
-    // Jaccard prefix join — any single consistent order satisfies the
-    // candidate rule, and exact verification below makes the result
-    // independent of the order chosen
-    val ranked = sh.join(freq, "shingle")
-      .withColumn("h", xxhash64($"shingle"))
-      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
+    val ranked = rankedShingles(sh)
     val probe = ranked
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.7) + 1)
       .select($"doc_id".as("pa"), $"h", $"n_sh".as("na"))
-    val index = ranked.select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
+    // the screen: index keeps only sub-cap shingles. The threshold is
+    // a broadcast 1-row aggregate (never a driver value), 10× the
+    // MAXDF cap in both floor and fraction — the prefix join affords
+    // the generosity because its mass is prefix-df·df, not df².
+    val thr = docs.agg(greatest(lit(64.0), count(lit(1)) * 0.01)
+      .as("maxdf"))
+    val index = ranked.crossJoin(broadcast(thr)).filter($"f" <= $"maxdf")
+      .select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
     // probe = the doc that must be the SHORTER of the pair (the rule
     // binds min(|A|,|B|)); equal sizes probe from the smaller id only
     val cand = probe.join(index, "h")
@@ -492,7 +504,55 @@ object LlmOps {
       // orientation, independent of which side probed
       .select(least($"pa", $"pb").as("doc_a"),
         greatest($"pa", $"pb").as("doc_b"))
+      .unionAll(exactDupCandidates(docs))
       .distinct()
+    verifyContainment(cand, sh)
+  }
+
+  /** The round-10 LOSSLESS formulation — kept as the exactness rung:
+    * result EQUALS the uncapped reference by the prefix theorem (the
+    * index side keeps ALL shingles), at a measured superlinear cost on
+    * head-heavy corpora (tail α ≈ 2.1 at x10 — the reason the declared
+    * key runs [[dedupContainmentPrefixScreened]] instead). Reach for
+    * this rung when exactness outweighs the tail, or as the recall
+    * referee for the screen (OpsRound3Spec / SCALE.md). */
+  private[graft] def dedupContainmentPrefixLossless(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val ranked = rankedShingles(sh)
+    val probe = ranked
+      .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.7) + 1)
+      .select($"doc_id".as("pa"), $"h", $"n_sh".as("na"))
+    val index = ranked.select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
+    val cand = probe.join(index, "h")
+      .filter($"na" < $"nb" || ($"na" === $"nb" && $"pa" < $"pb"))
+      .select(least($"pa", $"pb").as("doc_a"),
+        greatest($"pa", $"pb").as("doc_b"))
+      .distinct()
+    verifyContainment(cand, sh)
+  }
+
+  /** Shared rarity ranking of the shingle index: per doc, shingles
+    * ordered by the same (frequency, shingle-hash) global total order
+    * as the Jaccard prefix join — any single consistent order
+    * satisfies the prefix candidate rule, and exact verification
+    * downstream keeps every EMITTED containment exact regardless of
+    * the order chosen. */
+  private def rankedShingles(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
+    val wDoc = Window.partitionBy($"doc_id")
+    sh.join(freq, "shingle")
+      .withColumn("h", xxhash64($"shingle"))
+      .withColumn("rn", row_number().over(wDoc.orderBy($"f", $"h")))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+  }
+
+  private def verifyContainment(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     overlapFor(cand, sh)
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / least($"na", $"nb")).as("containment"))

@@ -952,11 +952,14 @@ object OracleSql {
         |FROM d JOIN md ON d.label = md.label
         |ORDER BY d.vec_id""".stripMargin,
 
-    // the LOSSLESS prefix-filtered containment join equals the plain
-    // exact-containment reference by the min-side prefix theorem, so
-    // its oracle is the uncapped formulation — hash-verified, closing
-    // the capped miner's popular-fragment recall caveat with an exact
-    // operator
+    // round-11: the engine side is the SCREENED prefix join (index
+    // df ≤ max(64, 1%·N) + exact-dup rescue — VERDICT r10 #1), but the
+    // oracle DELIBERATELY stays the plain exact-containment SQL: the
+    // screen's prefix rule rides an xxhash64 tie-order DuckDB cannot
+    // mirror, and keeping the uncapped twin makes every hash gate a
+    // DIRECT recall measurement (green = the screen lost nothing at
+    // that scale; the constructed >cap loss case lives in
+    // OpsRound3Spec, the x3/x10 measurement in SCALE.md)
     "q_dedup_containment_prefix" ->
       s"""WITH $shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -520,11 +520,14 @@ class OpsRound3Spec extends SparkSpec {
     assert(jac.subsetOf(got.map(t => (t._1, t._2))))
   }
 
-  test("q_dedup_containment_prefix is LOSSLESS vs the uncapped replay") {
-    // the min-side prefix theorem claims exact equality with the
-    // full uncapped reference (no cap, no rescue, no recall caveat) —
-    // assert it against the same driver-side set replay the capped
-    // key's zero-loss-on-this-corpus check uses
+  test("q_dedup_containment_prefix: lossless rung equals the uncapped " +
+    "replay; screened default loses nothing on this corpus") {
+    // the min-side prefix theorem claims exact equality of the
+    // LOSSLESS rung with the full uncapped reference (no cap, no
+    // rescue, no recall caveat); the screened DEFAULT (df ≤
+    // max(64, 1%·N) index) must then reproduce the same set here —
+    // the zero-loss-on-this-corpus check that keeps the plain
+    // exact-containment DuckDB oracle green
     val sets = shingleSets()
     val ids = sets.keys.toSeq.sorted
     val want = (for {
@@ -534,6 +537,11 @@ class OpsRound3Spec extends SparkSpec {
       c = r4(common.toDouble / math.min(sets(a).size, sets(b).size))
       if c >= 0.7
     } yield (a, b, c)).toSet
+    val sh = Tables.truncate(graft.ops.LlmOps.shingleDf(
+      Tables(spark, sfDir, "documents")))
+    val lossless = graft.ops.LlmOps.dedupContainmentPrefixLossless(sh)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lossless === want)
     val got = graft.ops.LlmOps.dedupContainmentPrefix(spark, sfDir)
       .as[(Long, Long, Double)].collect().toSet
     assert(got === want)
@@ -548,7 +556,8 @@ class OpsRound3Spec extends SparkSpec {
     // fragment shingles have df = 13 > cap (= 5 at N = 13 docs), so
     // the capped miner cannot pair the fragment with its hosts, while
     // the prefix rule (probe = the SHORT doc's rarest shingles against
-    // the FULL index) must find all 12 containment-1.0 pairs.
+    // the df ≤ max(64, 1%·N) index — 13 ≤ 64, so the screen keeps
+    // every fragment shingle) must find all 12 containment-1.0 pairs.
     val frag = "alpha beta gamma delta epsilon zeta"
     val hosts = (0L until 12L).map(i =>
       (100L + i, s"$frag h${i}_a h${i}_b h${i}_c h${i}_d h${i}_e"))
@@ -571,6 +580,32 @@ class OpsRound3Spec extends SparkSpec {
       graft.ops.LlmOps.dedupContainmentPrefixOn(docs))
     assert(wantPairs.subsetOf(prefix),
       "prefix rule must recover every popular-fragment containment pair")
+  }
+
+  test("containment screen documents its own loss past the cap; " +
+    "the lossless rung is the referee") {
+    // the screened default's DECLARED caveat, constructed: a fragment
+    // quoted in 70 hosts has every shingle at df = 71 > max(64, 1%·71)
+    // — the screen drops them all from the index, the fragment's
+    // prefix (all df-71 shingles) probes nothing, and the texts are
+    // not identical so the exact-dup rescue does not apply. The
+    // screened miner must LOSE the pairs (if this ever starts passing,
+    // the screen changed and the scaladoc recall contract is stale);
+    // the lossless exactness rung must still find every one.
+    val frag = "alpha beta gamma delta epsilon zeta"
+    val hosts = (0L until 70L).map(i =>
+      (100L + i, s"$frag h${i}_a h${i}_b h${i}_c h${i}_d h${i}_e"))
+    val docs = ((0L, frag) +: hosts).toDF("doc_id", "text")
+    val wantPairs = hosts.map(h => (0L, h._1)).toSet
+    val sh = graft.ops.LlmOps.shingleDf(docs).transform(Tables.truncate)
+    val screened = graft.ops.LlmOps.dedupContainmentPrefixOn(docs)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(screened.intersect(wantPairs).isEmpty,
+      "screen must lose the >cap fragment pairs (the documented caveat)")
+    val lossless = graft.ops.LlmOps.dedupContainmentPrefixLossless(sh)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(wantPairs.subsetOf(lossless),
+      "lossless rung must recover every >cap fragment pair")
   }
 
   test("q_dedup_edit matches a driver-side banded-DP replay") {
