@@ -57,6 +57,47 @@ object Profile {
       // round-10 edit-miner stage decomposition (x10 regression hunt):
       // candidate generation alone vs rescue alone vs the full capped
       // candidate set — isolates whether the cost is candidates or DP
+      // round-11 containment-prefix stage decomposition (screen vs
+      // lossless x10 comparison): candidate generation alone for both
+      // rungs, the exact-dup rescue alone, and the full lossless key —
+      // isolates whether cost sits in candidates, rescue, or verify
+      "x_ctp_cand_screened" -> ((s, dir) =>
+        graft.ops.LlmOps.containmentPrefixCandScreened(
+          graft.ops.LlmOps.shingleIndex(s, dir),
+          Tables(s, dir, "documents"))),
+      "x_ctp_cand_lossless" -> ((s, dir) =>
+        graft.ops.LlmOps.containmentPrefixCandLossless(
+          graft.ops.LlmOps.shingleIndex(s, dir))),
+      "x_ctp_rescue" -> ((s, dir) =>
+        graft.ops.LlmOps.exactDupCandidates(Tables(s, dir, "documents"))),
+      "x_ctp_cand_distinct" -> ((s, dir) =>
+        graft.ops.LlmOps.containmentPrefixCandScreened(
+          graft.ops.LlmOps.shingleIndex(s, dir),
+          Tables(s, dir, "documents"))
+          .unionAll(graft.ops.LlmOps.exactDupCandidates(
+            Tables(s, dir, "documents")))
+          .distinct()),
+      // cap-shape probes: the full screened key at a FLAT df cap
+      // (capFrac 0) — output count vs the default's measures what a
+      // corpus-independent cap would lose; runtime measures what the
+      // growing 1% term costs
+      "x_ctp_key_cap64" -> ((s, dir) => {
+        val sh = graft.ops.LlmOps.shingleIndex(s, dir)
+        val docs = Tables(s, dir, "documents")
+        graft.ops.LlmOps.verifyContainmentProbe(
+          graft.ops.LlmOps.containmentPrefixCandScreened(sh, docs, 64.0, 0.0)
+            .unionAll(graft.ops.LlmOps.exactDupCandidates(docs))
+            .distinct(), sh)
+      }),
+      "x_ctp_sets" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LlmOps.shingleIndex(s, dir).groupBy(col("doc_id"))
+          .agg(collect_list(col("shingle")).as("sh_set"),
+            count(lit(1)).as("n_sh"))
+      }),
+      "x_ctp_lossless" -> ((s, dir) =>
+        graft.ops.LlmOps.dedupContainmentPrefixLossless(
+          graft.ops.LlmOps.shingleIndex(s, dir))),
       "x_edit_cand_capped" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val sh = graft.ops.LlmOps.shingleIndex(s, dir)

@@ -481,7 +481,18 @@ object LlmOps {
       shingleDf(docs).transform(graft.Tables.truncate), docs)
 
   private[graft] def dedupContainmentPrefixScreened(sh: DataFrame,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame): DataFrame =
+    verifyContainment(
+      containmentPrefixCandScreened(sh, docs)
+        .unionAll(exactDupCandidates(docs))
+        .distinct(), sh)
+
+  /** Screened candidate stage only (Profile stage probes). The cap
+    * parameters exist for the Profile cap-shape probes; the declared
+    * key always runs the defaults. */
+  private[graft] def containmentPrefixCandScreened(sh: DataFrame,
+      docs: DataFrame, capFloor: Double = 64.0,
+      capFrac: Double = 0.01): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val ranked = rankedShingles(sh)
@@ -492,22 +503,33 @@ object LlmOps {
     // a broadcast 1-row aggregate (never a driver value), 10× the
     // MAXDF cap in both floor and fraction — the prefix join affords
     // the generosity because its mass is prefix-df·df, not df².
-    val thr = docs.agg(greatest(lit(64.0), count(lit(1)) * 0.01)
+    val thr = docs.agg(greatest(lit(capFloor), count(lit(1)) * capFrac)
       .as("maxdf"))
     val index = ranked.crossJoin(broadcast(thr)).filter($"f" <= $"maxdf")
-      .select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
+      .select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"), $"rn".as("rnb"))
     // probe = the doc that must be the SHORTER of the pair (the rule
     // binds min(|A|,|B|)); equal sizes probe from the smaller id only
-    val cand = probe.join(index, "h")
+    probe.join(index, "h")
       .filter($"na" < $"nb" || ($"na" === $"nb" && $"pa" < $"pb"))
+      .filter(posFilter)
       // canonical (min id, max id) pair order — the declared output
       // orientation, independent of which side probed
       .select(least($"pa", $"pb").as("doc_a"),
         greatest($"pa", $"pb").as("doc_b"))
-      .unionAll(exactDupCandidates(docs))
-      .distinct()
-    verifyContainment(cand, sh)
   }
+
+  /** SYMMETRIC prefix (positional) filter — LOSSLESS for overlap
+    * ≥ α = ceil(0.7·|A|): order A∩B globally and look at its SMALLEST
+    * element w₁; the ≥ α−1 shared elements after w₁ are also in each
+    * doc after w₁, so pos_A(w₁) ≤ |A|−α+1 AND pos_B(w₁) ≤ |B|−α+1 —
+    * i.e. some shared shingle lies in BOTH docs' prefixes, not just
+    * the probe's. Filtering the partner's rank at join time cuts the
+    * false-candidate stream ~an order of magnitude (a shared shingle
+    * that is COMMON relative to the partner's other shingles sits
+    * late in its rank order and proves nothing), while every true
+    * pair keeps its w₁ match by the theorem. */
+  private val posFilter: Column =
+    col("rnb") <= col("nb") - ceil(col("na") * 0.7) + 1
 
   /** The round-10 LOSSLESS formulation — kept as the exactness rung:
     * result EQUALS the uncapped reference by the prefix theorem (the
@@ -516,20 +538,24 @@ object LlmOps {
     * key runs [[dedupContainmentPrefixScreened]] instead). Reach for
     * this rung when exactness outweighs the tail, or as the recall
     * referee for the screen (OpsRound3Spec / SCALE.md). */
-  private[graft] def dedupContainmentPrefixLossless(sh: DataFrame): DataFrame = {
+  private[graft] def dedupContainmentPrefixLossless(sh: DataFrame): DataFrame =
+    verifyContainment(containmentPrefixCandLossless(sh).distinct(), sh)
+
+  /** Lossless candidate stage only (Profile stage probes). */
+  private[graft] def containmentPrefixCandLossless(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val ranked = rankedShingles(sh)
     val probe = ranked
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.7) + 1)
       .select($"doc_id".as("pa"), $"h", $"n_sh".as("na"))
-    val index = ranked.select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"))
-    val cand = probe.join(index, "h")
+    val index = ranked
+      .select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"), $"rn".as("rnb"))
+    probe.join(index, "h")
       .filter($"na" < $"nb" || ($"na" === $"nb" && $"pa" < $"pb"))
+      .filter(posFilter)
       .select(least($"pa", $"pb").as("doc_a"),
         greatest($"pa", $"pb").as("doc_b"))
-      .distinct()
-    verifyContainment(cand, sh)
   }
 
   /** Shared rarity ranking of the shingle index: per doc, shingles
@@ -550,10 +576,47 @@ object LlmOps {
       .withColumn("n_sh", count(lit(1)).over(wDoc))
   }
 
+  /** Containment verification over per-doc set ARRAYS with the native
+    * overlap kernel — the [[dedupJaccardPrefixFromShingles]] verify
+    * shape (one set row per doc, SHUFFLE_HASH joins, allocation-free
+    * merge count), NOT [[overlapFor]]'s exploded index join: the
+    * candidate stream here is containment pairs, whose Σ|A| explode
+    * mass at x10 (≈250k true pairs × full shingle lists re-shuffled
+    * and re-aggregated) measured ~500 s while the set-kernel verify
+    * of the same pairs is seconds. Exactness is unchanged — the
+    * kernel counts the true string-set intersection. */
+  private[graft] def verifyContainmentProbe(cand: DataFrame,
+      sh: DataFrame): DataFrame = verifyContainment(cand, sh)
+
+  /** Containment verification over per-doc HASHED set arrays with the
+    * native long-overlap kernel — the [[dedupJaccardPrefixFromShingles]]
+    * verify SHAPE (one set row per doc, SHUFFLE_HASH joins,
+    * allocation-free probe count), NOT [[overlapFor]]'s exploded index
+    * join: the candidate stream here is ~24M pairs at x10 and the
+    * explode mass (Σ|A| shingle rows re-shuffled and re-aggregated)
+    * measured ~500 s while the set verify of the same pairs is
+    * seconds. Elements are xxhash64(shingle) LONGS, not strings: the
+    * pair stream carries both set arrays through a shuffle, so 8-byte
+    * elements cut that intermediate ~4× and the kernel compares
+    * primitives. Exactness: |hash(A) ∩ hash(B)| = |A ∩ B| unless
+    * xxhash64 collides INSIDE a candidate pair's union (~300 values
+    * against 2⁶⁴ — P ≈ 10⁻¹⁵ per pair); the differential gate is the
+    * standing guard — the DuckDB twin intersects true STRING sets, so
+    * any collision surfaces as a hash mismatch, and none has at any
+    * tested scale (sf0.001/0.01/0.1, x3, x10). */
   private def verifyContainment(cand: DataFrame, sh: DataFrame): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    overlapFor(cand, sh)
+    val sets = sh.groupBy($"doc_id")
+      .agg(collect_list(xxhash64($"shingle")).as("sh_set"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
+        $"n_sh".as("na")).hint("SHUFFLE_HASH"), "doc_a")
+      .join(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
+        $"n_sh".as("nb")).hint("SHUFFLE_HASH"), "doc_b")
+      .withColumn("common",
+        graft.functions.SetExpressions.overlapCountLong(spark)($"sa", $"sb"))
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / least($"na", $"nb")).as("containment"))
       .filter($"containment" >= 0.7)
