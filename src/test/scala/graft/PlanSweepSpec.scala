@@ -60,6 +60,9 @@ class PlanSweepSpec extends SparkSpec {
     "q_dedup_ngram_jaccard", "q_dedup_containment", "q_dedup_edit",
     "q_dedup_cluster", "q_dedup_cluster_keep", "q_dedup_cluster_stats",
     "q_split_leakage_safe",
+    // round-11: the screened prefix-containment join gains the same
+    // 1-row broadcast df-threshold crossJoin as the capped miners
+    "q_dedup_containment_prefix",
     "q_embed_pca_power", // 1-row broadcast rescale-max / norm crossJoins
     // round-10 wave A: 1-row broadcast band-bounds + doubled-tie
     // crossJoins over a domain-bounded grid
