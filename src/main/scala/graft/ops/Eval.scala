@@ -261,31 +261,44 @@ object Eval {
     * (`(score_int + 100·n_tok) div (20·n_tok)` — score/token ∈
     * [−100, 100] maps to bins 0..9 with the right edge clamped), so
     * binning never touches a float. The per-doc confidence
-    * (score+100)/200 is one fixed IEEE tree on exact ints, r4-rounded
-    * — a ≤4-decimal value, so the decimal cast underneath the bin sum
-    * is exact (the Det base-column rule), and the bin mean divides
-    * that exact sum by an exact count.
+    * (score+100)/200 is a RATIONAL of small ints, quantized to 4
+    * decimals by exact integer HALF_UP (`(2·10⁴·p + q) div 2q`) —
+    * never r4-on-double, which the r11 x10 gate caught flipping on a
+    * true decimal half-tie (see the inline note) — so the per-bin sum
+    * is an exact long and the bin means are one IEEE divide each.
     *
     * Scale posture: inference and binning are row-local scan work;
     * the whole result is ONE partial-agged hash agg onto a 10-row bin
     * domain. No windows, no joins. */
   def evalCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // per-doc confidence at 4 decimals by EXACT integer HALF_UP of the
+    // rational (score_int/ntk + 100)/200 = p/q with p = score_int +
+    // 100·ntk ≥ 0, q = 200·ntk: round(10⁴·p/q) = (2·10⁴·p + q) div 2q,
+    // pure longs, bit-identical in both engines. The previous
+    // r4-on-double hit a REAL decimal half-tie at x10 (doc with
+    // conf = 50.75/200 = 0.25375: Spark's BigDecimal shortest-string
+    // round gives .2538, DuckDB's binary round .2537 — the r11 x10
+    // gate caught the ×10-replicated doc flipping the bin-2 gap).
+    // Small-integer rationals land on ties ROUTINELY, so this column
+    // is exactly the case Det.scala's r4 contract excludes.
     val binned = Quality.classifierScores(spark, sfDir)
       .select(($"lang" === "en").as("truth"),
         expr("least(9L, (score_int + 100L * greatest(n_tokens, 1)) div " +
           "(20L * greatest(n_tokens, 1)))").as("bin"),
-        Det.r4(($"score" + 100.0) / 200.0).as("conf_doc"))
+        expr("(20000L * (score_int + 100L * greatest(n_tokens, 1))" +
+          " + 200L * greatest(n_tokens, 1))" +
+          " div (400L * greatest(n_tokens, 1))").as("conf4"))
     binned
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"truth", 1)).cast("long").as("n_pos"),
-        sum($"conf_doc".cast(
-          org.apache.spark.sql.types.DecimalType(27, 4))).as("conf_sum"))
+        sum($"conf4").as("conf_sum4"))
       .select($"bin", $"n_docs", $"n_pos",
-        Det.r4($"conf_sum".cast("double") / $"n_docs").as("mean_conf"),
+        Det.r4($"conf_sum4".cast("double") / ($"n_docs" * 10000.0))
+          .as("mean_conf"),
         Det.r4($"n_pos".cast("double") / $"n_docs").as("pos_rate"),
-        Det.r4(abs($"conf_sum".cast("double") / $"n_docs"
+        Det.r4(abs($"conf_sum4".cast("double") / ($"n_docs" * 10000.0)
           - $"n_pos".cast("double") / $"n_docs")).as("gap"))
       .orderBy($"bin")
   }

@@ -5504,24 +5504,28 @@ object OracleSql {
          |    / (cast(tot_pos as double) / tot_docs), 4) AS cum_lift
          |FROM f ORDER BY decile""".stripMargin,
 
-    // integer cross-multiplied bin + exact-decimal confidence sums
+    // integer cross-multiplied bin + EXACT integer HALF_UP per-doc
+    // confidence quantization ((2·10⁴·p + q) // 2q over non-negative
+    // longs — round() on the double hit a true decimal half-tie
+    // (0.25375) where DuckDB's binary round and Spark's BigDecimal
+    // shortest-string round disagree; caught by the r11 x10 gate)
     "q_eval_calibration" ->
       s"""WITH $classifierCte,
          |b AS (SELECT
          |    least(9, (score_int + 100 * greatest(n_tokens, 1))
          |      // (20 * greatest(n_tokens, 1))) AS bin,
          |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
-         |    round((cast(score_int as double)
-         |      / greatest(n_tokens, 1) + 100.0) / 200.0, 4) AS conf_doc
+         |    (20000 * (score_int + 100 * greatest(n_tokens, 1))
+         |      + 200 * greatest(n_tokens, 1))
+         |      // (400 * greatest(n_tokens, 1)) AS conf4
          |  FROM s)
          |SELECT bin, count(*) AS n_docs,
          |  cast(sum(pos) as bigint) AS n_pos,
-         |  round(cast(sum(cast(conf_doc as decimal(27,4))) as double)
-         |    / count(*), 4) AS mean_conf,
+         |  round(cast(sum(conf4) as double)
+         |    / (count(*) * 10000.0), 4) AS mean_conf,
          |  round(cast(sum(pos) as double) / count(*), 4) AS pos_rate,
          |  round(abs(
-         |    cast(sum(cast(conf_doc as decimal(27,4))) as double)
-         |      / count(*)
+         |    cast(sum(conf4) as double) / (count(*) * 10000.0)
          |    - cast(sum(pos) as double) / count(*)), 4) AS gap
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 

@@ -90,12 +90,13 @@ class OpsRound16Spec extends SparkSpec {
       val (n, np, conf, acc) = got(bin)
       assert(n === rows.length.toLong)
       assert(np === rows.count(_._3).toLong)
-      // mirror the op's tree exactly: exact decimal sum → double →
-      // ONE divide → r4 (dividing in BigDecimal first would round
-      // differently in the last ulp)
-      val confSum = rows.map { case (si, nt, _) =>
-        BigDecimal(r4d((si.toDouble / nt + 100.0) / 200.0)) }.sum
-      assert(conf === r4d(confSum.toDouble / rows.length))
+      // mirror the op's tree exactly: per-doc conf quantized by EXACT
+      // integer HALF_UP of the rational p/q (the r4-on-double form
+      // flips on true decimal half-ties like 0.25375 — the r11 x10
+      // gate finding), exact long sum → ONE divide → r4
+      val confSum4 = rows.map { case (si, nt, _) =>
+        (20000L * (si + 100L * nt) + 200L * nt) / (400L * nt) }.sum
+      assert(conf === r4d(confSum4.toDouble / (rows.length * 10000.0)))
       assert(acc === r4d(np.toDouble / n))
     }
   }
