@@ -5123,11 +5123,17 @@ object OracleSql {
   /** Six unrolled synchronous k-core peel rounds (k = 4) over the
     * symmetrized kNN edges — the pagerank/LPA unrolling discipline. */
   private def kcoreSql: String = {
+    // every peel round references the PREVIOUS edge set three times
+    // (degree census + both endpoint semi joins), so DuckDB's default
+    // CTE INLINING re-evaluates the ranked all-pairs kNN derivation
+    // ~3^6 times — measured >100 GB of spill and a dead x10 gate. AS
+    // MATERIALIZED pins each round to one evaluation (semantics-free;
+    // 0.5 s at x10, hash-identical to the engine).
     val rounds = (1 to 6).map { i =>
       val p = if (i == 1) "e0" else s"e${i - 1}"
       s"""k$i AS (SELECT src AS node FROM $p
          |  GROUP BY src HAVING count(*) >= 4),
-         |e$i AS (SELECT e.src, e.dst FROM $p e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $p e
          |  JOIN k$i a ON e.src = a.node
          |  JOIN k$i b ON e.dst = b.node)""".stripMargin
     }.mkString(",\n")
@@ -5141,8 +5147,8 @@ object OracleSql {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, nbr_id) AS rk
        |  FROM j),
-       |e AS (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 5),
-       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |e AS MATERIALIZED (SELECT vec_id, nbr_id FROM rnk WHERE rk <= 5),
+       |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT vec_id AS src, nbr_id AS dst FROM e
        |  UNION ALL SELECT nbr_id AS src, vec_id AS dst FROM e)),
        |$rounds
