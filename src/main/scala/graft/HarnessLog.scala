@@ -16,11 +16,24 @@ package graft
   * pointless before the root is configured).
   */
 object HarnessLog {
-  def quiet(): Unit =
+  def quiet(): Unit = {
     // the warning is emitted under the CONCRETE RDD subclass logger
     // (MapPartitionsRDD, ShuffledRowRDD, …), so the package logger is
     // the narrowest name that covers it; org.apache.spark.rdd emits
     // nothing else these mains act on
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // WindowExec's "No Partition Defined" warning fires for every
+    // DELIBERATE metadata-scale window in the repo (TwoPass's P-row
+    // offset ranks, domain-bounded tie censuses — all documented, all
+    // bounded by partition count or value domain, never data-sized).
+    // The unpartitioned-window-over-DATA regression this warning
+    // exists for is gated structurally by PlanSweepSpec's
+    // unpartitioned-window allowlist (every global Window in a
+    // declared key's final plan must be a known metadata-scale site),
+    // so in the harness mains it is pure tail spam.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 }

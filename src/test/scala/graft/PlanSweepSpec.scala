@@ -6,7 +6,15 @@ package graft
   * non-equi conditions are intentional with an explicitly bounded or
   * broadcast side — but an unplanned CartesianProduct anywhere is a
   * scale regression and fails here rather than on the cluster. */
-class PlanSweepSpec extends SparkSpec {
+class PlanSweepSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // tightness bookkeeping for the global-window allowlist: an entry
+  // whose key no longer HAS a global window is stale and could mask a
+  // new one (the LintSpec site-pinning lesson) — checked in afterAll
+  // over exactly the keys this run executed
+  private val ranKeys = scala.collection.mutable.Set[String]()
+  private val sawGlobal = scala.collection.mutable.Set[String]()
 
   private val bnlAllowed = Set(
     "q_join_cross",      // 5×25 dims, intentional cartesian via BNL
@@ -71,15 +79,73 @@ class PlanSweepSpec extends SparkSpec {
     "q_eval_lift"        // 1-row broadcast population-total crossJoin
   )
 
+  /** Keys whose final plan may contain an UNPARTITIONED WindowExec —
+    * each site is a documented metadata-scale window (bounded by
+    * partition COUNT, a value domain, or a k-row sample — never the
+    * corpus), mostly [[TwoPass.cumsum]]'s P-row offset rank. A key not
+    * on this list growing a global window is the single-task collapse
+    * WindowExec's "No Partition Defined" warning exists for — caught
+    * here structurally (the harness mains demote that logger, see
+    * HarnessLog). Populated by running this sweep; every entry was
+    * read against its source before being admitted (round 11). */
+  private val globalWindowAllowed: Set[String] = Set(
+    // TwoPass.cumsum consumers: the unpartitioned window spans the
+    // P-row (= range-partition count) per-partition totals only —
+    // TwoPass.scala's offsets stage, metadata scale by construction
+    "q_stats_ks", "q_stats_kruskal", "q_stats_mannwhitney",
+    "q_stats_spearman", "q_stats_gini", "q_stats_auc", "q_eval_pr_auc",
+    "q_eval_lift", "q_quality_ccnet", "q_intervals_concurrency",
+    "q_ids_contiguous", "q_shard_manifest", "q_abc_pareto",
+    "q_skyline_pareto", "q_events_power_users",
+    // calendar/time-grid censuses: the window runs over a day- or
+    // batch-hour-bounded relation the corpus was partial-agged onto
+    // (each op's scaladoc carries the metadata-scale exemption)
+    "q_intervals_open", "q_ts_cusum", "q_win_rolling_corr",
+    "q_stream_late_drop",
+    // k-row tops / bounded slices: rank/cumsum over top-100 (zipf),
+    // top-1000 (vocab prune/coverage), or k-row fused candidate lists
+    "q_text_zipf", "q_vocab_prune_oov", "q_vocab_coverage",
+    "q_rank_fusion_borda", "q_sim_hybrid_rrf")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: no cartesian product in the final plan") {
-      val plan = finalPlan(fn(spark, sfDir))
+      val df = fn(spark, sfDir)
+      val plan = finalPlan(df)
       assert(!plan.contains("CartesianProduct"),
         s"unplanned cartesian in $name:\n${plan.take(600)}")
       if (!bnlAllowed(name)) {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"unexpected BNL in $name:\n${plan.take(600)}")
       }
+      // unpartitioned-window sweep: walk the executed tree (through
+      // AQE stage wrappers) and flag any WindowExec with an empty
+      // partition spec outside the documented metadata-scale sites
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.window.WindowExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case o => o.children.flatMap(nodes)
+      })
+      val global = nodes(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      ranKeys += name
+      if (global.nonEmpty) sawGlobal += name
+      if (!globalWindowAllowed(name)) {
+        assert(global.isEmpty,
+          s"unpartitioned WindowExec in $name (single-task collapse):\n" +
+            global.map(_.simpleString(200)).mkString("\n"))
+      }
     }
+  }
+
+  override def afterAll(): Unit = {
+    val stale = globalWindowAllowed.intersect(ranKeys).diff(sawGlobal)
+    assert(stale.isEmpty,
+      s"stale global-window allowlist entries (no global window found" +
+        s" in their final plans — tighten the list): $stale")
+    super.afterAll()
   }
 }
