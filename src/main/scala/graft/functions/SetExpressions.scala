@@ -159,10 +159,15 @@ object LongOverlapKernel extends Serializable {
     val (small, large) =
       if (x.numElements() <= y.numElements()) (x, y) else (y, x)
     val n = small.numElements()
+    // same ≥2^29 regime as the string kernel: the doubled power-of-two
+    // capacity would overflow Int (`n * 2` wraps NEGATIVE first, so the
+    // sizing loop below would exit at cap=8 and the insert loop would
+    // spin forever once 8 distinct elements fill the table — ADVICE
+    // r11); degrade to the allocation-heavy but unconditionally
+    // correct HashSet path instead
+    if (n >= (1 << 29)) return countViaHashSet(small, large)
     var cap = 8
-    while (cap < n * 2 && cap > 0) cap <<= 1
-    if (cap <= 0) throw new IllegalArgumentException(
-      s"overlap small side too large: $n")
+    while (cap < n * 2) cap <<= 1
     val mask = cap - 1
     val table = new Array[Long](cap)
     val present = new Array[Boolean](cap)
@@ -184,6 +189,24 @@ object LongOverlapKernel extends Serializable {
       var s = java.lang.Long.hashCode(e) & mask
       while (present(s) && table(s) != e) s = (s + 1) & mask
       if (present(s) && !matched(s)) { matched(s) = true; c += 1 }
+      j += 1
+    }
+    c
+  }
+
+  /** Fallback for pathologically large small sides (≥ 2^29 elements —
+    * beyond power-of-two table sizing). Same semantics (duplicates
+    * count once; 0 is an ordinary element), graceful degradation. */
+  private def countViaHashSet(small: ArrayData, large: ArrayData): Int = {
+    val n = small.numElements()
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    var c = 0
+    var j = 0
+    val m = large.numElements()
+    while (j < m && !set.isEmpty) {
+      if (set.remove(large.getLong(j))) c += 1
       j += 1
     }
     c

@@ -62,7 +62,13 @@ class LintSpec extends AnyFunSuite {
     "Omits.scala", "Query.scala", "Verify.scala", "Bench.scala",
     "Profile.scala", "Scale.scala")
 
-  private val patterns = Seq(".collect()", "collectAsList(", "toLocalIterator")
+  // .rdd.collect / collectPartitions cover the RDD-level driver
+  // primitives the pre-r11 lint banned outright (ADVICE r11: the
+  // site-pinned rewrite silently dropped them — .rdd.collect() was
+  // only caught incidentally via .collect(), collectPartitions( not
+  // at all)
+  private val patterns = Seq(".collect()", "collectAsList(",
+    "toLocalIterator", "collectPartitions(", ".rdd.collect")
 
   private val defRe = """\bdef\s+([A-Za-z_][A-Za-z0-9_]*)""".r
 
