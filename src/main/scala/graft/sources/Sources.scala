@@ -493,9 +493,18 @@ object Sources {
 
   /** Landing root for [[filesMaterialize]], keyed by corpus so two SFs
     * in one session never alias each other's files. Test-visible: the
-    * resume spec reads mtimes underneath it. */
+    * resume spec reads mtimes underneath it.
+    *
+    * The tag is prefixed `sf_` so the directory NAME never starts
+    * with `_` or `.`: Spark's hidden-path filter treats such a name as
+    * ignorable even as a TOP-LEVEL load path, so [[filesGc]]'s
+    * binaryFile listing of `/files_land/_root_testdata_sf0.1` logged
+    * `WARN DataSource: All paths were ignored` on every artifact tail
+    * (results stayed correct only because DataSource falls back to the
+    * unfiltered path list when the filter removes everything —
+    * VERDICT r11 #4). */
   private[graft] def filesLandDir(sfDir: String): String = {
-    val corpusTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val corpusTag = "sf_" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${graft.ops.Relational.scratchRoot}/files_land/$corpusTag"
   }
 
