@@ -142,6 +142,15 @@ object Bench {
       s" (${failed.size} failed) sf=$sfDir")
     println(f"# memo warmup (shared-artifact materialization, untimed" +
       f" in per-key numbers) $memoSec%.1f s")
+    // per-artifact decomposition of the warmup chain (VERDICT r11 #7):
+    // only artifacts whose BUILD ran in this JVM at the TARGET sf (the
+    // sf0.001 JIT pass built its own tiny copies, keyed separately)
+    import scala.jdk.CollectionConverters._
+    graft.ops.Memo.buildSeconds.asScala.toSeq
+      .filter(_._1.endsWith(s"@$sfDir")).sortBy(-_._2)
+      .foreach { case (k, v) =>
+        println(f"# memo build ${k.takeWhile(_ != '@')} $v%.2f s")
+      }
     if (failed.nonEmpty) println(s"# failed: ${failed.mkString(" ")}")
     // successes only: failures carry the -1 sentinel and would otherwise
     // surface as negative-second "slow" entries when many queries fail

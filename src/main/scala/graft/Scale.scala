@@ -205,6 +205,17 @@ object ScaleBench {
     val corpora = args.drop(1).toSeq.map { a =>
       val Array(l, d) = a.split("=", 2); (l, d)
     }
+    // optional key filter (VERDICT r11 #3: probe the df-capped miners
+    // one rung past x10 without paying the full 35-key sweep at x30)
+    val keys = sys.env.get("SPARK_GRAFT_SCALE_KEYS") match {
+      case Some(f) =>
+        val want = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val sel = ScaleBench.keys.filter { case (k, _) => want(k) }
+        require(sel.map(_._1).toSet == want,
+          s"unknown keys: ${(want -- sel.map(_._1)).mkString(",")}")
+        sel
+      case None => ScaleBench.keys
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -228,12 +239,29 @@ object ScaleBench {
       val nRows = Seq("documents", "embeddings", "events")
         .map(t => t -> Tables(spark, dir, t).count()).toMap
       val m0 = System.nanoTime()
-      memoTriggers.foreach { k =>
+      // under a key filter, only warm the artifact chains the selected
+      // keys actually consume — a filtered miner probe must not pay
+      // the ANN/semantic chain at x30
+      val triggers =
+        if (keys.size == ScaleBench.keys.size) memoTriggers
+        else memoTriggers.filter(t => keys.exists(_._1 == t))
+      triggers.foreach { k =>
         try { SparkEntry.queries(k)(spark, dir).count() }
         catch { case NonFatal(_) => () }
         release(spark)
       }
       val memoSec = (System.nanoTime() - m0) / 1e9
+      // per-artifact decomposition of the memo chain at THIS corpus
+      // (VERDICT r11 #7) — builds only, cache hits record nothing
+      locally {
+        import scala.jdk.CollectionConverters._
+        graft.ops.Memo.buildSeconds.asScala.toSeq
+          .filter(_._1.endsWith(s"@$dir")).sortBy(-_._2)
+          .foreach { case (k, v) =>
+            println(
+              f"# scalebench $label memo build ${k.takeWhile(_ != '@')} $v%.2f s")
+          }
+      }
       val times = keys.map { case (k, fam) =>
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(k)(spark, dir).count(); true }

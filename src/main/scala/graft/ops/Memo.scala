@@ -36,6 +36,15 @@ private[graft] object Memo {
   private val entries =
     new java.util.LinkedHashMap[(String, String), (String, sys.ShutdownHookThread)]
 
+  /** Wall-clock seconds of each artifact BUILD this JVM actually ran
+    * (cache hits record nothing) — the decomposition of the
+    * `memo_warmup_sec` line every bench artifact carries (VERDICT r11
+    * #7: the chain was the largest untimed cost and had never been
+    * stage-profiled). Keyed `kind@sfDir`; harnesses print it as
+    * comment lines. */
+  val buildSeconds: java.util.concurrent.ConcurrentHashMap[String, Double] =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]
+
   private def deleteDir(path: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -67,7 +76,10 @@ private[graft] object Memo {
       case None =>
         val out = java.nio.file.Files.createTempDirectory(s"graft-$kind-")
         val hook = sys.addShutdownHook(deleteDir(out.toString))
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(out.toString)
+        buildSeconds.merge(s"$kind@$sfDir",
+          (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
         entries.synchronized {
           val raced = entries.get(key)
           if (raced != null) {
