@@ -84,7 +84,7 @@ object Profile {
       "x_ctp_key_cap64" -> ((s, dir) => {
         val sh = graft.ops.LlmOps.shingleIndex(s, dir)
         val docs = Tables(s, dir, "documents")
-        graft.ops.LlmOps.verifyContainmentProbe(
+        graft.ops.LlmOps.verifyContainment(
           graft.ops.LlmOps.containmentPrefixCandScreened(sh, docs, 64.0, 0.0)
             .unionAll(graft.ops.LlmOps.exactDupCandidates(docs))
             .distinct(), sh)

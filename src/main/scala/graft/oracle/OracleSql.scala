@@ -793,7 +793,14 @@ object OracleSql {
        |    $rescueSelect) u)""".stripMargin
 
   // exact-Jaccard verification of `cand` over the FULL shingle stream;
-  // exposes `jp(doc_a, doc_b, jaccard)` at the 0.6 threshold
+  // exposes `jp(doc_a, doc_b, jaccard)` at the 0.6 threshold.
+  // Round-12 exact-integer discipline (mirrors LlmOps.verifyJaccard):
+  // threshold `J ≥ 3/5 ⟺ 8·common ≥ 3·(na+nb)` over integers — the
+  // previous round(...,4) >= 0.6 admitted true J down to 0.59995,
+  // opening a rounding-boundary gap against prefix candidate bounds —
+  // and the emitted value is exact integer HALF_UP in 1e-4 units
+  // (round(p/q) = (2·10⁴·p + q) // 2q), killing the per-pair decimal
+  // half-tie divergence class the calibration key hit at x10.
   private val cappedJaccardCte: String =
     """sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |cm AS (
@@ -804,10 +811,11 @@ object OracleSql {
       |  GROUP BY 1, 2),
       |jp AS (
       |  SELECT p.doc_a, p.doc_b,
-      |    round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+      |    ((20000 * common + (x.n_sh + y.n_sh - common))
+      |      // (2 * (x.n_sh + y.n_sh - common))) / 10000.0 AS jaccard
       |  FROM cm p JOIN sz x ON p.doc_a = x.doc_id
       |  JOIN sz y ON p.doc_b = y.doc_id
-      |  WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6)"""
+      |  WHERE 8 * common >= 3 * (x.n_sh + y.n_sh))"""
       .stripMargin
 
   // native C++ dot kernel, verified BIT-IDENTICAL (unrounded) to the
@@ -904,10 +912,11 @@ object OracleSql {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(common / (x.n_sh + y.n_sh - common), 4) AS jaccard
+         |  ((20000 * common + (x.n_sh + y.n_sh - common))
+         |    // (2 * (x.n_sh + y.n_sh - common))) / 10000.0 AS jaccard
          |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
          |JOIN sz y ON p.doc_b = y.doc_id
-         |WHERE round(common / (x.n_sh + y.n_sh - common), 4) >= 0.6
+         |WHERE 8 * common >= 3 * (x.n_sh + y.n_sh)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // per-dim means are exact decimal sums; the norm's 64-term fold is
@@ -968,10 +977,11 @@ object OracleSql {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b,
-         |  round(common / least(x.n_sh, y.n_sh), 4) AS containment
+         |  ((20000 * common + least(x.n_sh, y.n_sh))
+         |    // (2 * least(x.n_sh, y.n_sh))) / 10000.0 AS containment
          |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
          |JOIN sz y ON p.doc_b = y.doc_id
-         |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
+         |WHERE 10 * common >= 7 * least(x.n_sh, y.n_sh)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // round-10: capped candidates + exact-dup rescue (the uncapped
@@ -989,10 +999,11 @@ object OracleSql {
          |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
          |  GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b,
-         |  round(common / least(x.n_sh, y.n_sh), 4) AS containment
+         |  ((20000 * common + least(x.n_sh, y.n_sh))
+         |    // (2 * least(x.n_sh, y.n_sh))) / 10000.0 AS containment
          |FROM cm p JOIN sz x ON p.doc_a = x.doc_id
          |JOIN sz y ON p.doc_b = y.doc_id
-         |WHERE round(common / least(x.n_sh, y.n_sh), 4) >= 0.7
+         |WHERE 10 * common >= 7 * least(x.n_sh, y.n_sh)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_incremental" ->
@@ -1006,9 +1017,10 @@ object OracleSql {
          |  FROM b JOIN c ON b.shingle = c.shingle
          |  GROUP BY 1, 2)
          |SELECT new_id, old_id,
-         |  round(common / n_new, 4) AS containment
+         |  ((20000 * common + n_new) // (2 * n_new)) / 10000.0
+         |    AS containment
          |FROM pairs JOIN bsz ON pairs.new_id = bsz.doc_id
-         |WHERE round(common / n_new, 4) >= 0.6
+         |WHERE 5 * common >= 3 * n_new
          |ORDER BY new_id, old_id""".stripMargin,
 
     // DuckDB's levenshtein is BYTE-based while Spark's is
@@ -1090,25 +1102,30 @@ object OracleSql {
 
     // SemDeDup keep-list: same band-LSH + exact-dot pair derivation as
     // q_dedup_embedding_ann, then the recursive closure / min-label
-    // components (the q_dedup_cluster pattern) and the keep join
+    // components (the q_dedup_cluster pattern) and the keep join.
+    // MATERIALIZED on the pair-derivation chain (VERDICT r11 #5):
+    // DuckDB INLINES CTEs, and `und` referenced from inside the
+    // recursive step would otherwise re-derive the band join + exact
+    // dots per closure level — the exact k-core mechanism (>100 GB
+    // spill → 0.5 s once materialized)
     "q_dedup_semantic_keep" ->
-      s"""WITH RECURSIVE sig AS (
+      s"""WITH RECURSIVE sig AS MATERIALIZED (
          |  SELECT vec_id, k,
          |    list_sum(list_transform(range(1, 5),
          |      i -> CASE WHEN embedding[k * 4 + i] > 0
          |           THEN (cast(1 as bigint) << (4 - i)) ELSE 0 END)) AS s
          |  FROM embeddings, range(0, 16) t(k)),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
          |  FROM sig sa JOIN sig sb
          |    ON sa.k = sb.k AND sa.s = sb.s AND sa.vec_id < sb.vec_id),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT c.vec_a, c.vec_b
          |  FROM cand c
          |  JOIN embeddings a ON a.vec_id = c.vec_a
          |  JOIN embeddings q ON q.vec_id = c.vec_b
          |  WHERE $dotSql >= 0.4),
-         |und AS (SELECT vec_a AS src, vec_b AS dst FROM p
+         |und AS MATERIALIZED (SELECT vec_a AS src, vec_b AS dst FROM p
          |        UNION ALL SELECT vec_b, vec_a FROM p),
          |reach AS (
          |  SELECT vec_id AS id, vec_id AS r FROM embeddings
@@ -1186,10 +1203,11 @@ object OracleSql {
         |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, common,
-        |  round(common / (x.n + y.n - common), 4) AS wjaccard
+        |  ((20000 * common + (x.n + y.n - common))
+        |    // (2 * (x.n + y.n - common))) / 10000.0 AS wjaccard
         |FROM pc JOIN sz x ON pc.doc_a = x.doc_id
         |JOIN sz y ON pc.doc_b = y.doc_id
-        |WHERE round(common / (x.n + y.n - common), 4) >= 0.5
+        |WHERE 3 * common >= x.n + y.n
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // trailing-window z-score: identical decimal mean + r4 stddev +
@@ -5510,11 +5528,14 @@ object OracleSql {
          |    / (cast(tot_pos as double) / tot_docs), 4) AS cum_lift
          |FROM f ORDER BY decile""".stripMargin,
 
-    // integer cross-multiplied bin + EXACT integer HALF_UP per-doc
-    // confidence quantization ((2·10⁴·p + q) // 2q over non-negative
-    // longs — round() on the double hit a true decimal half-tie
-    // (0.25375) where DuckDB's binary round and Spark's BigDecimal
-    // shortest-string round disagree; caught by the r11 x10 gate)
+    // integer cross-multiplied bin + EXACT integer HALF_UP
+    // quantization at BOTH levels ((2p + q) // 2q over non-negative
+    // longs): per-doc confidence (r11 — round() on the double hit a
+    // true decimal half-tie 0.25375 where DuckDB's binary round and
+    // Spark's BigDecimal shortest-string round disagree) AND the bin
+    // means/gap (r12 ADVICE — conf_sum4/n_docs is the same
+    // small-integer-rational class one level up). Presentation is one
+    // integer-by-10⁴ IEEE divide, identical in both engines.
     "q_eval_calibration" ->
       s"""WITH $classifierCte,
          |b AS (SELECT
@@ -5524,16 +5545,20 @@ object OracleSql {
          |    (20000 * (score_int + 100 * greatest(n_tokens, 1))
          |      + 200 * greatest(n_tokens, 1))
          |      // (400 * greatest(n_tokens, 1)) AS conf4
-         |  FROM s)
-         |SELECT bin, count(*) AS n_docs,
-         |  cast(sum(pos) as bigint) AS n_pos,
-         |  round(cast(sum(conf4) as double)
-         |    / (count(*) * 10000.0), 4) AS mean_conf,
-         |  round(cast(sum(pos) as double) / count(*), 4) AS pos_rate,
-         |  round(abs(
-         |    cast(sum(conf4) as double) / (count(*) * 10000.0)
-         |    - cast(sum(pos) as double) / count(*)), 4) AS gap
-         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+         |  FROM s),
+         |g AS (SELECT bin, count(*) AS n_docs,
+         |    cast(sum(pos) as bigint) AS n_pos,
+         |    cast(sum(conf4) as bigint) AS conf_sum4
+         |  FROM b GROUP BY bin)
+         |SELECT bin, n_docs, n_pos,
+         |  ((2 * conf_sum4 + n_docs) // (2 * n_docs)) / 10000.0
+         |    AS mean_conf,
+         |  ((20000 * n_pos + n_docs) // (2 * n_docs)) / 10000.0
+         |    AS pos_rate,
+         |  abs((2 * conf_sum4 + n_docs) // (2 * n_docs)
+         |    - (20000 * n_pos + n_docs) // (2 * n_docs)) / 10000.0
+         |    AS gap
+         |FROM g ORDER BY bin""".stripMargin,
 
     // distinct-score census, descending running totals, r4'd precision
     // re-cast to exact decimal before the weighted fold

@@ -302,6 +302,31 @@ class PlanSpec extends SparkSpec {
       s"expected a (doc_a, doc_b) distinct aggregate:\n${plan.take(1500)}")
   }
 
+  test("exact-miner verify joins stay shuffled-hash (never broadcast)") {
+    // VERDICT r11 #6: the hashed-set verify joins carry wide array
+    // payloads, and a driver-side broadcast build of them measured
+    // 5 s → 18 s under a long session's heap pressure — the
+    // SHUFFLE_HASH hint is load-bearing, and nothing but this pin
+    // stops an AQE/hint regression from re-introducing the broadcast.
+    // The verify joins are the ONLY joins in these plans keyed on
+    // doc_a/doc_b (candidate generation keys on shingle/h/text), so
+    // the pin is keyed to the join columns, not a global node count.
+    for (key <- Seq("q_dedup_ngram_jaccard", "q_dedup_ngram_capped",
+        "q_dedup_containment", "q_dedup_containment_prefix")) {
+      val plan = finalSection(
+        finalPlan(LlmOps.queries(key)(spark, sfDir)))
+      for (k <- Seq("doc_a", "doc_b")) {
+        assert(s"ShuffledHashJoin \\[$k#".r.findFirstIn(plan).isDefined,
+          s"$key: expected the $k set-verify join shuffled-hash:\n" +
+            plan.take(1200))
+        assert(s"(BroadcastHashJoin|SortMergeJoin) \\[$k#".r
+          .findFirstIn(plan).isEmpty,
+          s"$key: $k verify join regressed off shuffled-hash:\n" +
+            plan.take(1200))
+      }
+    }
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val plan = finalSection(
       finalPlan(LlmOps.textDecontaminate(spark, sfDir)))
