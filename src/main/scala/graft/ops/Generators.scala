@@ -174,7 +174,69 @@ object Generators {
       .orderBy($"doc_id")
   }
 
+  /** DEEP-NESTED SEMI-STRUCTURED ROUNDTRIP — the one modern-ingest
+    * shape the map/json scalar key and the outer-explode key bracket
+    * but never compose (VERDICT r11 #8): an array-of-struct JSON
+    * column is parsed against a PINNED schema (`from_json` — schema
+    * inference is a one-time `schema_of_json` step a production
+    * pipeline pins, never a per-batch scan; OpsRound18Spec asserts the
+    * pinned schema IS what inference yields), positionally exploded
+    * with OUTER semantics (`posexplode_outer` — null and empty item
+    * lists keep their parent row), aggregated at the exploded grain,
+    * and RE-NESTED (position-sorted `collect_list` of structs) with an
+    * exact array<struct> equality check against the parsed original.
+    *
+    * Fixture: the JSON is BUILT deterministically from lineitem by
+    * identical string concatenation in both engines (one
+    * `{"ln":…,"qty":…}` element per line, element order pinned by line
+    * number); orders ≡ 0 (mod 50) get `[]`, orders ≡ 3 (mod 97) get
+    * NULL — the absent-vs-empty distinction every ingest audit needs.
+    *
+    * Scale posture: parse + explode are row-local codegen'd generators
+    * (no UDF); the re-nest and census are ONE partial-agged hash agg
+    * on o_orderkey whose exchange the final join reuses; element order
+    * inside the re-nest is a per-group array_sort, never a window. */
+  def jsonNestedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val itemSchema = "array<struct<ln:int,qty:int>>"
+    val items = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+        concat(lit("{\"ln\":"), $"l_linenumber",
+          lit(",\"qty\":"), $"l_quantity".cast("int"), lit("}")).as("e"))
+      .groupBy($"o_orderkey")
+      .agg(concat(lit("["),
+        array_join(transform(
+          array_sort(collect_list(struct($"l_linenumber".as("n"), $"e"))),
+          x => x("e")), ","),
+        lit("]")).as("items"))
+    val src = Tables(spark, sfDir, "orders").select($"o_orderkey")
+      .join(items, Seq("o_orderkey"), "left")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 50 === 0, lit("[]"))
+          .when($"o_orderkey" % 97 === 3, lit(null))
+          .otherwise($"items").as("j"))
+    val parsed = src.select($"o_orderkey", $"j",
+      from_json($"j", itemSchema, Map.empty[String, String]).as("arr"))
+    val ex = parsed.select($"o_orderkey",
+      posexplode_outer($"arr").as(Seq("pos", "item")))
+    val stats = ex.filter($"pos".isNotNull)
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"item.qty").cast("long").as("qty_sum"),
+        transform(array_sort(collect_list(struct($"pos", $"item"))),
+          x => x("item")).as("ren"))
+    parsed.join(stats, Seq("o_orderkey"), "left")
+      .select($"o_orderkey",
+        $"j".isNotNull.as("has_json"),
+        coalesce($"n_items", lit(0L)).as("n_items"),
+        $"qty_sum",
+        when($"arr".isNull || size($"arr") === 0, $"ren".isNull)
+          .otherwise($"ren" <=> $"arr").as("roundtrip_ok"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_nested_roundtrip" -> jsonNestedRoundtrip,
     "q_explode_outer" -> explodeOuter,
     "q_subquery_exists" -> subqueryExists,
     "q_pivot" -> pivot,

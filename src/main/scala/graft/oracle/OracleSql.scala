@@ -4898,6 +4898,48 @@ object OracleSql {
         |    AS month_index
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // nested JSON roundtrip: identical string-built fixture, pinned
+    // typed parse (json_transform ≡ from_json on the pinned schema),
+    // zipped unnest+ordinality ≡ posexplode_outer (the empty/null
+    // parents re-enter via the LEFT JOIN), list(… ORDER BY pos) ≡ the
+    // position-sorted re-nest, list-of-struct equality both engines
+    "q_json_nested_roundtrip" ->
+      """WITH items AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    '[' || string_agg('{"ln":' || l_linenumber || ',"qty":'
+        |      || cast(l_quantity as int) || '}', ','
+        |      ORDER BY l_linenumber) || ']' AS items
+        |  FROM lineitem GROUP BY 1),
+        |src AS (
+        |  SELECT o.o_orderkey,
+        |    CASE WHEN o.o_orderkey % 50 = 0 THEN '[]'
+        |         WHEN o.o_orderkey % 97 = 3 THEN NULL
+        |         ELSE i.items END AS j
+        |  FROM orders o LEFT JOIN items i ON i.o_orderkey = o.o_orderkey),
+        |parsed AS (
+        |  SELECT o_orderkey, j,
+        |    CASE WHEN j IS NULL THEN NULL
+        |         ELSE json_transform(j,
+        |           '[{"ln":"INTEGER","qty":"INTEGER"}]') END AS arr
+        |  FROM src),
+        |ex AS (
+        |  SELECT o_orderkey, unnest(arr) AS item,
+        |    unnest(generate_series(1, len(arr))) - 1 AS pos
+        |  FROM parsed WHERE len(arr) > 0),
+        |stats AS (
+        |  SELECT o_orderkey, count(*) AS n_items,
+        |    cast(sum(item.qty) as bigint) AS qty_sum,
+        |    list(item ORDER BY pos) AS ren
+        |  FROM ex GROUP BY 1)
+        |SELECT p.o_orderkey,
+        |  p.j IS NOT NULL AS has_json,
+        |  coalesce(s.n_items, 0) AS n_items,
+        |  s.qty_sum,
+        |  CASE WHEN p.arr IS NULL OR len(p.arr) = 0 THEN s.ren IS NULL
+        |       ELSE coalesce(s.ren = p.arr, FALSE) END AS roundtrip_ok
+        |FROM parsed p LEFT JOIN stats s ON s.o_orderkey = p.o_orderkey
+        |ORDER BY p.o_orderkey""".stripMargin,
+
     // outer explode: empty arrays keep their parent row as a NULL row
     "q_explode_outer" ->
       """WITH t AS (SELECT doc_id,
