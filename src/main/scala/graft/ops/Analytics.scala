@@ -799,11 +799,17 @@ object Analytics {
         $"tus".as("p_tus"),
         ($"value".cast(org.apache.spark.sql.types.DecimalType(12, 2))
           * 100).cast("long").as("cents"))
+    // t's user_id is RENAMED, not re-referenced: p and t share the
+    // same parent plan, so p("user_id") === t("user_id") resolves both
+    // sides to ONE attribute id and Spark logs the "trivially true
+    // equals predicate" WARN on every plan build (then fixes it up via
+    // the self-join dedup heuristic) — the alias states the join
+    // explicitly and keeps artifact tails WARN-free (VERDICT r11 #4)
     val t = e.filter($"event_type".isin("view", "click", "signup"))
-      .select($"user_id", $"tus".as("t_tus"),
+      .select($"user_id".as("t_user_id"), $"tus".as("t_tus"),
         $"event_type".as("channel"))
     val joined = p.join(t,
-      p("user_id") === t("user_id") &&
+      $"user_id" === $"t_user_id" &&
         $"t_tus" >= $"p_tus" - 3600000000L && $"t_tus" < $"p_tus")
     val wp = org.apache.spark.sql.expressions.Window.partitionBy($"p_eid")
     val credited = joined
@@ -813,7 +819,7 @@ object Analytics {
       .select($"p_eid", $"channel",
         expr("(cents * k) DIV n").as("credit_cents"))
     val direct = p.join(t,
-        p("user_id") === t("user_id") &&
+        $"user_id" === $"t_user_id" &&
           $"t_tus" >= $"p_tus" - 3600000000L && $"t_tus" < $"p_tus",
         "left_anti")
       .select($"p_eid", lit("direct").as("channel"),
