@@ -286,7 +286,15 @@ object Profile {
           .join(ud, ud("d").between(date_sub($"day", 6), $"day"))
           .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
           .orderBy($"day")
-      })
+      }),
+      // ANN pair-mining stage decomposition (round 12, VERDICT r11 #7:
+      // ann-pairs is the dominant memo-warmup artifact at x10):
+      // candidate distinct alone vs the full mine (candidates + two
+      // SHUFFLE_HASH array joins + exact dot verify)
+      "x_ann_cand" -> ((s, dir) =>
+        graft.ops.LlmOps.annBandCandidates(s, dir)),
+      "x_ann_full" -> ((s, dir) =>
+        graft.ops.LlmOps.mineAnnPairs(s, dir))
     )
 
   /** One-hot-domain skewed cap workload shared by the x_cap probes:

@@ -430,12 +430,30 @@ object LlmOps {
     * df ≤ max(64, 1% · N_docs) — an order-free cap 10× more generous
     * than [[cappedShingles]]' (so every popular-fragment pair the
     * capped miner documents as its caveat is still caught up to 1%
-    * popularity) that bounds candidate mass at cap · Σ(prefix-df),
-    * LINEAR in the corpus, because every Σ(prefix-df·df) term with
-    * df > cap vanishes. The exact-duplicate rescue
+    * popularity). The exact-duplicate rescue
     * ([[exactDupCandidates]]) re-admits identical docs whose shingles
     * are all above the cap. Verification recounts the overlap census
     * over FULL shingle sets, so every emitted containment is exact.
+    *
+    * GROWTH CONTRACT (corrected round 12 — the round-11 doc claimed
+    * the screen made candidate mass linear, and the x30 rung refuted
+    * it): the screen only deletes Σ(prefix-df·df) terms with
+    * df > 1%·N, so it linearizes exactly those corpora whose
+    * stop-shingle df grows FASTER than 1% of the corpus. On a corpus
+    * whose head df sits durably between the flat floor and 1%·N (the
+    * derived scale corpora: head df ≈ 25·K vs cap 50·K — under the
+    * cap at every K), nothing vanishes and candidate mass grows ∝ N²
+    * — measured x10 → x30: 24.1M → 217M candidate pairs (α 2.0),
+    * whose verify shuffle (~1.5 KB of set arrays per pair) exceeds a
+    * single node's disk at x30. The corpus-independent control is the
+    * FLAT cap (the `x_ctp_key_cap64` Profile probe: 7.0 s at x30,
+    * 97.8% of the lossless pair set at x10 — it loses exactly the
+    * >64-host popular fragments the generous screen exists to keep),
+    * and the 0.1%-cap miner ([[dedupContainment]], α ≈ 1.0 at x30) is
+    * the declared scale rung. Pick the screen when the popularity
+    * recall contract matters and candidate mass is provisioned for;
+    * pick the flat rungs when it is not — SCALE.md carries the
+    * measured table.
     *
     * Recall contract: a containment pair is missed only when EVERY
     * shared shingle in the shorter doc's prefix has df above the cap
@@ -823,7 +841,12 @@ object LlmOps {
   /** The live ANN pair-mining plan — exposed (package-private) so the
     * suite can pin ITS physical plan (no BNL, SHUFFLE_HASH verify)
     * even though the declared keys consume the memoized pairs. */
-  private[graft] def mineAnnPairs(spark: SparkSession,
+  /** Banded-LSH candidate stage of [[mineAnnPairs]] (factored so the
+    * Profile x_ann_* probes decompose candidate mass vs dot-verify
+    * cost on the SHIPPED plan — the chain is the dominant memo-warmup
+    * artifact at x10 and its cost profile is part of the ask-#7
+    * adjudication). */
+  private[graft] def annBandCandidates(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
     val v = spread(Tables(spark, sfDir, "embeddings")
@@ -833,12 +856,20 @@ object LlmOps {
     // candidate = same (band, signature) cell; dedup the id-pair
     // stream BEFORE the array verify joins (the dedupJaccardPrefix
     // discipline — duplicate candidates are the expensive thing)
-    val cand = banded.select($"vec_id".as("vec_a"), $"band", $"sig")
+    banded.select($"vec_id".as("vec_a"), $"band", $"sig")
       .join(banded.select($"vec_id".as("vec_b"), $"band", $"sig"),
         Seq("band", "sig"))
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b")
       .distinct()
+  }
+
+  private[graft] def mineAnnPairs(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val v = spread(Tables(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding"))
+    val cand = annBandCandidates(spark, sfDir)
     // SHUFFLE_HASH: wide array payload stays executor-side (the
     // measured broadcast-build heap-pressure trap, see prefix join)
     cand
