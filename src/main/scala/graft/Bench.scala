@@ -25,6 +25,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide-catalog keys (300-col scan prune) legitimately exceed the
+      // 25-field default when anything stringifies their plan -- the
+      // resulting "Truncated the string representation" WARN was the
+      // last line keeping artifact tails from being WARN-free (r12)
+      .config("spark.sql.debug.maxToStringFields", "2000")
       // pinned like Query/Verify/Profile: launched outside sbt on a
       // non-UTC host, timestamp-literal casts would otherwise select a
       // different workload than the one Verify hash-matches

@@ -31,6 +31,11 @@ object Omits {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide-catalog keys (300-col scan prune) legitimately exceed the
+      // 25-field default when anything stringifies their plan -- the
+      // resulting "Truncated the string representation" WARN was the
+      // last line keeping artifact tails from being WARN-free (r12)
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)

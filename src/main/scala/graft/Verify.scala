@@ -14,6 +14,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide-catalog keys (300-col scan prune) legitimately exceed the
+      // 25-field default when anything stringifies their plan -- the
+      // resulting "Truncated the string representation" WARN was the
+      // last line keeping artifact tails from being WARN-free (r12)
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       // RocksDB state store: required by transformWithState (state API
       // v2) and the production-grade choice regardless (off-heap,
