@@ -62,7 +62,9 @@ object Bench {
     // One trigger per artifact chain; their cost is reported as its
     // own memo_warmup line instead of being attributed to a query.
     val memoTriggers = Seq("q_dedup_cluster", "q_dedup_semantic_keep",
-      "q_embed_pq", "q_bpe_train", "q_basket_pairs", "q_scan_wide_prune")
+      "q_embed_pq", "q_bpe_train", "q_basket_pairs", "q_scan_wide_prune",
+      // r12: the collapsed prefix miners share the dup-group census
+      "q_dedup_jaccard_prefix")
     val w0 = System.nanoTime()
     memoTriggers.foreach { k =>
       SparkEntry.queries.get(k).foreach { fn =>

@@ -192,7 +192,9 @@ object ScaleBench {
   /** Shared-artifact builders, run untimed per corpus (their cost is
     * reported as that corpus's memo_sec — itself a growth number). */
   private val memoTriggers =
-    Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_semantic_keep")
+    Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_semantic_keep",
+      // r12: the collapsed prefix miners share the dup-group census
+      "q_dedup_jaccard_prefix")
 
   private def release(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values

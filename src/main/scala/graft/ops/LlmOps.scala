@@ -267,15 +267,95 @@ object LlmOps {
     * On THIS corpus (max shingle frequency ≈ 25) the single-pass
     * [[dedupNgramJaccard]] is faster; at web scale, where stop-shingle
     * frequency grows with corpus size, this is the shape that survives
-    * — candidate count tracks true-near-dup density, not corpus². */
+    * — candidate count tracks true-near-dup density, not corpus².
+    *
+    * Round 12: the declared key mines over ONE REPRESENTATIVE per
+    * distinct text and expands afterwards ([[dupGroups]] /
+    * [[expandDupPairs]] — provably lossless), because the x30 probe
+    * showed exact-duplicate GROUPS are the prefix joins' real scale
+    * enemy: G identical docs put identical prefixes in the index, so
+    * every shared prefix shingle pairs G×G ways and candidate mass
+    * rides the corpus's duplication rate squared (at x30 the verify
+    * shuffle of those candidates out-spilled a node's disk). Collapsed,
+    * candidate mass depends only on DISTINCT-text density, and the
+    * duplication rate returns where it belongs — in the output-bounded
+    * expansion. */
   def dedupJaccardPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    dedupJaccardPrefixFromShingles(shingleIndex(spark, sfDir))
+    dedupJaccardPrefixCollapsed(shingleIndex(spark, sfDir),
+      dupGroupsMemo(spark, sfDir))
 
   /** Core over an arbitrary documents relation (see
     * [[dedupNgramJaccardOn]] — same probe rationale). */
   private[graft] def dedupJaccardPrefixOn(docs: DataFrame): DataFrame =
-    dedupJaccardPrefixFromShingles(
-      shingleDf(docs).transform(graft.Tables.truncate))
+    dedupJaccardPrefixCollapsed(
+      shingleDf(docs).transform(graft.Tables.truncate), dupGroups(docs))
+
+  private def dedupJaccardPrefixCollapsed(sh: DataFrame,
+      memb: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val repSh = sh.join(memb.filter($"rep_id" === $"doc_id")
+      .select($"doc_id"), "doc_id")
+    expandDupPairs(dedupJaccardPrefixFromShingles(repSh), memb, repSh,
+      "jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact-duplicate GROUPS for the collapse-then-expand miners:
+    * (rep_id = min doc_id of the text group, doc_id = member). Grouped
+    * by the TEXT itself, not a hash — the expansion emits pairs
+    * without re-verification, so a hash collision here would fabricate
+    * output (the rescue path could afford xxhash64 because exact
+    * verify rejected its false candidates). One full-text shuffle,
+    * the same cost class as the declared `q_dedup_exact` census; at
+    * 100 TB this census is a maintained table, not per-query work. */
+  private[graft] def dupGroups(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.Tables.truncate(
+      docs.groupBy($"text")
+        .agg(min($"doc_id").as("rep_id"),
+          collect_list($"doc_id").as("members"))
+        .select($"rep_id", explode($"members").as("doc_id")))
+  }
+
+  /** The memoized dup-group census for the declared corpus — built
+    * once per (session, corpus) like the shingle index: at 100 TB the
+    * exact-dup census is a maintained table (it IS `q_dedup_exact`'s
+    * output, re-keyed), not per-query work. */
+  private def dupGroupsMemo(spark: SparkSession, sfDir: String): DataFrame =
+    Memo.parquet(spark, sfDir, "dup-groups") {
+      dupGroups(Tables(spark, sfDir, "documents"))
+    }
+
+  /** Expand representative-level near-dup pairs over the duplicate
+    * groups — LOSSLESS by set identity: members of a group share the
+    * rep's exact shingle set, so sim(a, b) = sim(rep_a, rep_b) for
+    * cross-group pairs (the rep pair's emitted value is copied
+    * verbatim) and within-group pairs are exact duplicates (similarity
+    * 1.0 ≥ any threshold; emitted only for groups whose text carries
+    * ≥ 1 shingle, matching the miners' inner joins on the shingle
+    * index). Both legs are OUTPUT-BOUNDED — every produced row is a
+    * true pair the lossless oracle also contains. Join keys are the
+    * rep ids (`ra`/`rb`), deliberately NOT doc_a/doc_b: the PlanSpec
+    * pin that the only doc_a/doc_b-keyed joins are the SHUFFLE_HASH
+    * set-verify joins stays sharp. */
+  private def expandDupPairs(repPairs: DataFrame, memb: DataFrame,
+      repSh: DataFrame, simName: String): DataFrame = {
+    import repPairs.sparkSession.implicits._
+    val cross = repPairs
+      .withColumnRenamed("doc_a", "ra").withColumnRenamed("doc_b", "rb")
+      .join(memb.select($"rep_id".as("ra"), $"doc_id".as("ma")), "ra")
+      .join(memb.select($"rep_id".as("rb"), $"doc_id".as("mb")), "rb")
+      .select(least($"ma", $"mb").as("doc_a"),
+        greatest($"ma", $"mb").as("doc_b"), col(simName))
+    val shingled = repSh.select($"doc_id".as("rep_id")).distinct()
+    val m = memb.join(shingled, "rep_id")
+    val within = m.select($"rep_id".as("rg"), $"doc_id".as("ma"))
+      .join(m.select($"rep_id".as("rg"), $"doc_id".as("mb")), "rg")
+      .filter($"ma" < $"mb")
+      .select($"ma".as("doc_a"), $"mb".as("doc_b"),
+        lit(1.0).as(simName))
+    cross.unionAll(within)
+  }
 
   /** Same pass over a prebuilt (doc_id, shingle) index relation. */
   private[graft] def dedupJaccardPrefixFromShingles(sh: DataFrame): DataFrame = {
@@ -318,9 +398,9 @@ object LlmOps {
     // overlap kernel — see overlapVerify); its exact-integer threshold
     // `8c ≥ 3(na+nb)` is what makes the prefix candidate rule above
     // provably lossless (J ≥ 3/5 exactly, no sub-threshold rounding
-    // admits)
+    // admits). UNSORTED — the collapsed wrapper sorts once, after the
+    // dup-group expansion.
     verifyJaccard(cand, sh)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.7 over the
@@ -350,6 +430,7 @@ object LlmOps {
     // overlapFor shape (17.1 s) for pure shuffle mass
     verifyContainment(cappedCandidates(sh, Tables(spark, sfDir, "documents")),
       sh)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Character-level EDIT-DISTANCE near-dup verification — the
@@ -470,7 +551,8 @@ object LlmOps {
     * design). */
   def dedupContainmentPrefix(spark: SparkSession, sfDir: String): DataFrame =
     dedupContainmentPrefixScreened(shingleIndex(spark, sfDir),
-      Tables(spark, sfDir, "documents"))
+      Tables(spark, sfDir, "documents"),
+      Some(dupGroupsMemo(spark, sfDir)))
 
   /** Core over an arbitrary documents relation — the OpsRound3Spec
     * popular-fragment probes rebuild the plan on adversarial corpora
@@ -479,12 +561,28 @@ object LlmOps {
     dedupContainmentPrefixScreened(
       shingleDf(docs).transform(graft.Tables.truncate), docs)
 
+  /** Round 12: collapse-then-expand (see [[dedupJaccardPrefix]] — the
+    * same x30 dup-group finding applies, and the asymmetric measure
+    * makes it worse: a G-copy group pairs G² ways through EVERY shared
+    * sub-cap shingle). Mining over one representative per distinct
+    * text also RETIRES the exact-dup rescue on this path — identical
+    * texts cannot exist among representatives, and the expansion's
+    * within-group leg emits exactly the pairs the rescue existed to
+    * save (now at containment 1.0 without re-verification). The screen
+    * threshold now reads the DISTINCT-text count, which only ever
+    * raises recall (popular identical docs no longer inflate their own
+    * shingles' df past the cap). */
   private[graft] def dedupContainmentPrefixScreened(sh: DataFrame,
-      docs: DataFrame): DataFrame =
-    verifyContainment(
-      containmentPrefixCandScreened(sh, docs)
-        .unionAll(exactDupCandidates(docs))
-        .distinct(), sh)
+      docs: DataFrame, membOpt: Option[DataFrame] = None): DataFrame = {
+    import sh.sparkSession.implicits._
+    val memb = membOpt.getOrElse(dupGroups(docs))
+    val reps = memb.filter($"rep_id" === $"doc_id").select($"doc_id")
+    val repSh = sh.join(reps, "doc_id")
+    val repPairs = verifyContainment(
+      containmentPrefixCandScreened(repSh, reps).distinct(), repSh)
+    expandDupPairs(repPairs, memb, repSh, "containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
 
   /** Screened candidate stage only (Profile stage probes). The cap
     * parameters exist for the Profile cap-shape probes; the declared
@@ -539,6 +637,7 @@ object LlmOps {
     * referee for the screen (OpsRound3Spec / SCALE.md). */
   private[graft] def dedupContainmentPrefixLossless(sh: DataFrame): DataFrame =
     verifyContainment(containmentPrefixCandLossless(sh).distinct(), sh)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Lossless candidate stage only (Profile stage probes). */
   private[graft] def containmentPrefixCandLossless(sh: DataFrame): DataFrame = {
@@ -635,7 +734,9 @@ object LlmOps {
     * bound provably lossless (`10c ≥ 7m ⟺ c ≥ ceil(0.7·m)` for
     * integer c), and the integer quantization removes the per-pair
     * decimal-half-tie divergence class the calibration key hit at x10.
-    * Sorted (doc_a, doc_b) — every caller is a declared pair report. */
+    * UNSORTED (like [[verifyJaccard]]) — pair-report callers add the
+    * presentation sort; the collapsed prefix path sorts only once,
+    * after its dup-group expansion. */
   private[graft] def verifyContainment(cand: DataFrame, sh: DataFrame): DataFrame = {
     import cand.sparkSession.implicits._
     overlapVerify(cand, sh)
@@ -643,7 +744,6 @@ object LlmOps {
       .select($"doc_a", $"doc_b",
         (expr("(20000L * common + least(na, nb))" +
           " div (2L * least(na, nb))") / 10000.0).as("containment"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Jaccard verification of a candidate pair stream: exact
