@@ -87,9 +87,14 @@ def main(sf_dir, engine_dir):
               f" (largest components: {sizes})")
         return 0
     print(f"# MISMATCH: expected {len(expected)} rows, engine {len(got)}")
-    for e, g in zip(expected[:20], got[:20]):
+    # walk the FULL zip (ADVICE r12 #4: truncating at 20 printed no
+    # sample at all when the sides share a long common prefix or differ
+    # only in length); zip_longest surfaces a pure length diff too
+    import itertools
+    for i, (e, g) in enumerate(
+            itertools.zip_longest(expected, got, fillvalue="<absent>")):
         if e != g:
-            print(f"  first diff: expected {e} got {g}")
+            print(f"  first diff at row {i}: expected {e} got {g}")
             break
     return 1
 

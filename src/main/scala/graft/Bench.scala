@@ -153,8 +153,11 @@ object Bench {
     // only artifacts whose BUILD ran in this JVM at the TARGET sf (the
     // sf0.001 JIT pass built its own tiny copies, keyed separately)
     import scala.jdk.CollectionConverters._
+    // exact dir match on the '@'-split key, not endsWith — a corpus
+    // path that is a path-suffix of another used in the same JVM would
+    // attribute builds to both (ADVICE r12 #2)
     graft.ops.Memo.buildSeconds.asScala.toSeq
-      .filter(_._1.endsWith(s"@$sfDir")).sortBy(-_._2)
+      .filter(_._1.split("@", 2).lift(1).contains(sfDir)).sortBy(-_._2)
       .foreach { case (k, v) =>
         println(f"# memo build ${k.takeWhile(_ != '@')} $v%.2f s")
       }

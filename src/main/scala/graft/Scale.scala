@@ -196,6 +196,35 @@ object ScaleBench {
       // r12: the collapsed prefix miners share the dup-group census
       "q_dedup_jaccard_prefix")
 
+  /** key → trigger keys whose memo chains it CONSUMES (ADVICE r12 #1):
+    * under SPARK_GRAFT_SCALE_KEYS the warmup must build the artifacts a
+    * selected key READS, not just run selected keys that happen to be
+    * triggers themselves — a consumer-only selection (e.g. probing
+    * `q_dedup_containment_prefix` alone, which reads the shingle and
+    * dup-group memos) would otherwise pay the artifact build inside
+    * its timed number and skew the α the filtered probe exists to
+    * measure. Triggers map to themselves; keys absent here consume no
+    * memoized artifact. Warming the mapped trigger builds the full
+    * chain the consumer reads (Memo builders recurse into their own
+    * inputs). */
+  private val keyChains: Map[String, Seq[String]] = {
+    // shingle-index-only consumers: warming the jaccard miner builds
+    // the shingles (and dup-groups) memo they scan
+    val viaJaccard = Seq("q_dedup_ngram_capped", "q_dedup_containment",
+      "q_dedup_winnow", "q_dedup_edit", "q_dedup_minhash",
+      "q_dedup_simhash", "q_text_novelty")
+    (viaJaccard.map(_ -> Seq("q_dedup_ngram_jaccard")) ++ Seq(
+      "q_dedup_ngram_jaccard" -> Seq("q_dedup_ngram_jaccard"),
+      "q_dedup_jaccard_prefix" -> Seq("q_dedup_jaccard_prefix"),
+      // shingles + dup-groups (the collapsed screened miner)
+      "q_dedup_containment_prefix" -> Seq("q_dedup_jaccard_prefix"),
+      "q_dedup_cluster" -> Seq("q_dedup_cluster"),
+      "q_split_leakage_safe" -> Seq("q_dedup_cluster"),
+      // builds ann-pairs only (not the semantic-labels layer above it)
+      "q_dedup_embedding_ann" -> Seq("q_dedup_embedding_ann"),
+      "q_dedup_semantic_keep" -> Seq("q_dedup_semantic_keep"))).toMap
+  }
+
   private def release(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
@@ -243,12 +272,13 @@ object ScaleBench {
       val nRows = Seq("documents", "embeddings", "events")
         .map(t => t -> Tables(spark, dir, t).count()).toMap
       val m0 = System.nanoTime()
-      // under a key filter, only warm the artifact chains the selected
-      // keys actually consume — a filtered miner probe must not pay
-      // the ANN/semantic chain at x30
+      // under a key filter, warm exactly the artifact chains the
+      // selected keys CONSUME (keyChains) — a filtered miner probe
+      // must not pay the ANN/semantic chain at x30, and a consumer-only
+      // selection must not pay its artifact build in the timed number
       val triggers =
         if (keys.size == ScaleBench.keys.size) memoTriggers
-        else memoTriggers.filter(t => keys.exists(_._1 == t))
+        else keys.flatMap(k => keyChains.getOrElse(k._1, Nil)).distinct
       triggers.foreach { k =>
         try { SparkEntry.queries(k)(spark, dir).count() }
         catch { case NonFatal(_) => () }
@@ -259,8 +289,11 @@ object ScaleBench {
       // (VERDICT r11 #7) — builds only, cache hits record nothing
       locally {
         import scala.jdk.CollectionConverters._
+        // exact dir match on the '@'-split key, not endsWith — a
+        // corpus path that is a path-suffix of another in the same JVM
+        // would attribute builds to both (ADVICE r12 #2)
         graft.ops.Memo.buildSeconds.asScala.toSeq
-          .filter(_._1.endsWith(s"@$dir")).sortBy(-_._2)
+          .filter(_._1.split("@", 2).lift(1).contains(dir)).sortBy(-_._2)
           .foreach { case (k, v) =>
             println(
               f"# scalebench $label memo build ${k.takeWhile(_ != '@')} $v%.2f s")

@@ -33,7 +33,7 @@ object OverlapKernel extends Serializable {
     // the doubled power-of-two capacity overflows Int, so degrade to
     // the (slower, allocation-heavy but unconditionally correct)
     // HashSet path instead
-    if (n >= (1 << 29)) return countViaHashSet(small, large)
+    if (n >= (1 << 29)) return countViaSortedArray(small, large)
     var cap = 8
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1
@@ -72,26 +72,44 @@ object OverlapKernel extends Serializable {
   }
 
   /** Fallback for pathologically large small sides (≥ 2^29 elements —
-    * beyond power-of-two table sizing). Same semantics, graceful
-    * degradation. */
-  private def countViaHashSet(small: ArrayData, large: ArrayData): Int = {
+    * beyond power-of-two table sizing). Sorted-array + binary-search
+    * probe, NOT a `java.util.HashSet` (ADVICE r12): a boxed set of
+    * ≥ 2^29 strings is tens of GB of Node allocations and degrades to
+    * an executor OOM, while one flat reference array costs what the
+    * input row already holds. Same semantics: duplicates count once,
+    * null ∈ both sides counts one. */
+  private[functions] def countViaSortedArray(small: ArrayData, large: ArrayData): Int = {
     val n = small.numElements()
-    val set = new java.util.HashSet[UTF8String]()
+    val a = new Array[UTF8String](n)
     var smallHasNull = false
+    var k = 0
     var i = 0
     while (i < n) {
       if (small.isNullAt(i)) smallHasNull = true
-      else set.add(small.getUTF8String(i))
+      else { a(k) = small.getUTF8String(i); k += 1 }
       i += 1
     }
+    java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]], 0, k)
+    var d = 0
+    i = 0
+    while (i < k) {
+      if (d == 0 || !a(i).equals(a(d - 1))) { a(d) = a(i); d += 1 }
+      i += 1
+    }
+    val matched = new Array[Boolean](d)
+    val target = d + (if (smallHasNull) 1 else 0)
     var c = 0
     var nullMatched = false
     var j = 0
     val m = large.numElements()
-    while (j < m && !(set.isEmpty && (!smallHasNull || nullMatched))) {
+    while (j < m && c < target) {
       if (large.isNullAt(j)) {
         if (smallHasNull && !nullMatched) { c += 1; nullMatched = true }
-      } else if (set.remove(large.getUTF8String(j))) c += 1
+      } else {
+        val s = java.util.Arrays.binarySearch(
+          a.asInstanceOf[Array[AnyRef]], 0, d, large.getUTF8String(j))
+        if (s >= 0 && !matched(s)) { matched(s) = true; c += 1 }
+      }
       j += 1
     }
     c
@@ -163,9 +181,8 @@ object LongOverlapKernel extends Serializable {
     // capacity would overflow Int (`n * 2` wraps NEGATIVE first, so the
     // sizing loop below would exit at cap=8 and the insert loop would
     // spin forever once 8 distinct elements fill the table — ADVICE
-    // r11); degrade to the allocation-heavy but unconditionally
-    // correct HashSet path instead
-    if (n >= (1 << 29)) return countViaHashSet(small, large)
+    // r11); degrade to the flat primitive sorted-array path instead
+    if (n >= (1 << 29)) return countViaSortedArray(small, large)
     var cap = 8
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1
@@ -195,18 +212,34 @@ object LongOverlapKernel extends Serializable {
   }
 
   /** Fallback for pathologically large small sides (≥ 2^29 elements —
-    * beyond power-of-two table sizing). Same semantics (duplicates
-    * count once; 0 is an ordinary element), graceful degradation. */
-  private def countViaHashSet(small: ArrayData, large: ArrayData): Int = {
+    * beyond power-of-two table sizing). Primitive sorted long[] +
+    * binary-search probe, NOT a boxed `java.util.HashSet[Long]`
+    * (ADVICE r12: a boxed set at that cardinality is tens of GB of
+    * Node+Long allocations — an executor OOM wearing a "graceful"
+    * label, and undiagnosable compared to the pre-r11 explicit
+    * IllegalArgumentException). The flat array costs 8 B/element —
+    * the same order as the input row itself — so this path degrades
+    * in TIME (O((n+m)·log n)), not in liveness. Same semantics:
+    * duplicates count once; 0 is an ordinary element. */
+  private[functions] def countViaSortedArray(small: ArrayData, large: ArrayData): Int = {
     val n = small.numElements()
-    val set = new java.util.HashSet[java.lang.Long]()
+    val a = new Array[Long](n)
     var i = 0
-    while (i < n) { set.add(small.getLong(i)); i += 1 }
+    while (i < n) { a(i) = small.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var d = 0
+    i = 0
+    while (i < n) {
+      if (d == 0 || a(i) != a(d - 1)) { a(d) = a(i); d += 1 }
+      i += 1
+    }
+    val matched = new Array[Boolean](d)
     var c = 0
     var j = 0
     val m = large.numElements()
-    while (j < m && !set.isEmpty) {
-      if (set.remove(large.getLong(j))) c += 1
+    while (j < m && c < d) {
+      val s = java.util.Arrays.binarySearch(a, 0, d, large.getLong(j))
+      if (s >= 0 && !matched(s)) { matched(s) = true; c += 1 }
       j += 1
     }
     c
