@@ -89,6 +89,21 @@ object Profile {
             .unionAll(graft.ops.LlmOps.exactDupCandidates(docs))
             .distinct(), sh)
       }),
+      // round-13 (VERDICT r12 #1): the UN-COLLAPSED screened key — the
+      // pre-r12 formulation whose generous screen was the measured x30
+      // ENOSPC regime (217M candidates × ~1.5 KB set arrays). Under
+      // the adaptive budget the same plan self-protects (x30 cap walks
+      // 1500 → 150, ~14M candidates); this probe is the completes-or-
+      // dies witness, and its row count vs x_ctp_key_cap64 measures
+      // the recall the adaptive cap buys back over the flat floor.
+      "x_ctp_key_uncollapsed" -> ((s, dir) => {
+        val sh = graft.ops.LlmOps.shingleIndex(s, dir)
+        val docs = Tables(s, dir, "documents")
+        graft.ops.LlmOps.verifyContainment(
+          graft.ops.LlmOps.containmentPrefixCandScreened(sh, docs)
+            .unionAll(graft.ops.LlmOps.exactDupCandidates(docs))
+            .distinct(), sh)
+      }),
       "x_ctp_sets" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         graft.ops.LlmOps.shingleIndex(s, dir).groupBy(col("doc_id"))

@@ -584,12 +584,87 @@ object LlmOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Declared candidate-mass budget of the ADAPTIVE screen (VERDICT
+    * r12 #1), in units of prefix·index JOIN ROWS — an upper bound on
+    * the distinct verify pairs the screen can launch (the census
+    * counts every (probe-prefix row × sub-cap index occurrence); the
+    * positional filter and the pair `distinct` only shrink it — the
+    * x10 derivation measures the ratio at 3.0: 72.4M priced →
+    * 24.1M distinct). The default is provisioned for THIS reference
+    * box: 96M keeps every measured corpus through x10 UNDER budget
+    * (x10 full-view mass 72.4M, so behavior there is bit-identical to
+    * the round-11 generous screen), while the x30 derivation — whose
+    * generous-screen mass (~650M priced / 217M pairs / ~340 GB verify
+    * shuffle) is the measured ENOSPC regime — fits at cap 150
+    * (~43M priced / ~14M pairs / ~20 GB). A cluster deployment raises
+    * it in proportion to aggregate shuffle capacity — the budget is a
+    * provisioning constant, not a tuning knob. */
+  private[graft] val CtpMassBudget: Long = 96000000L
+
+  /** Priced candidate-mass census of the screened prefix join
+    * (VERDICT r12 #1 — "price Σ(prefix-df·df) BEFORE launching the
+    * verify"): one row per observed df LEVEL f with `m` = the join
+    * rows a cap of exactly f ADDS (prefix rows at level f × their df)
+    * and `cum_m` = the total join-row mass a cap of f buys. Prefix
+    * membership here is the TIE-GENEROUS, hash-order-free rank —
+    * `min(rn)` over the (doc, f) tie group = 1 + #{strictly rarer
+    * shingles in the doc} — so the census is (a) an upper bound on
+    * the hash-tie-broken prefix the candidate join actually uses and
+    * (b) computable IDENTICALLY by the DuckDB twin (plain
+    * `rank() OVER (ORDER BY f)`), which must replay the cap choice
+    * bit-for-bit for the hash gate to hold. The prefix bound uses the
+    * exact-integer form `(7·n+9) div 10 = ceil(0.7·n)` (round-12
+    * discipline — no double arithmetic in replayed logic). Cumulation
+    * rides [[TwoPass.cumsum]] (no corpus-wide window; the level
+    * relation is df-spectrum-sized anyway). Cost: one pass over the
+    * ranked index reusing its doc_id exchange, then spectrum-sized
+    * aggregates — parquet-stat cheap next to the join it prices. */
+  private[graft] def ctpMassCensus(ranked: DataFrame): DataFrame = {
+    import ranked.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wTie = Window.partitionBy($"doc_id", $"f")
+    val levels = ranked
+      .withColumn("rf", min($"rn").over(wTie))
+      .filter($"rf" <= $"n_sh" - expr("(7L * n_sh + 9L) div 10L") + 1L)
+      .groupBy($"f").agg(sum($"f").as("m"))
+    TwoPass.cumsum(levels, "f", Seq("m"))
+  }
+
+  /** The largest df cap whose priced candidate mass fits `budget`
+    * (1-row aggregate; 0 when even the rarest level overflows —
+    * clamped to the floor by the caller). */
+  private def ctpFitCap(ranked: DataFrame, budget: Long): DataFrame = {
+    import ranked.sparkSession.implicits._
+    ctpMassCensus(ranked)
+      .filter($"cum_m" <= budget)
+      .agg(coalesce(max($"f"), lit(0L)).cast("double").as("fitcap"))
+  }
+
   /** Screened candidate stage only (Profile stage probes). The cap
     * parameters exist for the Profile cap-shape probes; the declared
-    * key always runs the defaults. */
+    * key always runs the defaults.
+    *
+    * Round 13 (VERDICT r12 #1): the screen threshold is ADAPTIVE —
+    * `maxdf = least(gencap, greatest(floor, fitcap))` where gencap is
+    * the round-11 generous max(64, 1%·N) ceiling, floor is the flat
+    * 64 rung, and fitcap is the largest cap whose PRICED candidate
+    * mass ([[ctpMassCensus]]) fits [[CtpMassBudget]]. On corpora where
+    * the generous screen's mass is affordable (every driver scale
+    * through x10) the adaptive cap EQUALS gencap and the output is
+    * unchanged; on corpora where it is not (the x30 derivation, whose
+    * head df sits under 1%·N at every K — measured α 2.0, 217M
+    * candidates, verify shuffle past this box's disk) the cap walks
+    * down the df spectrum until the mass fits, instead of launching a
+    * shuffle the box cannot hold. Recall under adaptation is bounded
+    * below by the flat-64 control STRUCTURALLY (maxdf ≥ 64, so the
+    * candidate set ⊇ the cap-64 rung's — ≥ 97.8% of lossless at the
+    * measured x10 control) and the DuckDB twin replays the identical
+    * cap arithmetic, so the hash gate measures the whole adaptive
+    * rule, not just the mine. */
   private[graft] def containmentPrefixCandScreened(sh: DataFrame,
       docs: DataFrame, capFloor: Double = 64.0,
-      capFrac: Double = 0.01): DataFrame = {
+      capFrac: Double = 0.01,
+      massBudget: Long = CtpMassBudget): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     val ranked = rankedShingles(sh)
@@ -597,11 +672,14 @@ object LlmOps {
       .filter($"rn" <= $"n_sh" - ceil($"n_sh" * 0.7) + 1)
       .select($"doc_id".as("pa"), $"h", $"n_sh".as("na"))
     // the screen: index keeps only sub-cap shingles. The threshold is
-    // a broadcast 1-row aggregate (never a driver value), 10× the
-    // MAXDF cap in both floor and fraction — the prefix join affords
-    // the generosity because its mass is prefix-df·df, not df².
-    val thr = docs.agg(greatest(lit(capFloor), count(lit(1)) * capFrac)
-      .as("maxdf"))
+    // a broadcast 1-row aggregate (never a driver value): the generous
+    // 10×-MAXDF ceiling, lowered to the priced-mass fit when the
+    // corpus's df spectrum would otherwise overflow the budget.
+    val gen = docs.agg(greatest(lit(capFloor), count(lit(1)) * capFrac)
+      .as("gencap"))
+    val thr = gen.crossJoin(ctpFitCap(ranked, massBudget))
+      .select(least($"gencap", greatest(lit(capFloor), $"fitcap"))
+        .as("maxdf"))
     val index = ranked.crossJoin(broadcast(thr)).filter($"f" <= $"maxdf")
       .select($"doc_id".as("pb"), $"h", $"n_sh".as("nb"), $"rn".as("rnb"))
     // probe = the doc that must be the SHORTER of the pair (the rule
@@ -662,7 +740,7 @@ object LlmOps {
     * satisfies the prefix candidate rule, and exact verification
     * downstream keeps every EMITTED containment exact regardless of
     * the order chosen. */
-  private def rankedShingles(sh: DataFrame): DataFrame = {
+  private[graft] def rankedShingles(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

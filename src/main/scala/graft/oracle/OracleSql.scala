@@ -961,27 +961,74 @@ object OracleSql {
         |FROM d JOIN md ON d.label = md.label
         |ORDER BY d.vec_id""".stripMargin,
 
-    // round-11: the engine side is the SCREENED prefix join (index
-    // df ≤ max(64, 1%·N) + exact-dup rescue — VERDICT r10 #1), but the
-    // oracle DELIBERATELY stays the plain exact-containment SQL: the
-    // screen's prefix rule rides an xxhash64 tie-order DuckDB cannot
-    // mirror, and keeping the uncapped twin makes every hash gate a
-    // DIRECT recall measurement (green = the screen lost nothing at
-    // that scale; the constructed >cap loss case lives in
-    // OpsRound3Spec, the x3/x10 measurement in SCALE.md)
+    // round-13 (VERDICT r12 #1): the twin now REPLAYS the whole
+    // adaptive screen, not just the containment mine. Replayability
+    // rests on two exact arguments: (a) the screen's recall rule is
+    // ORDER-FREE at pair level — for any pair whose true containment
+    // passes the exact-integer threshold, the prefix theorem puts the
+    // globally RAREST shared shingle w₁ inside both prefix filters, so
+    // the screened engine emits the pair iff df(w₁) = min shared df
+    // ≤ cap (no xxhash64 tie-order ever decides membership, only which
+    // witness carries it); (b) the cap CHOICE reads only the
+    // tie-generous rank-by-frequency census (LlmOps.ctpMassCensus),
+    // whose every quantity — rank() by df, exact-integer prefix bound
+    // (7n+9)//10, per-level mass, cumulative fit against the declared
+    // budget, least/greatest clamps — is integer-or-shared-IEEE
+    // arithmetic both engines compute bit-identically. The census and
+    // the screen run over the DISTINCT-TEXT representatives (the
+    // engine's collapse-then-expand), with identical-text pairs
+    // re-admitted at containment 1.0 like the engine's within-group
+    // leg (the `da.text = db.text` disjunct — these pairs need no
+    // candidate witness). The recall-referee role the plain twin used
+    // to play moves to the lossless-rung comparisons in OpsRound3Spec
+    // and the measured SCALE.md rows. Heavy CTEs are MATERIALIZED —
+    // DuckDB inlines by default and `sh` is referenced four times
+    // (the k-core lesson, SCALE.md round 11).
     "q_dedup_containment_prefix" ->
-      s"""WITH $shingleCte,
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(toks) - 2, 0) + 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+         |  FROM tk),
+         |grp AS MATERIALIZED (
+         |  SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+         |shr AS MATERIALIZED (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN grp ON sh.doc_id = grp.rep_id),
+         |dfr AS MATERIALIZED (
+         |  SELECT shingle, count(*) AS f FROM shr GROUP BY shingle),
+         |szr AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+         |rk AS (
+         |  SELECT shr.doc_id, dfr.f, szr.n_sh,
+         |    rank() OVER (PARTITION BY shr.doc_id ORDER BY dfr.f) AS rf
+         |  FROM shr JOIN dfr USING (shingle) JOIN szr USING (doc_id)),
+         |lv AS (SELECT f, sum(f) AS m FROM rk
+         |       WHERE rf <= n_sh - ((7 * n_sh + 9) // 10) + 1 GROUP BY f),
+         |cm AS (SELECT f, sum(m) OVER (ORDER BY f) AS c FROM lv),
+         |nr AS (SELECT greatest(64.0, count(*) * 0.01) AS gencap FROM grp),
+         |fit AS (SELECT coalesce(max(f), 0) AS fitcap FROM cm
+         |        WHERE c <= ${graft.ops.LlmOps.CtpMassBudget}),
+         |cap AS (SELECT least(nr.gencap, greatest(64.0, fit.fitcap))
+         |        AS maxdf FROM nr, fit),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common,
+         |    min(dfr.f) AS mindf
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN dfr ON dfr.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b,
          |  ((20000 * common + least(x.n_sh, y.n_sh))
          |    // (2 * least(x.n_sh, y.n_sh))) / 10000.0 AS containment
          |FROM pairs p JOIN sz x ON p.doc_a = x.doc_id
          |JOIN sz y ON p.doc_b = y.doc_id
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id
+         |CROSS JOIN cap
          |WHERE 10 * common >= 7 * least(x.n_sh, y.n_sh)
+         |  AND (p.mindf <= cap.maxdf OR da.text = db.text)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // round-10: capped candidates + exact-dup rescue (the uncapped
