@@ -42,9 +42,21 @@ WHERE round(list_dot_product(
 
 def main(sf_dir, engine_dir):
     con = duckdb.connect()
+    import os
+    # spill next to the parent gate's dir when run in-gate, but do NOT
+    # inherit PRECHECK_MEMORY_LIMIT: the parent's cap protects the host
+    # while the Spark dump is resident, whereas this child runs after
+    # it — and the 128.76M-pair DISTINCT in the edge derivation was
+    # measured to thrash a 24 GB cap into a 28 GB spill crawl (~20 min)
+    # vs ~30 s at DuckDB's default allowance
+    tmp = os.path.join(engine_dir, "..", "_duck_spill")
+    if os.path.isdir(tmp):
+        con.execute(f"SET temp_directory='{tmp}'")
+    emb = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(emb):  # Spark-written dir of parts (ScaleGen)
+        emb = f"{emb}/*.parquet"
     con.execute(
-        f"CREATE VIEW embeddings AS "
-        f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{emb}')")
     nodes = [r[0] for r in con.execute(
         "SELECT vec_id FROM embeddings ORDER BY vec_id").fetchall()]
     labels = dict(con.execute(

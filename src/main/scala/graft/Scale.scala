@@ -567,7 +567,12 @@ object AnnWideProbe {
       }
     }
     run("4x16", corpus.select($"vec_id", sig4x16.as("sig")))
-    run("32x12", corpus.withColumn("pj", proj)
+    // checkpoint the 384-bit projection column BEFORE slicing it into
+    // band signatures: Catalyst's collapse-projects would otherwise
+    // inline the full 384×64 aggregate into EVERY element_at of the
+    // signature expression — a 384× recompute measured as a wall-clock
+    // hang at x10
+    run("32x12", Tables.truncate(corpus.withColumn("pj", proj))
       .select($"vec_id", sig32x12.as("sig")))
     spark.stop()
   }

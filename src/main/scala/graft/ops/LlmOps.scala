@@ -1011,11 +1011,23 @@ object LlmOps {
     * the random tail at sim ≤ 0.51, measured) high recall at a low
     * threshold is information-theoretically expensive for ANY index.
     * In the production semantic-dedup regime (θ ≥ 0.9, SemDeDup-style)
-    * the same operator re-parameterizes to b=16-bit bands where
-    * per-band recall stays p^16 ≈ 0.08-high via banding while random
-    * collisions collapse to 2^-16 → candidate mass ~ B·n²/65536.
-    * Recall here (measured, PropertySpec): ≥ 0.93 at every SF vs the
-    * brute-force baseline. */
+    * the same operator re-parameterizes to wide bands — MEASURED in
+    * round 13 (`graft.AnnWideProbe`, planted ≥ 0.9 tiers on the x10
+    * corpus, brute-force referee; SCALE.md): the 4×16-bit shape this
+    * scaladoc used to recommend delivers the claimed mass collapse
+    * (15.8k candidates ≈ 4·n²/2¹⁶/... vs 231M brute pairs) but only
+    * 0.58 recall at θ = 0.9 (0.37 in the [0.90, 0.95) boundary bin —
+    * per-bit agreement p = 1 − θangle/π ≈ 0.86 puts p¹⁶ at 0.08, and
+    * 4 bands of that is not enough draws), so the round-5 "recall
+    * stays high" phrasing was WRONG at the boundary and is corrected
+    * here. The shape the banding theory actually recommends at θ = 0.9
+    * — 32 bands × 12 Rademacher random-projection bits — measures
+    * recall 1.000 in every cosine bin at 2.65M candidates (n²/87):
+    * choose bits-per-band ≈ log₂(n/bucket-target) and band count from
+    * (1-p^bits)^bands ≤ miss-budget; mass and recall then trade along
+    * a measured curve instead of a hoped-for point. Recall here at the
+    * declared θ = 0.4 (measured, PropertySpec): ≥ 0.93 at every SF vs
+    * the brute-force baseline. */
   /** The live ANN pair-mining plan — exposed (package-private) so the
     * suite can pin ITS physical plan (no BNL, SHUFFLE_HASH verify)
     * even though the declared keys consume the memoized pairs. */
