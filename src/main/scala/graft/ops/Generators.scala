@@ -235,7 +235,91 @@ object Generators {
       .orderBy($"o_orderkey")
   }
 
+  /** VARIANT SHRED — Spark 4's open semi-structured type driven
+    * end-to-end (VERDICT r12 #7, the one modern surface the inventory
+    * bracketed but never touched: `q_map_json_funcs` parses to
+    * MapType, `q_json_nested_roundtrip` pins a static schema — this
+    * key goes schema-LESS through VARIANT): the deterministic JSON
+    * fixture of [[jsonNestedRoundtrip]] gains a typed header
+    * (`{"cust":N,"items":[…]}`), is parsed by `parse_json` into a
+    * VARIANT column, the header comes back through typed
+    * `variant_get(v, '$.cust', 'bigint')`, the item array is shredded
+    * by the `variant_explode` LATERAL table function, and the
+    * shredded aggregates are compared for exact parity with the
+    * PINNED-SCHEMA string path (`from_json` + a row-local HOF fold)
+    * in the emitted `shred_ok` flag. The DuckDB twin recomputes every
+    * value RELATIONALLY (no JSON at all), so the hash gate
+    * differentially verifies the whole VARIANT pipeline — parse,
+    * typed get, explode, aggregate — against first-principles truth,
+    * and `shred_ok` must hash TRUE on every row for the two engine
+    * pipelines to agree.
+    *
+    * Scale posture: UDF-free throughout (parse_json / variant_get are
+    * codegen'd expressions, variant_explode is a Generate), one
+    * partial-agged hash agg at the exploded grain keyed o_orderkey,
+    * left joins back on the same key. Null/empty discipline mirrors
+    * the roundtrip key: orders ≡ 0 (mod 50) carry an EMPTY item list,
+    * ≡ 3 (mod 97) a NULL document (the %50 rule wins on overlap) —
+    * absent docs report n_items 0 / null sums, and the null VARIANT
+    * flows through variant_get as SQL NULL, not an error. */
+  def variantShred(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+        concat(lit("{\"ln\":"), $"l_linenumber",
+          lit(",\"qty\":"), $"l_quantity".cast("int"), lit("}")).as("e"))
+      .groupBy($"o_orderkey")
+      .agg(concat(lit("["),
+        array_join(transform(
+          array_sort(collect_list(struct($"l_linenumber".as("n"), $"e"))),
+          x => x("e")), ","),
+        lit("]")).as("items"))
+    val src = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(items, Seq("o_orderkey"), "left")
+      .select($"o_orderkey",
+        when($"o_orderkey" % 50 === 0,
+            concat(lit("{\"cust\":"), $"o_custkey", lit(",\"items\":[]}")))
+          .when($"o_orderkey" % 97 === 3, lit(null))
+          .otherwise(concat(lit("{\"cust\":"), $"o_custkey",
+            lit(",\"items\":"), coalesce($"items", lit("[]")), lit("}")))
+          .as("doc"))
+    val parsed = src.select($"o_orderkey", $"doc",
+      parse_json($"doc").as("v"),
+      from_json($"doc",
+        "struct<cust:bigint,items:array<struct<ln:int,qty:int>>>",
+        Map.empty[String, String]).as("s"))
+    parsed.createOrReplaceTempView("graft_variant_shred_src")
+    // the VARIANT shred: LATERAL variant_explode over the extracted
+    // item array (zero rows for null/empty — the left join restores
+    // those parents), typed qty extraction per element
+    val ex = spark.sql(
+      """SELECT o_orderkey,
+        |  count(e.pos) AS n_items_v,
+        |  sum(variant_get(e.value, '$.qty', 'bigint')) AS qty_sum_v
+        |FROM graft_variant_shred_src,
+        |  LATERAL variant_explode(variant_get(v, '$.items')) AS e
+        |GROUP BY o_orderkey""".stripMargin)
+    parsed
+      .select($"o_orderkey", $"doc".isNotNull.as("has_doc"),
+        expr("variant_get(v, '$.cust', 'bigint')").as("cust"),
+        $"s.cust".as("cust_s"),
+        coalesce(size($"s.items"), lit(0)).cast("long").as("n_items_s"),
+        when(size($"s.items") > 0,
+          aggregate($"s.items", lit(0L), (acc, x) => acc + x("qty")))
+          .as("qty_sum_s"))
+      .join(ex, Seq("o_orderkey"), "left")
+      .select($"o_orderkey", $"has_doc", $"cust",
+        coalesce($"n_items_v", lit(0L)).as("n_items"),
+        $"qty_sum_v".as("qty_sum"),
+        (($"cust" <=> $"cust_s") &&
+          (coalesce($"n_items_v", lit(0L)) <=> $"n_items_s") &&
+          ($"qty_sum_v" <=> $"qty_sum_s")).as("shred_ok"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_shred" -> variantShred,
     "q_json_nested_roundtrip" -> jsonNestedRoundtrip,
     "q_explode_outer" -> explodeOuter,
     "q_subquery_exists" -> subqueryExists,

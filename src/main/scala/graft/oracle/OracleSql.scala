@@ -4950,6 +4950,32 @@ object OracleSql {
     // zipped unnest+ordinality ≡ posexplode_outer (the empty/null
     // parents re-enter via the LEFT JOIN), list(… ORDER BY pos) ≡ the
     // position-sorted re-nest, list-of-struct equality both engines
+    // round-13 (VERDICT r12 #7): the VARIANT twin deliberately
+    // computes every value RELATIONALLY — no JSON functions at all —
+    // so the hash gate checks the engine's parse_json / variant_get /
+    // variant_explode pipeline against first-principles truth, and
+    // the TRUE literal makes any engine-side string-vs-variant parity
+    // break (shred_ok=false) a hash mismatch
+    "q_variant_shred" ->
+      """WITH it AS (
+        |  SELECT l_orderkey AS o_orderkey, count(*) AS n_items,
+        |    cast(sum(cast(l_quantity as int)) as bigint) AS qty_sum
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey,
+        |  (o.o_orderkey % 50 = 0 OR o.o_orderkey % 97 <> 3) AS has_doc,
+        |  CASE WHEN o.o_orderkey % 50 = 0 THEN cast(o.o_custkey as bigint)
+        |       WHEN o.o_orderkey % 97 = 3 THEN NULL
+        |       ELSE cast(o.o_custkey as bigint) END AS cust,
+        |  cast(CASE WHEN o.o_orderkey % 50 = 0 THEN 0
+        |       WHEN o.o_orderkey % 97 = 3 THEN 0
+        |       ELSE coalesce(it.n_items, 0) END as bigint) AS n_items,
+        |  CASE WHEN o.o_orderkey % 50 = 0 THEN NULL
+        |       WHEN o.o_orderkey % 97 = 3 THEN NULL
+        |       ELSE it.qty_sum END AS qty_sum,
+        |  TRUE AS shred_ok
+        |FROM orders o LEFT JOIN it ON it.o_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     "q_json_nested_roundtrip" ->
       """WITH items AS (
         |  SELECT l_orderkey AS o_orderkey,

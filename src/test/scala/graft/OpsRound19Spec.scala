@@ -36,6 +36,45 @@ class OpsRound19Spec extends SparkSpec {
     assert(census === Seq((1L, 6L, 6L)))
   }
 
+  test("variant shred: string and variant pipelines agree everywhere; " +
+    "null and empty docs keep the roundtrip conventions") {
+    val rows = ops.Generators.variantShred(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the whole point of the key: the VARIANT path must reproduce the
+    // pinned-schema string path row-for-row
+    assert(rows.forall(r => r.getBoolean(r.fieldIndex("shred_ok"))),
+      "variant_get/variant_explode diverged from the from_json path")
+    val absent = rows.filter(!_.getBoolean(1))
+    assert(absent.nonEmpty, "fixture lost its null-doc rows")
+    absent.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("cust")) &&
+        r.getLong(r.fieldIndex("n_items")) == 0L &&
+        r.isNullAt(r.fieldIndex("qty_sum")))
+    }
+    // empty item lists (the %50 rule, which wins over %97): doc
+    // present, typed header still extractable, no items
+    val empty = rows.filter(r => r.getLong(0) % 50 == 0)
+    assert(empty.nonEmpty)
+    empty.foreach { r =>
+      assert(r.getBoolean(1) && !r.isNullAt(r.fieldIndex("cust")) &&
+        r.getLong(r.fieldIndex("n_items")) == 0L &&
+        r.isNullAt(r.fieldIndex("qty_sum")))
+    }
+    // one populated order's shredded sum against a direct recompute
+    val li = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("int")).as("q"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val populated = rows.filter(r => r.getBoolean(1) &&
+      r.getLong(r.fieldIndex("n_items")) > 0)
+    assert(populated.nonEmpty)
+    populated.take(20).foreach { r =>
+      val (q, n) = li(r.getLong(0))
+      assert(r.getLong(r.fieldIndex("qty_sum")) == q &&
+        r.getLong(r.fieldIndex("n_items")) == n)
+    }
+  }
+
   test("adaptive screen: budget walks the cap down the df spectrum, " +
     "losing exactly the priced-out fragments; the floor clamp holds") {
     // three popularity tiers: fragment A quoted by 3 hosts (pure-
