@@ -435,8 +435,12 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     // processing-time TTL on ValueState — the declarative idle-state
     // eviction that replaces manual timeout bookkeeping. Margins are
-    // generous both ways: the idle gap (4 s) comfortably exceeds the
-    // 3 s TTL, and the back-to-back batches run well inside it.
+    // generous both ways: the idle gap (11 s) comfortably exceeds the
+    // 10 s TTL, and the back-to-back batches run well inside it. The
+    // TTL was 3 s through round 12; under a fully loaded box (the rest
+    // of the suite saturating 32 cores) batch scheduling alone can
+    // exceed 3 s, expiring state the test expects live — measured flake
+    // in the round-13 inherited-state check, green in isolation.
     val mem = MemoryStream[(Long, String)](spark)
     val out = mem.toDS()
       .groupByKey(_._1)
@@ -457,7 +461,7 @@ class StreamingSpec extends SparkSpec {
     try {
       mem.addData((1L, "a"))
       await(1) // count 1
-      Thread.sleep(4000) // > 3 s TTL → state "n" expires
+      Thread.sleep(11000) // > 10 s TTL → state "n" expires
       mem.addData((1L, "b"))
       await(2) // expired state reads absent → restarts at 1
       mem.addData((1L, "c"))
@@ -622,7 +626,7 @@ private class TtlCounterProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     n = getHandle.getValueState[Long]("n",
       org.apache.spark.sql.Encoders.scalaLong,
-      TTLConfig(java.time.Duration.ofSeconds(3)))
+      TTLConfig(java.time.Duration.ofSeconds(10)))
 
   override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
       tv: TimerValues): Iterator[(Long, String, Long)] =
