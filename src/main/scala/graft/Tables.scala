@@ -85,24 +85,29 @@ object Tables {
     * components, hierarchy resolution) piggybacks on the job those
     * loops already run per round.
     *
-    * Only zero-vs-nonzero of the returned count is reliable (task
-    * retries and eager-checkpoint recomputation can overcount; a task
-    * observing a true flag always adds ≥1) — which is exactly the
-    * signal a loop condition needs. */
+    * r13: the count rides a `CollectMetrics` node (`Dataset.observe` +
+    * `Observation`, verified to fire on the localCheckpoint job) — the
+    * pre-r13 form threaded every row through a `df.map` with a full
+    * Row encoder, whose Deserialize/SerializeFromObject pair BROKE
+    * whole-stage codegen at the top of every fixpoint round and paid
+    * object serde per row. CollectMetrics aggregates inside the
+    * codegen'd pipeline and, unlike the accumulator it replaces, is
+    * EXACT under task retries (metrics come from the job's committed
+    * task set), so callers may now compare counts, not just test
+    * zero-vs-nonzero. */
   def truncateCountTrue(df: DataFrame, flag: String): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val acc = spark.sparkContext.longAccumulator("graft.flagCountTrue")
-    val idx = df.schema.fieldIndex(flag)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(df.schema)
-    val counted = df.map { r =>
-      if (!r.isNullAt(idx) && r.getBoolean(idx)) acc.add(1)
-      r
-    }
-    // project the flag away BEFORE checkpointing — the stored blocks
-    // carry one column less per fixpoint round (the accumulator has
-    // already fired inside the map stage)
-    (truncate(counted.toDF().drop(flag)), acc.value)
+    import org.apache.spark.sql.functions.{col, count, when}
+    val obs = org.apache.spark.sql.Observation()
+    // count(when(flag, true)): null-safe — a NULL flag counts as false,
+    // matching the old accumulator's isNullAt guard; count never
+    // returns null on an empty relation (sum would)
+    val observed = df
+      .observe(obs, count(when(col(flag), true)).as("n_true"))
+      // project the flag away AFTER the metrics node reads it — the
+      // stored blocks carry one column less per fixpoint round
+      .drop(flag)
+    val cp = truncate(observed)
+    (cp, obs.getAsJava.get("n_true").asInstanceOf[java.lang.Long].longValue)
   }
 
   /** Round-robin spread of a small scan across the full core count: a

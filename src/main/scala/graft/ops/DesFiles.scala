@@ -262,7 +262,22 @@ object DesFiles {
       .filter($"parent" =!= $"id")
       .join(nodes.select($"id".as("pid")), $"parent" === $"pid", "left_semi")
       .select($"id".as("child"), $"parent")
-    resolveByDoubling(nodes, edges).orderBy($"leaf")
+    // round count DERIVED from the edge law, not a constant (r13):
+    // parent = id div 10 strips one decimal digit per step, so chain
+    // depth ≤ digits(max id) and ceil(log₂(digits)) squarings suffice —
+    // 3 rounds for any corpus with ids < 10⁸ vs the generic default's
+    // 5. The bound is mathematical (a div-10 chain from a d-digit id
+    // dies within d steps whatever the corpus), so this stays
+    // scale-ADAPTIVE: a 10¹⁶-id corpus gets 4 rounds, never fewer than
+    // the chain needs. One 1-row max() aggregate (parquet column
+    // stats-cheap) buys 2 fewer checkpointed self-join rounds per run.
+    val maxId = nodes.agg(max($"id")).as[Option[Long]].collect()(0)
+      .getOrElse(0L)
+    val digits = math.max(1, maxId.toString.length)
+    // ceil(log2(digits)), floored at 1: 2^rounds ≥ digits ≥ chain depth
+    val rounds =
+      math.max(1, 32 - Integer.numberOfLeadingZeros(digits - 1))
+    resolveByDoubling(nodes, edges, rounds).orderBy($"leaf")
   }
 
   /** The doubling core — shared by the declared key and the
@@ -270,12 +285,15 @@ object DesFiles {
     * the corpus depth can't reach). `nodes`: one column "id";
     * `edges`: ("child", "parent"). Returns (leaf, root, depth). */
   private[graft] def resolveByDoubling(nodes: DataFrame,
-      edges: DataFrame): DataFrame = {
+      edges: DataFrame, rounds: Int = 5): DataFrame = {
     import nodes.sparkSession.implicits._
     var jump = edges
       .select($"child".as("from"), $"parent".as("to"), lit(1).as("d"))
       .transform(graft.Tables.truncate)
-    val rounds = 5 // 2^5 = 32 ≥ the level walk's maxDepth guard of 20
+    // default 2^5 = 32 ≥ the level walk's maxDepth guard of 20; callers
+    // with a tighter depth bound (the declared key derives one from its
+    // div-10 edge law) pass fewer rounds — the RESULT is identical once
+    // 2^rounds covers the true depth, extra rounds are no-op squarings
     for (_ <- 1 to rounds) {
       // rename the probe side wholesale: a self-join of one truncated
       // plan needs disjoint attribute names, not alias qualifiers
@@ -345,24 +363,40 @@ object DesFiles {
       case None => nodes.select($"id".as("leaf"), $"id".as("cur"),
         lit(0).as("depth"), lit(false).as("at_stop"))
     })
-    var frontierLive = !frontier.isEmpty
+    // no up-front emptiness probe: an empty node set just runs ONE
+    // level whose fused count comes back 0 (same empty result), while
+    // every non-empty corpus saves a full Spark job per rep (r13 —
+    // guide §2.4, remove actions that only re-derive what the loop's
+    // own first round proves anyway)
+    var frontierLive = true
     val resolved = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var level = 0
     while (level < maxDepth && frontierLive) {
       // a frontier node carrying the stop attribute resolves to itself
+      // (level 0 reads the raw nodes⨝stops plan; levels ≥ 1 read the
+      // previous round's checkpointed blocks)
       resolved += frontier.filter($"at_stop")
         .select($"leaf", $"cur".as("root"), $"depth")
       val walking = frontier.filter(!$"at_stop")
-      val j = walking.join(edges, walking("cur") === edges("child"), "left")
-      resolved += j.filter($"parent".isNull)
-        .select($"leaf", $"cur".as("root"), $"depth")
+      // checkpoint the WHOLE level join — dead-end rows included — so
+      // the level's frontier⨝edges join executes exactly once, inside
+      // this checkpoint job. The pre-r13 shape checkpointed only the
+      // continuation and left each level's dead-end branch (filter
+      // parent IS NULL over the raw join) lazy in `resolved`, so the
+      // final action RE-RAN every level's join a second time —
+      // measured at sf0.1 as roughly half the key's cost. The fused
+      // count ("live" = rows that keep walking) still drives the loop
+      // in the same single job per level.
       val (cp, live) = graft.Tables.truncateCountTrue(
-        j.filter($"parent".isNotNull)
-          .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"),
-            $"p_stop".as("at_stop"))
-          .withColumn("live", lit(true)),
+        walking.join(edges, walking("cur") === edges("child"), "left")
+          .select($"leaf", $"cur", $"depth", $"parent", $"p_stop")
+          .withColumn("live", $"parent".isNotNull),
         "live")
-      frontier = cp
+      resolved += cp.filter($"parent".isNull)
+        .select($"leaf", $"cur".as("root"), $"depth")
+      frontier = cp.filter($"parent".isNotNull)
+        .select($"leaf", $"parent".as("cur"), ($"depth" + 1).as("depth"),
+          $"p_stop".as("at_stop"))
       frontierLive = live > 0
       level += 1
     }

@@ -1594,7 +1594,7 @@ object LlmOps {
     * Singleton-cell vectors emit no rows on both engines. */
   def knnGraphBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKAgg.register(spark)
     val v = Tables(spark, sfDir, "embeddings").withColumn("bucket", bucketExpr)
     val a = spread(v.select($"vec_id", $"embedding", $"bucket"))
     val b = v.select($"vec_id".as("nbr_id"), $"embedding".as("ne"), $"bucket")
@@ -1602,9 +1602,20 @@ object LlmOps {
       .filter($"vec_id" =!= $"nbr_id")
       .select($"vec_id", $"nbr_id",
         Det.r4(dot(spark)($"embedding", $"ne")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"nbr_id")))
-      .filter($"rk" <= 3)
+      // top-3 via the bounded-heap aggregate, not a rank window (r13,
+      // guide §2.3/§2.4): the window shape exchanged EVERY candidate
+      // pair on vec_id and sorted each group in full; the aggregate
+      // partial-collapses map-side to ≤3 (sim, nbr) pairs per vec_id
+      // inside the join's own task, so the exchange carries k·|nodes|
+      // rows instead of Σcell² pair rows. Ordering semantics are
+      // identical by construction: TopKAgg's (score DESC, id ASC) ==
+      // row_number() OVER (ORDER BY sim DESC, nbr_id), ties included
+      // (every consumer and the DuckDB twin hash-match unchanged).
+      .groupBy($"vec_id")
+      .agg(call_function("topk_agg", $"sim", $"nbr_id", lit(3)).as("top"))
+      .select($"vec_id", posexplode($"top"))
+      .select($"vec_id", $"col.id".as("nbr_id"), $"col.score".as("sim"),
+        ($"pos" + 1).as("rk"))
       .orderBy($"vec_id", $"rk")
   }
 
@@ -3333,16 +3344,89 @@ object LlmOps {
     * At higher d the same census shape feeds a sparse/blocked C. */
   def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r13 shape: the d² second-moment census runs as ONE tight-loop
+    // TypedImperativeAggregate ([[graft.functions.GramAgg]] — the
+    // posexplode(flatten(nested transform)) it replaces materialized
+    // d² product rows PER INPUT ROW, ~41M rows at sf0.1, each paying
+    // the hash aggregate's per-row path), and the 4 power-iteration
+    // rounds run on the DRIVER over the collected census — a d²-BOUNDED
+    // model artifact (64·64 cells ≈ 32 KB, corpus-size-independent:
+    // exactly the PQ-codebook / IVF-centroid collect class, LintSpec
+    // site-pinned). The census pass over the corpus stays fully
+    // distributed; what moved driver-side is 4 rounds of 64×64 matvec
+    // that previously cost a checkpoint job + crossJoin each. Every
+    // double op replays the retired Catalyst expressions 1:1 (same
+    // operands, same IEEE order: j-ascending folds = the
+    // array_sort(collect_list)-then-fold order, cast-to-double-then-
+    // divide, max(|wi|) scaling, √Σvj², r4 via the same Det.r4 column)
+    // so the emitted hash is unchanged — verified by the standing
+    // DuckDB twin.
     val qarr = Tables(spark, sfDir, "embeddings")
       .select($"vec_id", expr(
         "transform(embedding, x ->" +
           " cast(floor(cast(x as double) * 10000) as bigint))").as("qv"))
-    // outer products are generated ROW-LOCALLY (a flat primitive long
-    // array per row — no struct allocation, (i,j) recovered from the
-    // flattened index) instead of a vec_id self-join — zero join
-    // shuffles; the hash agg partial-collapses each task's stream to
-    // its dense d² state, so only O(partitions·d²) rows reach the
-    // exchange
+    graft.functions.GramAgg.register(spark)
+    val g = qarr.agg(call_function("gram_agg", $"qv").as("g"))
+      .select($"g.sawNull", $"g.cells", $"g.sums").collect()(0)
+    if (g.getBoolean(0)) {
+      // null vector ELEMENT (impossible for the declared corpora —
+      // embedding elements are non-null floats): the exploded census
+      // remains the behavioral reference for that corner
+      return embedPcaPowerExploded(spark, qarr)
+    }
+    import org.apache.spark.sql.Row
+    val sums: Map[Int, Long] = g.getSeq[Row](2)
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cov replays moments ⋈ sums(i) ⋈ sums(j): inner-join semantics
+    // (a cell whose i or j has no sums row drops), then the exact
+    // expression (sij/nn − (si/nn)·(sj/nn)) on doubles
+    val covByI: Map[Int, Seq[(Int, Double)]] = g.getSeq[Row](1)
+      .flatMap { r =>
+        val (i, j, sij, nn) =
+          (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
+        for (si <- sums.get(i); sj <- sums.get(j)) yield (i, j,
+          sij.toDouble / nn - (si.toDouble / nn) * (sj.toDouble / nn))
+      }
+      .groupBy(_._1)
+      .map { case (i, cs) => i -> cs.sortBy(_._2).map(c => (c._2, c._3)) }
+    var v: Map[Int, Double] = (0 until 64).map(_ -> 1.0).toMap
+    for (_ <- 1 to 4) {
+      // w_i = fold of c·v_j in ascending-j order (the retired
+      // array_sort(collect_list(struct(j, term))) fold); a row i
+      // enters w iff ≥1 of its cells joins v — inner-join semantics
+      val w: Seq[(Int, Double)] = covByI.toSeq.sortBy(_._1).flatMap {
+        case (i, cols) =>
+          val terms = cols.filter(t => v.contains(t._1))
+          if (terms.isEmpty) None
+          else {
+            var acc = 0.0
+            terms.foreach { case (j, c) => acc += c * v(j) }
+            Some(i -> acc)
+          }
+      }
+      if (w.isEmpty) v = Map.empty
+      else {
+        val m = w.iterator.map(t => math.abs(t._2)).max
+        v = w.map { case (i, wi) => i -> wi / m }.toMap
+      }
+    }
+    val rows = v.toSeq.sortBy(_._1)
+    var s2 = 0.0
+    rows.foreach { case (_, vj) => s2 += vj * vj }
+    val nrm = math.sqrt(s2)
+    rows.map { case (j, vj) => (j + 1, vj / nrm) }
+      .toDF("dim", "raw")
+      .select($"dim", Det.r4($"raw").as("loading"))
+      .orderBy($"dim")
+  }
+
+  /** The pre-r13 exploded-census / distributed-iteration formulation —
+    * kept verbatim as [[embedPcaPower]]'s fallback for the null-element
+    * corner GramAgg refuses, and as the behavioral reference the
+    * driver replay is asserted against (OpsRound20Spec). */
+  private[graft] def embedPcaPowerExploded(spark: SparkSession,
+      qarr: DataFrame): DataFrame = {
+    import spark.implicits._
     val moments = qarr.select(posexplode(expr(
       "flatten(transform(qv, x -> transform(qv, y -> x * y)))"))
       .as(Seq("idx", "p")))
@@ -3353,9 +3437,6 @@ object LlmOps {
     val sums = qarr
       .select(posexplode($"qv").as(Seq("pos", "qv")))
       .groupBy($"pos").agg(sum($"qv").as("s"))
-    // truncate pins the d²-row covariance ONCE (pagerank discipline):
-    // without it each iteration's plan re-nests — and re-executes —
-    // the full census lineage (measured 3.3 s → ~1 s at sf0.1)
     val cov = Tables.truncate(moments
       .join(sums.select($"pos".as("i"), $"s".as("si")), "i")
       .join(sums.select($"pos".as("j"), $"s".as("sj")), "j")
@@ -3372,9 +3453,6 @@ object LlmOps {
         .agg(aggregate(array_sort(collect_list($"s")), lit(0.0),
           (acc, x) => acc + x("term")).as("wi"))
       val mx = w.agg(max(abs($"wi")).as("m"))
-      // per-round truncate: the 64-row state is trivially cheap to pin
-      // and keeps the final plan from nesting all four rounds (and the
-      // norm pass from re-executing them)
       v = Tables.truncate(w.crossJoin(broadcast(mx))
         .select($"i".as("j"), ($"wi" / $"m").as("vj")))
     }
@@ -4093,16 +4171,29 @@ object LlmOps {
       .filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("id"), lit(0).as("hop"))
     var frontier = visited
+    // TWO Spark jobs per hop (r13; was three): the frontier emptiness
+    // probe is fused into the hop's own checkpoint job (the resolveCore
+    // pattern — zero-vs-nonzero is exactly what the accumulator count
+    // guarantees). `visited` stays a per-hop checkpoint on purpose: a
+    // lazy union-of-frontiers was measured SLOWER here (each hop's
+    // anti join and the final sort re-scan h block sets of 32
+    // partitions each — ~32·h²/2 scheduled tasks of almost nothing —
+    // and the task floor, not bytes, is what a tiny frontier pays).
     var hop = 0
-    while (hop < 20 && !frontier.isEmpty) {
+    var live = true
+    while (hop < 20 && live) {
       hop += 1
-      val next = frontier.join(edges, $"id" === $"src")
-        .select($"dst".as("id")).distinct()
-        .join(visited.select($"id".as("vid")), $"id" === $"vid",
-          "left_anti")
-        .select($"id", lit(hop).as("hop"))
-      frontier = Tables.truncate(next)
-      visited = Tables.truncate(visited.unionAll(frontier))
+      val (cp, n) = Tables.truncateCountTrue(
+        frontier.join(edges, $"id" === $"src")
+          .select($"dst".as("id")).distinct()
+          .join(visited.select($"id".as("vid")), $"id" === $"vid",
+            "left_anti")
+          .select($"id", lit(hop).as("hop"))
+          .withColumn("live", lit(true)), "live")
+      frontier = cp
+      live = n > 0
+      // an empty frontier adds nothing — skip the final union job too
+      if (live) visited = Tables.truncate(visited.unionAll(frontier))
     }
     visited.orderBy($"id")
   }
@@ -4749,37 +4840,64 @@ object LlmOps {
     val v = Tables(spark, sfDir, "embeddings").withColumn("bucket", bucketExpr)
     val a = spread(v.select($"vec_id", $"embedding", $"bucket"))
     val b = v.select($"vec_id".as("nbr_id"), $"embedding".as("ne"), $"bucket")
+    // top-5 via the bounded-heap aggregate, not a rank window — the
+    // same swap as [[knnGraphBucketed]] (r13): identical (sim DESC,
+    // nbr_id ASC) selection, but candidates partial-collapse to ≤5
+    // per node map-side instead of sorting whole cells post-exchange
+    graft.functions.TopKAgg.register(spark)
     val e0 = a.hint("shuffle_hash").join(b, Seq("bucket"))
       .filter($"vec_id" =!= $"nbr_id")
       .select($"vec_id", $"nbr_id",
         Det.r4(dot(spark)($"embedding", $"ne")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"sim".desc, $"nbr_id")))
-      .filter($"rk" <= 5)
-      .select($"vec_id".as("src"), $"nbr_id".as("dst"))
+      .groupBy($"vec_id")
+      .agg(call_function("topk_agg", $"sim", $"nbr_id", lit(5)).as("top"))
+      .select($"vec_id".as("src"), explode($"top.id").as("dst"))
+    // fused change detection (r13): each peel's checkpoint job already
+    // counts surviving edges; a round that removes NOTHING proves every
+    // surviving src-degree ≥ 4 (the filter kept all of them), which is
+    // exactly the fixpoint — rounds after it are no-op re-filters, so
+    // skipping them cannot change the result the 6-round unroll (and
+    // the DuckDB twin's 6-round unroll) produces. On this corpus
+    // family the peel converges in round 1 ⇒ 2 executed rounds replace
+    // 6 checkpoint jobs + the separate min-degree convergence collect,
+    // which the early exit subsumes (no-change IS the "7th peel
+    // removes nothing" statement). A corpus still peeling after 6
+    // rounds fails the same require the collect guard enforced.
     var edges = Tables.truncate(
       e0.unionAll(e0.select($"dst".as("src"), $"src".as("dst"))).distinct())
-    for (_ <- 1 to 6) {
+    // counts come from .count() over the freshly CHECKPOINTED blocks
+    // (an exact, retry-proof cardinality — the fused accumulator count
+    // can only promise zero-vs-nonzero, and this loop compares for
+    // EQUALITY), a block-read job that costs ~nothing next to the 4
+    // peel rounds it saves
+    var prevCount = -1L
+    var rounds = 0
+    var converged = false
+    while (rounds < 6 && !converged) {
       val keep = edges.groupBy($"src").agg(count(lit(1)).as("d"))
         .filter($"d" >= 4).select($"src".as("node"))
       edges = Tables.truncate(edges
         .join(keep.select($"node".as("src")), "src")
         .join(keep.select($"node".as("dst")), "dst")
         .select($"src", $"dst"))
+      val n = edges.count()
+      converged = n == prevCount
+      prevCount = n
+      rounds += 1
     }
-    // convergence guard: unlike fixed-iteration pagerank, PEEL DEPTH
-    // grows with the corpus, and the DuckDB twin unrolls the same 6
-    // rounds — so an under-peeled corpus would hash-MATCH a wrong
-    // oracle at untested scales. A 7th peel must remove nothing: the
-    // surviving min degree ≥ 4 is that statement, checked on the
-    // already-checkpointed edge set (one k-row agg, driver reads ONE
-    // scalar — whitelisted in LintSpec).
-    val minDeg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-      .agg(min($"d")).as[Option[Long]].collect()(0)
-    require(minDeg.forall(_ >= 4L),
-      s"k-core peel did not converge in 6 rounds (min surviving degree" +
-        s" $minDeg < 4) — raise the unrolled round count in BOTH the" +
-        s" engine and the DuckDB twin")
+    if (!converged) {
+      // all 6 rounds changed the edge set — the early exit proved
+      // nothing, so fall back to the pre-r13 guard verbatim: the
+      // 6-round output is still CORRECT iff a 7th peel would remove
+      // nothing, i.e. the surviving min degree ≥ 4 (one k-row agg,
+      // driver reads ONE scalar — whitelisted in LintSpec)
+      val minDeg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+        .agg(min($"d")).as[Option[Long]].collect()(0)
+      require(minDeg.forall(_ >= 4L),
+        s"k-core peel did not converge in 6 rounds (min surviving" +
+          s" degree $minDeg < 4) — raise the unrolled round count in" +
+          s" BOTH the engine and the DuckDB twin")
+    }
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy($"node")
   }

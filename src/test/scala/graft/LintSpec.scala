@@ -49,12 +49,23 @@ class LintSpec extends AnyFunSuite {
     * sites inside that def. */
   private val whitelist: Map[(String, String), Int] = Map(
     ("LlmOps.scala", "dedupEdit") -> 1,
+    // r13: 1-row d²-bounded Gram census (64·64 cells ≈ 32 KB, corpus-
+    // size-independent) — the PQ-codebook class; feeds the driver-side
+    // 64×64 power iteration
+    ("LlmOps.scala", "embedPcaPower") -> 1,
     ("LlmOps.scala", "assign") -> 1,
     ("LlmOps.scala", "collectCb") -> 1,
     ("LlmOps.scala", "pqCodebook") -> 1,
     ("LlmOps.scala", "bpeMerges") -> 1,
     ("LlmOps.scala", "bpeEncode") -> 1,
+    // r13: graphKcore's min-degree collect survives only on the
+    // unconverged path (6 changing rounds) — the early-exit loop's
+    // exact block counts subsume it everywhere else
     ("LlmOps.scala", "graphKcore") -> 1,
+    // r13: 1-row max(id) — derives the doubling-round bound from the
+    // div-10 edge law (digits of the max id), same bounded-threshold
+    // class as dedupEdit's max(length)
+    ("DesFiles.scala", "hierarchySrclistDoubling") -> 1,
     ("Eval.scala", "simRerankMmr") -> 1,
     ("Sources.scala", "deleteCompact") -> 1)
 
