@@ -309,7 +309,18 @@ object Profile {
       "x_ann_cand" -> ((s, dir) =>
         graft.ops.LlmOps.annBandCandidates(s, dir)),
       "x_ann_full" -> ((s, dir) =>
-        graft.ops.LlmOps.mineAnnPairs(s, dir))
+        graft.ops.LlmOps.mineAnnPairs(s, dir)),
+      // round-14 A/B for the census fold (VERDICT r13 #2): the RETIRED
+      // r13 timed shape — declared key with the priced-mass census
+      // derived INLINE (memoized shingles + dup-groups, census not) —
+      // against the shipped q_dedup_containment_prefix, which reads
+      // the ctp-census memo. Same plan otherwise; the delta is the
+      // census subtree's per-execution cost.
+      "x_ctp_key_inlinecensus" -> ((s, dir) =>
+        graft.ops.LlmOps.dedupContainmentPrefixScreened(
+          graft.ops.LlmOps.shingleIndex(s, dir),
+          Tables(s, dir, "documents"),
+          Some(graft.ops.LlmOps.dupGroupsMemo(s, dir))))
     )
 
   /** One-hot-domain skewed cap workload shared by the x_cap probes:

@@ -194,7 +194,9 @@ object ScaleBench {
   private val memoTriggers =
     Seq("q_dedup_ngram_jaccard", "q_dedup_cluster", "q_dedup_semantic_keep",
       // r12: the collapsed prefix miners share the dup-group census
-      "q_dedup_jaccard_prefix")
+      "q_dedup_jaccard_prefix",
+      // r14: the screened miner's priced-mass census (ctp-census)
+      "q_dedup_containment_prefix")
 
   /** key → trigger keys whose memo chains it CONSUMES (ADVICE r12 #1):
     * under SPARK_GRAFT_SCALE_KEYS the warmup must build the artifacts a
@@ -216,8 +218,9 @@ object ScaleBench {
     (viaJaccard.map(_ -> Seq("q_dedup_ngram_jaccard")) ++ Seq(
       "q_dedup_ngram_jaccard" -> Seq("q_dedup_ngram_jaccard"),
       "q_dedup_jaccard_prefix" -> Seq("q_dedup_jaccard_prefix"),
-      // shingles + dup-groups (the collapsed screened miner)
-      "q_dedup_containment_prefix" -> Seq("q_dedup_jaccard_prefix"),
+      // shingles + dup-groups + its own ctp-census (r14): running the
+      // key itself as the trigger builds the full chain it reads
+      "q_dedup_containment_prefix" -> Seq("q_dedup_containment_prefix"),
       "q_dedup_cluster" -> Seq("q_dedup_cluster"),
       "q_split_leakage_safe" -> Seq("q_dedup_cluster"),
       // builds ann-pairs only (not the semantic-labels layer above it)
